@@ -112,6 +112,26 @@ def _jacobi_weighted_legendre_moment(c, a, b):
     return float(np.dot(np.polynomial.legendre.legval(gq, c), gw))
 
 
+def collapsed_gauss_simplex(dim, m):
+    """Collapsed (Duffy-mapped) Gauss rule with m points per direction on
+    the default (-1,1)-vertex dim-simplex: a product of Gauss-Jacobi rules
+    whose (1-eta_k)^k weights absorb the Duffy Jacobian powers."""
+    lines = [gauss_jacobi_rule(m, float(k), 0.0) for k in range(dim)]
+    pts = np.zeros((m,) * dim + (dim,))
+    wts = np.ones((m,) * dim)
+    etas = np.meshgrid(*[x for x, _ in lines], indexing="ij")
+    for k in range(dim):
+        shape = [1] * dim
+        shape[k] = m
+        wts = wts * (lines[k][1] / 2.0 ** k).reshape(shape)
+    for k in range(dim):
+        xi = 1.0 + etas[k]
+        for j in range(k + 1, dim):
+            xi = xi * (1.0 - etas[j]) / 2.0
+        pts[..., k] = xi - 1.0
+    return pts.reshape(-1, dim), wts.reshape(-1)
+
+
 @lru_cache(maxsize=None)
 def family_nodes_1d(family, n):
     """The n+1 nodes of a 1D family on [0, 1] for polynomial degree n."""

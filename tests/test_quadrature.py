@@ -1,0 +1,88 @@
+"""Quadrature exactness and parity tests (reference strategy:
+test/FIAT/unit/test_quadrature.py -- exactness on monomials)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fiat_tpu.core import cells as cl
+from fiat_tpu.core.quadrature import (GaussLobattoLegendreQuadratureLineRule,
+                                      RadauQuadratureLineRule, make_quadrature)
+from fiat_tpu.core.quadrature_schemes import create_quadrature
+
+
+def monomial_integral_simplex(alpha):
+    """int over UFC simplex of prod x_i^alpha_i = prod(alpha!)/(|alpha|+d)!"""
+    d = len(alpha)
+    return (math.prod(math.factorial(a) for a in alpha)
+            / math.factorial(sum(alpha) + d))
+
+
+@pytest.mark.parametrize("dim", [1, 2, 3])
+@pytest.mark.parametrize("degree", [0, 1, 2, 3, 5, 8, 12])
+def test_simplex_scheme_exactness(dim, degree):
+    T = cl.ufc_simplex(dim)
+    Q = create_quadrature(T, degree)
+    pts, wts = Q.get_points(), Q.get_weights()
+    for alpha in np.ndindex(*(degree + 1,) * dim):
+        if sum(alpha) > degree:
+            continue
+        val = np.dot(np.prod(pts ** np.asarray(alpha), axis=1), wts)
+        assert abs(val - monomial_integral_simplex(alpha)) < 1e-14
+
+
+@pytest.mark.parametrize("m", [2, 3, 5, 8])
+def test_gll_exactness(m):
+    T = cl.ufc_simplex(1)
+    Q = GaussLobattoLegendreQuadratureLineRule(T, m)
+    pts, wts = Q.get_points().flatten(), Q.get_weights()
+    assert pts[0] == 0.0 and pts[-1] == 1.0
+    for d in range(2 * m - 2):
+        assert abs(np.dot(pts ** d, wts) - 1.0 / (d + 1)) < 1e-14
+
+
+@pytest.mark.parametrize("m", [1, 2, 4])
+@pytest.mark.parametrize("right", [True, False])
+def test_radau_exactness(m, right):
+    T = cl.ufc_simplex(1)
+    Q = RadauQuadratureLineRule(T, m, right)
+    pts, wts = Q.get_points().flatten(), Q.get_weights()
+    assert abs(pts[-1 if right else 0] - float(right)) < 1e-14
+    for d in range(2 * m - 1):
+        assert abs(np.dot(pts ** d, wts) - 1.0 / (d + 1)) < 1e-14
+
+
+@pytest.mark.parametrize("cell", ["quadrilateral", "hexahedron"])
+def test_hypercube_scheme_exactness(cell):
+    T = cl.ufc_cell(cell)
+    dim = T.get_spatial_dimension()
+    degree = 5
+    Q = create_quadrature(T, degree)
+    pts, wts = Q.get_points(), Q.get_weights()
+    for alpha in np.ndindex(*(degree + 1,) * dim):
+        if max(alpha) > degree:
+            continue
+        val = np.dot(np.prod(pts ** np.asarray(alpha), axis=1), wts)
+        exact = math.prod(1.0 / (a + 1) for a in alpha)
+        assert abs(val - exact) < 1e-14
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_facet_quadrature(dim):
+    T = cl.ufc_simplex(dim)
+    for entity in range(dim + 1):
+        Q = create_quadrature(T, 3, entity=(dim - 1, entity))
+        vol = T.volume_of_subcomplex(dim - 1, entity)
+        assert abs(sum(Q.get_weights()) - vol) < 1e-13
+
+
+def test_parity_with_reference():
+    import FIAT.quadrature_schemes as rqs
+    import FIAT.reference_element as rre
+    for dim in (1, 2, 3):
+        for degree in (1, 3, 6):
+            R = rqs.create_quadrature(rre.ufc_simplex(dim), degree, scheme="canonical")
+            M = create_quadrature(cl.ufc_simplex(dim), degree, scheme="canonical")
+            assert np.allclose(R.get_points(), M.get_points(), atol=1e-14)
+            assert np.allclose(R.get_weights(), M.get_weights(), atol=1e-14)
