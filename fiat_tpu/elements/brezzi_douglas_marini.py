@@ -1,0 +1,83 @@
+"""Brezzi-Douglas-Marini H(div) element (parity with
+/root/reference/FIAT/brezzi_douglas_marini.py): full (P_k)^d with
+scaled-normal facet moments and interior Nedelec moments."""
+
+import numpy as np
+
+from ..core import finite_element, functionals, polyset
+from ..core.dualset import DualSet
+from ..core.quadrature import FacetQuadratureRule
+from ..core.variants import check_format_variant, parse_quadrature_scheme
+from .nedelec import Nedelec
+
+
+class BDMDualSet(DualSet):
+    def __init__(self, ref_el, degree, variant, interpolant_deg, quad_scheme):
+        nodes = []
+        sd = ref_el.get_spatial_dimension()
+        top = ref_el.get_topology()
+        entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
+
+        if variant == "integral":
+            facet = ref_el.construct_subelement(sd - 1)
+            Q_ref = parse_quadrature_scheme(facet, interpolant_deg + degree,
+                                            quad_scheme)
+            Pq = polyset.ONPolynomialSet(facet, degree)
+            Pq_at_qpts = Pq.tabulate(Q_ref.get_points())[(0,) * (sd - 1)]
+            for f in top[sd - 1]:
+                cur = len(nodes)
+                Q = FacetQuadratureRule(ref_el, sd - 1, f, Q_ref, avg=True)
+                n = ref_el.compute_scaled_normal(f)
+                phis = n[None, :, None] * Pq_at_qpts[:, None, :]
+                nodes.extend(functionals.FrobeniusIntegralMoment(ref_el, Q, phi)
+                             for phi in phis)
+                entity_ids[sd - 1][f] = list(range(cur, len(nodes)))
+
+        elif variant == "point":
+            for f in top[sd - 1]:
+                cur = len(nodes)
+                pts = ref_el.make_points(sd - 1, f, sd + degree)
+                nodes.extend(functionals.PointScaledNormalEvaluation(ref_el, f, pt)
+                             for pt in pts)
+                entity_ids[sd - 1][f] = list(range(cur, len(nodes)))
+
+        # interior: moments against Nedelec_{k-1}
+        if degree > 1:
+            if interpolant_deg is None:
+                interpolant_deg = degree
+            cell = ref_el.construct_subelement(sd)
+            Q_ref = parse_quadrature_scheme(cell, interpolant_deg + degree - 1,
+                                            quad_scheme)
+            Ned = Nedelec(cell, degree - 1, variant)
+            Ned_at_qpts = Ned.tabulate(0, Q_ref.get_points())[(0,) * sd]
+            for entity in top[sd]:
+                Q = FacetQuadratureRule(ref_el, sd, entity, Q_ref)
+                Jinv = np.linalg.inv(Q.jacobian())
+                phis = np.tensordot(Jinv.T, Ned_at_qpts, (1, 1)).transpose((1, 0, 2))
+                cur = len(nodes)
+                nodes.extend(functionals.FrobeniusIntegralMoment(ref_el, Q, phi)
+                             for phi in phis)
+                entity_ids[sd][entity] = list(range(cur, len(nodes)))
+
+        super().__init__(nodes, ref_el, entity_ids)
+
+
+class BrezziDouglasMarini(finite_element.CiarletElement):
+    """The BDM element (contravariant Piola)."""
+
+    def __init__(self, ref_el, degree, variant=None, quad_scheme=None):
+        splitting, variant, interpolant_deg = check_format_variant(variant, degree)
+        if splitting is not None:
+            ref_el = splitting(ref_el)
+        if degree < 1:
+            raise ValueError("BDM_k elements are only valid for k >= 1")
+        sd = ref_el.get_spatial_dimension()
+        if ref_el.is_macrocell():
+            from ..core.macro import MacroPolynomialSet
+            base_element = type(self)(ref_el.get_parent(), degree)
+            poly_set = MacroPolynomialSet(ref_el, base_element)
+        else:
+            poly_set = polyset.ONPolynomialSet(ref_el, degree, (sd,))
+        dual = BDMDualSet(ref_el, degree, variant, interpolant_deg, quad_scheme)
+        super().__init__(poly_set, dual, degree, sd - 1,
+                         mapping="contravariant piola")

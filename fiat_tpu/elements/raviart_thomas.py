@@ -1,0 +1,117 @@
+"""Raviart-Thomas H(div) element (parity with
+/root/reference/FIAT/raviart_thomas.py): RT_k = (P_{k-1})^d + x P^H_{k-1},
+with scaled-normal facet DoFs and interior vector moments."""
+
+import numpy as np
+from itertools import chain
+
+from ..core import expansions, finite_element, functionals, polyset
+from ..core.dualset import DualSet
+from ..core.quadrature import FacetQuadratureRule
+from ..core.quadrature_schemes import create_quadrature
+from ..core.variants import check_format_variant, parse_quadrature_scheme
+
+
+def RTSpace(ref_el, degree):
+    """Basis for (P_{k-1})^d + P^H_{k-1} x, projected onto the degree-k
+    orthonormal expansion by quadrature."""
+    sd = ref_el.get_spatial_dimension()
+    k = degree - 1
+    vec_Pkp1 = polyset.ONPolynomialSet(ref_el, k + 1, (sd,))
+
+    dimPkp1 = expansions.polynomial_dimension(ref_el, k + 1)
+    dimPk = expansions.polynomial_dimension(ref_el, k)
+    dimPkm1 = expansions.polynomial_dimension(ref_el, k - 1)
+
+    vec_Pk = vec_Pkp1.take(list(chain(*(range(i * dimPkp1, i * dimPkp1 + dimPk)
+                                        for i in range(sd)))))
+
+    Pkp1 = polyset.ONPolynomialSet(ref_el, k + 1)
+    PkH = Pkp1.take(list(range(dimPkm1, dimPk)))
+
+    Q = create_quadrature(ref_el, 2 * (k + 1))
+    Qpts, Qwts = Q.get_points(), Q.get_weights()
+    PkH_at_Qpts = PkH.tabulate(Qpts)[(0,) * sd]
+    Pkp1_at_Qpts = Pkp1.tabulate(Qpts)[(0,) * sd]
+
+    # coefficients of p(x) * x by L2 projection (exact: integrand in P_{k+1})
+    PkHx_at_Qpts = PkH_at_Qpts[:, None, :] * Qpts.T[None, :, :]
+    PkHx_coeffs = np.dot(PkHx_at_Qpts * Qwts, Pkp1_at_Qpts.T)
+    PkHx = polyset.PolynomialSet(ref_el, k, k + 1,
+                                 vec_Pkp1.get_expansion_set(), PkHx_coeffs)
+    return polyset.polynomial_set_union_normalized(vec_Pk, PkHx)
+
+
+class RTDualSet(DualSet):
+    """Scaled-normal evaluations/moments on facets + interior moments."""
+
+    def __init__(self, ref_el, degree, variant, interpolant_deg, quad_scheme):
+        nodes = []
+        sd = ref_el.get_spatial_dimension()
+        top = ref_el.get_topology()
+        entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
+
+        if variant == "integral":
+            facet = ref_el.construct_subelement(sd - 1)
+            q = degree - 1
+            Q_ref = parse_quadrature_scheme(facet, interpolant_deg + q, quad_scheme)
+            Pq = polyset.ONPolynomialSet(facet, q if sd > 1 else 0)
+            Pq_at_qpts = Pq.tabulate(Q_ref.get_points())[(0,) * (sd - 1)]
+            for f in top[sd - 1]:
+                cur = len(nodes)
+                Q = FacetQuadratureRule(ref_el, sd - 1, f, Q_ref, avg=True)
+                n = ref_el.compute_scaled_normal(f)
+                phis = n[None, :, None] * Pq_at_qpts[:, None, :]
+                nodes.extend(functionals.FrobeniusIntegralMoment(ref_el, Q, phi)
+                             for phi in phis)
+                entity_ids[sd - 1][f] = list(range(cur, len(nodes)))
+
+            if q > 0:
+                cell = ref_el.construct_subelement(sd)
+                Q_ref = parse_quadrature_scheme(cell, interpolant_deg + q - 1,
+                                                quad_scheme)
+                Pqm1 = polyset.ONPolynomialSet(cell, q - 1)
+                Pqm1_at_qpts = Pqm1.tabulate(Q_ref.get_points())[(0,) * sd]
+                for entity in top[sd]:
+                    Q = FacetQuadratureRule(ref_el, sd, entity, Q_ref)
+                    cur = len(nodes)
+                    nodes.extend(functionals.IntegralMoment(ref_el, Q, phi, (d,), (sd,))
+                                 for d in range(sd)
+                                 for phi in Pqm1_at_qpts)
+                    entity_ids[sd][entity] = list(range(cur, len(nodes)))
+
+        elif variant == "point":
+            for i in top[sd - 1]:
+                cur = len(nodes)
+                pts = ref_el.make_points(sd - 1, i, sd + degree - 1)
+                nodes.extend(functionals.PointScaledNormalEvaluation(ref_el, i, pt)
+                             for pt in pts)
+                entity_ids[sd - 1][i] = list(range(cur, len(nodes)))
+            if degree > 1:
+                cur = len(nodes)
+                pts = ref_el.make_points(sd, 0, sd + degree - 1)
+                nodes.extend(functionals.ComponentPointEvaluation(ref_el, d, (sd,), pt)
+                             for d in range(sd)
+                             for pt in pts)
+                entity_ids[sd][0] = list(range(cur, len(nodes)))
+
+        super().__init__(nodes, ref_el, entity_ids)
+
+
+class RaviartThomas(finite_element.CiarletElement):
+    """The Raviart-Thomas element (contravariant Piola)."""
+
+    def __init__(self, ref_el, degree, variant=None, quad_scheme=None):
+        splitting, variant, interpolant_deg = check_format_variant(variant, degree)
+        if splitting is not None:
+            ref_el = splitting(ref_el)
+        if ref_el.is_macrocell():
+            from ..core.macro import MacroPolynomialSet
+            base_element = type(self)(ref_el.get_parent(), degree)
+            poly_set = MacroPolynomialSet(ref_el, base_element)
+        else:
+            poly_set = RTSpace(ref_el, degree)
+        dual = RTDualSet(ref_el, degree, variant, interpolant_deg, quad_scheme)
+        formdegree = ref_el.get_spatial_dimension() - 1
+        super().__init__(poly_set, dual, degree, formdegree,
+                         mapping="contravariant piola")
