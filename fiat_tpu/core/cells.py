@@ -342,6 +342,31 @@ class SimplicialComplex(Cell):
             return make_lattice(verts, order, interior=interior, variant=variant)
         raise ValueError("Illegal entity dimension")
 
+    def get_cell_connectivity(self):
+        """{cell: {dim: (entity ids...)}} listing, for each top-level cell,
+        its subentities in the REFERENCE ordering of the cell's own vertex
+        tuple (unlike ``connectivity[(sd, dim)]``, which is sorted)."""
+        try:
+            return self._cell_connectivity
+        except AttributeError:
+            pass
+        sd = self.get_spatial_dimension()
+        top = self.topology
+        ref_top = self.construct_subelement(sd).get_topology()
+        inv_top = {dim: {top[dim][e]: e for e in top[dim]} for dim in top}
+        conn = {}
+        for cell in top[sd]:
+            cell_verts = top[sd][cell]
+            conn[cell] = {}
+            for dim in top:
+                ents = []
+                for ref_e in sorted(ref_top[dim]):
+                    global_verts = tuple(cell_verts[v] for v in ref_top[dim][ref_e])
+                    ents.append(inv_top[dim][global_verts])
+                conn[cell][dim] = ents
+        self._cell_connectivity = conn
+        return conn
+
     def get_entity_transform(self, dim, entity):
         """Map from subentity reference coordinates into this cell."""
         top = self.topology

@@ -554,10 +554,10 @@ def polynomial_cell_node_map(ref_el, n, continuity=None):
     num_cells = len(top[sd])
     dofs_per_cell = sum(len(ref_ids[dim][e]) for dim in ref_ids for e in ref_ids[dim])
     cell_node_map = np.zeros((num_cells, dofs_per_cell), dtype=int)
-    conn = ref_el.get_connectivity()
+    conn = ref_el.get_cell_connectivity()
     for c in top[sd]:
         for dim in top:
-            for ref_e, e in enumerate(conn[(sd, dim)][c]):
+            for ref_e, e in enumerate(conn[c][dim]):
                 cell_node_map[c, ref_ids[dim][ref_e]] = entity_ids[dim][e]
     return cell_node_map
 

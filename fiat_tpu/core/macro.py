@@ -1,0 +1,514 @@
+"""Macro elements: split simplicial complexes and constrained polynomial
+spaces on them.
+
+Parity with /root/reference/FIAT/macro.py: Alfeld / Worsey-Farin /
+Powell-Sabin(6/12) / Iso(k) splits with child<->parent entity maps and
+interior-facet lists; composite quadrature; C^k-continuous and
+H(div)-conforming polynomial subspaces obtained as jump null spaces (SVD);
+Piola pullbacks; tiling of a base element over a complex.
+
+All constructions are host-side float64; downstream tabulation of macro
+spaces stays shape-static by binning points to subcells (one-hot
+partition-of-unity masks on device, expansions.partition_of_unity_masks).
+"""
+
+from itertools import chain, combinations
+
+import numpy as np
+
+from . import cells as cl
+from . import expansions, polyset
+from .quadrature import FacetQuadratureRule, QuadratureRule
+
+
+def bary_to_xy(verts, bary, result=None):
+    """Barycentric coordinates -> physical points."""
+    return np.dot(bary, verts, out=result)
+
+
+def xy_to_bary(verts, pts, result=None):
+    """Physical points -> barycentric coordinates (affine solve)."""
+    verts = np.asarray(verts)
+    pts = np.asarray(pts)
+    mat = np.vstack((verts.T, np.ones((1, verts.shape[0]))))
+    rhs = np.vstack((pts.T, np.ones((1, pts.shape[0]))))
+    out = np.linalg.solve(mat, rhs).T
+    if result is None:
+        return out.copy()
+    result[:, :] = out
+    return result
+
+
+def facet_support(facet_coords, tol=1e-12):
+    """Parent vertex ids supporting a child facet (nonzero barycentric)."""
+    return tuple(sorted(set(i for x in facet_coords
+                            for i, xi in enumerate(x) if abs(xi) > tol)))
+
+
+def invert_cell_topology(T):
+    """{dim: {vertex tuple: entity id}}."""
+    return {dim: {T[dim][e]: e for e in T[dim]} for dim in T}
+
+
+def make_topology(sd, num_verts, edges):
+    """Complete a topology from vertices + edges by greedily appending
+    adjacent vertices to codim-1 facets."""
+    topology = {0: {i: (i,) for i in range(num_verts)},
+                1: dict(enumerate(sorted(edges)))}
+    adjacency = {v: set(chain.from_iterable(vs for vs in edges if v in vs))
+                 for v in topology[0]}
+    for dim in range(1, sd):
+        entities = []
+        for entity in topology[dim]:
+            facet = topology[dim][entity]
+            facet_verts = set(facet)
+            for v in range(min(facet)):
+                if facet_verts < adjacency[v]:
+                    entities.append((v, *facet))
+        topology[dim + 1] = dict(enumerate(sorted(entities)))
+    return topology
+
+
+class SplitSimplicialComplex(cl.SimplicialComplex):
+    """A split of a simplex, with child<->parent entity maps, per-cell
+    reference-ordered connectivity, and interior-facet lists."""
+
+    def __init__(self, parent, vertices, topology):
+        self._parent_complex = parent
+        while parent.get_parent():
+            parent = parent.get_parent()
+        self._parent_simplex = parent
+
+        bary = xy_to_bary(parent.get_vertices(), vertices)
+        parent_top = parent.get_topology()
+        parent_inv_top = invert_cell_topology(parent_top)
+
+        child_to_parent = {}
+        parent_to_children = {dim: {e: [] for e in parent_top[dim]}
+                              for dim in parent_top}
+        for dim in topology:
+            child_to_parent[dim] = {}
+            for entity in topology[dim]:
+                facet_ids = topology[dim][entity]
+                parent_verts = facet_support(bary[list(facet_ids), :])
+                parent_dim = len(parent_verts) - 1
+                parent_entity = parent_inv_top[parent_dim][parent_verts]
+                child_to_parent[dim][entity] = (parent_dim, parent_entity)
+                parent_to_children[parent_dim][parent_entity].append((dim, entity))
+
+        # order children of each parent entity lexicographically by barycentre
+        for dim in parent_to_children:
+            for entity in parent_to_children[dim]:
+                children = parent_to_children[dim][entity]
+                if len(children) > 1:
+                    mids = [tuple(np.average([vertices[i]
+                                              for i in topology[cdim][centity]], 0))
+                            for cdim, centity in children]
+                    b = parent.compute_barycentric_coordinates(
+                        mids, entity=(dim, entity))
+                    children = tuple(children[j] for j in np.lexsort(b.T))
+                else:
+                    children = tuple(children)
+                parent_to_children[dim][entity] = children
+
+        self._child_to_parent = child_to_parent
+        self._parent_to_children = parent_to_children
+
+        sd = parent.get_spatial_dimension()
+        self._interior_facets = {
+            dim: [e for e in child_to_parent[dim]
+                  if child_to_parent[dim][e][0] == sd]
+            for dim in sorted(child_to_parent)}
+
+        super().__init__(parent.shape, vertices, topology)
+
+    def get_child_to_parent(self):
+        return self._child_to_parent
+
+    def get_parent_to_children(self):
+        return self._parent_to_children
+
+    def get_interior_facets(self, dimension):
+        return self._interior_facets[dimension]
+
+    def construct_subelement(self, dimension):
+        return self.get_parent().construct_subelement(dimension)
+
+    def get_facet_element(self):
+        return self.construct_subelement(self.get_spatial_dimension() - 1)
+
+    def is_macrocell(self):
+        return True
+
+    def get_parent(self):
+        return self._parent_simplex
+
+    def get_parent_complex(self):
+        return self._parent_complex
+
+
+class IsoSplit(SplitSimplicialComplex):
+    """Uniform split along a regular degree-k lattice (P2:P1 iso etc.)."""
+
+    def __init__(self, ref_el, degree=2, variant=None):
+        self.degree = degree
+        self.variant = variant
+        sd = ref_el.get_spatial_dimension()
+        new_verts = cl.make_lattice(ref_el.vertices, degree, variant=variant)
+        flat_index = {alpha: i for i, alpha in
+                      enumerate(cl.lattice_iter(0, degree + 1, sd))}
+        edges = []
+        for alpha in cl.lattice_iter(0, degree, sd):
+            simplex = []
+            for beta in cl.lattice_iter(0, 2, sd):
+                v1 = flat_index[tuple(a + b for a, b in zip(alpha, beta))]
+                edges.extend((v0, v1) for v0 in simplex)
+                simplex.append(v1)
+        if sd == 3:
+            # cut the central octahedron along one diagonal
+            if degree != 2:
+                raise NotImplementedError("3D IsoSplit needs degree 2")
+            v0, v1 = flat_index[(1, 0, 0)], flat_index[(0, 1, 1)]
+            edges.append(tuple(sorted((v0, v1))))
+        topology = make_topology(sd, len(new_verts), edges)
+        super().__init__(ref_el, tuple(new_verts), topology)
+
+    def construct_subcomplex(self, dimension):
+        if dimension == self.get_dimension():
+            return self
+        ref_el = self.construct_subelement(dimension)
+        if dimension == 0:
+            return ref_el
+        return IsoSplit(ref_el, self.degree, self.variant)
+
+
+class PowellSabinSplit(SplitSimplicialComplex):
+    """Connect barycentres of entities of dimension >= ``dimension`` to all
+    subsimplices beneath them."""
+
+    def __init__(self, ref_el, dimension=1):
+        self.split_dimension = dimension
+        sd = ref_el.get_spatial_dimension()
+        top = ref_el.get_topology()
+        connectivity = ref_el.get_connectivity()
+        new_verts = list(ref_el.get_vertices())
+        dim = dimension - 1
+        simplices = {dim: {e: [top[dim][e]] for e in top[dim]}}
+        for dim in range(dimension, sd + 1):
+            simplices[dim] = {}
+            for entity in top[dim]:
+                bary_id = len(new_verts)
+                new_verts.extend(ref_el.make_points(dim, entity, dim + 1))
+                simplices[dim][entity] = [
+                    (*s, bary_id)
+                    for child in connectivity[(dim, dim - 1)][entity]
+                    for s in simplices[dim - 1][child]]
+
+        simplices = list(chain.from_iterable(simplices[sd].values()))
+        topology = {0: {i: (i,) for i in range(len(new_verts))}}
+        for dim in range(1, sd):
+            facets = chain.from_iterable(combinations(s, dim + 1)
+                                         for s in simplices)
+            if dim < self.split_dimension:
+                facets = chain(top[dim].values(), facets)
+            topology[dim] = dict(enumerate(dict.fromkeys(facets)))
+        topology[sd] = dict(enumerate(simplices))
+
+        parent = (ref_el if dimension == sd
+                  else PowellSabinSplit(ref_el, dimension=dimension + 1))
+        super().__init__(parent, tuple(new_verts), topology)
+
+    def construct_subcomplex(self, dimension):
+        if dimension == self.get_dimension():
+            return self
+        subcomplex = self.get_parent_complex().construct_subcomplex(dimension)
+        if dimension < self.split_dimension:
+            return subcomplex
+        return PowellSabinSplit(subcomplex, dimension=self.split_dimension)
+
+
+class AlfeldSplit(PowellSabinSplit):
+    """Barycentric (Alfeld/Clough-Tocher) split."""
+
+    def __new__(cls, ref_el):
+        try:
+            return ref_el._split_cache[cls]
+        except KeyError:
+            self = super().__new__(cls)
+            return ref_el._split_cache.setdefault(cls, self)
+
+    def __init__(self, ref_el):
+        super().__init__(ref_el, dimension=ref_el.get_spatial_dimension())
+
+
+class WorseyFarinSplit(PowellSabinSplit):
+    """Barycentres of cells AND facets (PS on triangles, Alfeld on lines)."""
+
+    def __new__(cls, ref_el):
+        try:
+            return ref_el._split_cache[cls]
+        except KeyError:
+            self = super().__new__(cls)
+            return ref_el._split_cache.setdefault(cls, self)
+
+    def __init__(self, ref_el):
+        super().__init__(ref_el, dimension=ref_el.get_spatial_dimension() - 1)
+
+
+class PowellSabin12Split(SplitSimplicialComplex):
+    """The 12-triangle Powell-Sabin split of a triangle."""
+
+    def __init__(self, ref_el):
+        if ref_el.get_shape() != cl.TRIANGLE:
+            raise ValueError("PowellSabin12Split is triangle-only")
+        verts = ref_el.get_vertices()
+        new_verts = list(verts)
+        new_verts.extend(map(tuple, bary_to_xy(verts, np.array(
+            [[1/3, 1/3, 1/3],
+             [1/2, 1/2, 0], [1/2, 0, 1/2], [0, 1/2, 1/2],
+             [1/2, 1/4, 1/4], [1/4, 1/2, 1/4], [1/4, 1/4, 1/2]]))))
+        edges = [(0, 4), (0, 7), (0, 5),
+                 (1, 4), (1, 8), (1, 6),
+                 (2, 5), (2, 9), (2, 6),
+                 (3, 4), (3, 5), (3, 6), (3, 7), (3, 8), (3, 9),
+                 (4, 7), (4, 8), (5, 7), (5, 9), (6, 8), (6, 9)]
+        parent = PowellSabinSplit(ref_el)
+        super().__init__(parent, tuple(new_verts),
+                         make_topology(2, len(new_verts), edges))
+
+    def construct_subcomplex(self, dimension):
+        if dimension == 2:
+            return self
+        if dimension == 1:
+            return AlfeldSplit(self.construct_subelement(1))
+        if dimension == 0:
+            return self.construct_subelement(0)
+        raise ValueError("Illegal dimension")
+
+
+class MacroQuadratureRule(QuadratureRule):
+    """Composite rule: a reference rule mapped to every child facet (of the
+    reference rule's dimension), with duplicate boundary points merged."""
+
+    def __init__(self, ref_el, Q_ref, parent_facets=None):
+        parent_dim = Q_ref.ref_el.get_spatial_dimension()
+        if parent_facets is not None:
+            parent_to_children = ref_el.get_parent_to_children()
+            facets = []
+            for pe in parent_facets:
+                facets.extend(e for dim, e in parent_to_children[parent_dim][pe]
+                              if dim == parent_dim)
+        else:
+            facets = ref_el.get_topology()[parent_dim]
+
+        pts, wts = [], []
+        for entity in facets:
+            Q_cur = FacetQuadratureRule(ref_el, parent_dim, entity, Q_ref)
+            pts.extend(Q_cur.pts)
+            wts.extend(Q_cur.wts)
+
+        # merge coincident points lying on internal facets
+        atol = 1e-10
+        sd = ref_el.get_spatial_dimension()
+        top = ref_el.get_topology()
+        for cell in top[sd]:
+            bary = ref_el.compute_barycentric_coordinates(pts, entity=(sd, cell))
+            if np.isclose(bary, 0, atol=atol).any():
+                order = np.lexsort(bary.T)
+                iprev = order[0]
+                unique_pts, unique_wts = [pts[iprev]], [wts[iprev]]
+                for icur in order[1:]:
+                    if np.allclose(bary[icur], bary[iprev], atol=atol):
+                        unique_wts[-1] += wts[icur]
+                    else:
+                        unique_pts.append(pts[icur])
+                        unique_wts.append(wts[icur])
+                    iprev = icur
+                pts, wts = unique_pts, unique_wts
+        super().__init__(ref_el, tuple(pts), tuple(wts))
+
+
+class CkPolynomialSet(polyset.PolynomialSet):
+    """C^k-continuous polynomials on a complex, as the null space (SVD) of
+    weighted derivative-jump functionals on interior facets (plus optional
+    vertex super-smoothness)."""
+
+    def __init__(self, ref_el, degree, order=1, vorder=None, shape=(), **kwargs):
+        from .quadrature_schemes import create_quadrature
+        if not isinstance(order, (int, dict)):
+            raise TypeError("'order' must be an int or a dict")
+        sd = ref_el.get_spatial_dimension()
+        if isinstance(order, int):
+            order = {sd - 1: dict.fromkeys(ref_el.get_interior_facets(sd - 1), order)}
+        if vorder is not None:
+            order[0] = dict.fromkeys(ref_el.get_interior_facets(0), vorder)
+        elif 0 not in order:
+            order[0] = {}
+        if not all(k in {0, sd - 1} for k in order):
+            raise NotImplementedError("Only facet or vertex constraints supported")
+
+        expansion_set = expansions.ExpansionSet(ref_el, **kwargs)
+        k = 1 if expansion_set.continuity == "C0" else 0
+
+        facet_el = ref_el.construct_subelement(sd - 1)
+        phi_deg = 0 if sd == 1 else degree - k
+        phi = polyset.ONPolynomialSet(facet_el, phi_deg)
+        Q = create_quadrature(facet_el, 2 * phi_deg)
+        qpts, qwts = Q.get_points(), Q.get_weights()
+        phi_at_qpts = phi.tabulate(qpts)[(0,) * (sd - 1)]
+        weights = phi_at_qpts * qwts
+
+        rows = []
+        for facet in order[sd - 1]:
+            forder = order[sd - 1][facet]
+            jumps = expansion_set.tabulate_normal_jumps(degree, qpts, facet,
+                                                        order=forder)
+            for r in range(k, forder + 1):
+                num_wt = (1 if sd == 1
+                          else expansions.polynomial_dimension(facet_el, degree - r))
+                rows.append(np.tensordot(weights[:num_wt], jumps[r],
+                                         axes=(-1, -1)))
+
+        # vertex super-smoothness beyond what facet continuity implies
+        verts = np.asarray(ref_el.get_vertices())
+        for vo in set(order[0].values()):
+            vids = [i for i in order[0] if order[0][i] == vo]
+            facets = chain.from_iterable(ref_el.connectivity[(0, sd - 1)][v]
+                                         for v in vids)
+            forder = min(order[sd - 1][f] for f in facets)
+            sorder = forder + sd - 1
+            if vo > sorder:
+                jumps = expansion_set.tabulate_jumps(degree, verts[vids], order=vo)
+                rows.extend(np.vstack(jumps[r].T) for r in range(sorder + 1, vo + 1))
+
+        if rows:
+            for row in rows:
+                row *= 1 / max(np.max(abs(row)), 1)
+            coeffs = polyset.spanning_basis(np.vstack(rows), nullspace=True)
+        else:
+            coeffs = np.eye(expansion_set.get_num_members(degree))
+
+        if shape != ():
+            m, n = coeffs.shape
+            ncomp = int(np.prod(shape))
+            coeffs = np.kron(coeffs, np.eye(ncomp)).reshape(m * ncomp, *shape, n)
+        super().__init__(ref_el, degree, degree, expansion_set, coeffs)
+
+
+def hdiv_conforming_coefficients(U, order=0):
+    """Constrain a (vector/tensor) PolynomialSet to vanishing normal jumps
+    on interior facets (null-space SVD)."""
+    from .quadrature_schemes import create_quadrature
+    degree = U.degree
+    ref_el = U.get_reference_element()
+    coeffs = U.get_coeffs()
+    shape = U.get_shape()
+    expansion_set = U.get_expansion_set()
+    k = 1 if expansion_set.continuity == "C0" else 0
+
+    sd = ref_el.get_spatial_dimension()
+    facet_el = ref_el.construct_subelement(sd - 1)
+    phi_deg = 0 if sd == 1 else degree - k
+    phi = polyset.ONPolynomialSet(facet_el, phi_deg, shape=shape[1:])
+    Q = create_quadrature(facet_el, 2 * phi_deg)
+    qpts, qwts = Q.get_points(), Q.get_weights()
+    phi_at_qpts = phi.tabulate(qpts)[(0,) * (sd - 1)]
+    weights = phi_at_qpts * qwts
+    ax = tuple(range(1, weights.ndim))
+
+    rows = []
+    for facet in ref_el.get_interior_facets(sd - 1):
+        normal = ref_el.compute_scaled_normal(facet)
+        ncoeffs = np.tensordot(coeffs, normal, axes=(len(shape), 0))
+        jumps = expansion_set.tabulate_normal_jumps(degree, qpts, facet, order=order)
+        for r in range(k, order + 1):
+            njump = np.dot(ncoeffs, jumps[r])
+            rows.append(np.tensordot(weights, njump, axes=(ax, ax)))
+
+    if rows:
+        nsp = polyset.spanning_basis(np.vstack(rows), nullspace=True)
+        coeffs = np.tensordot(nsp, coeffs, axes=(1, 0))
+    return coeffs
+
+
+class HDivPolynomialSet(polyset.PolynomialSet):
+    """Vector polynomials with continuous normal components on a complex."""
+
+    def __init__(self, ref_el, degree, order=0, **kwargs):
+        sd = ref_el.get_spatial_dimension()
+        U = polyset.ONPolynomialSet(ref_el, degree, shape=(sd,), **kwargs)
+        coeffs = hdiv_conforming_coefficients(U, order=order)
+        super().__init__(ref_el, degree, degree, U.expansion_set, coeffs)
+
+
+class HDivSymPolynomialSet(polyset.PolynomialSet):
+    """Symmetric-tensor polynomials with continuous normal components."""
+
+    def __init__(self, ref_el, degree, order=0, **kwargs):
+        U = polyset.ONSymTensorPolynomialSet(ref_el, degree, **kwargs)
+        coeffs = hdiv_conforming_coefficients(U, order=order)
+        super().__init__(ref_el, degree, degree, U.expansion_set, coeffs)
+
+
+def pullback(phi, mapping, J=None, Jinv=None, Jdet=None):
+    """Push a reference tabulation to physical space by the named Piola
+    pullback (affine / covariant / contravariant / double variants)."""
+    formdegrees = {
+        "affine": (0,),
+        "covariant piola": (1,),
+        "contravariant piola": (2,),
+        "double covariant piola": (1, 1),
+        "double contravariant piola": (2, 2),
+        "covariant contravariant piola": (1, 2),
+        "contravariant covariant piola": (2, 1)}
+    try:
+        formdegree = formdegrees[mapping]
+    except KeyError:
+        raise ValueError(f"Unrecognized mapping {mapping}")
+    if J is None:
+        J = np.linalg.pinv(Jinv)
+    if Jinv is None:
+        Jinv = np.linalg.pinv(J)
+    if Jdet is None:
+        Jdet = np.linalg.det(J)
+    F1 = Jinv.T
+    F2 = J / Jdet
+    for i, k in enumerate(formdegree):
+        if k == 0:
+            continue
+        F = F1 if k == 1 else F2
+        perm = list(range(phi.ndim))
+        perm[i + 1], perm[-1] = perm[-1], perm[i + 1]
+        phi = phi.transpose(perm).dot(F.T).transpose(perm)
+    return phi
+
+
+class MacroPolynomialSet(polyset.PolynomialSet):
+    """Tile a CiarletElement over every subcell of a complex (with the
+    appropriate Piola pullback per subcell)."""
+
+    def __init__(self, ref_el, element):
+        top = ref_el.get_topology()
+        sd = ref_el.get_spatial_dimension()
+        mapping, = set(element.mapping())
+        base_ref_el = element.get_reference_element()
+        base_entity_ids = element.entity_dofs()
+        n = element.degree()
+
+        base_expansion_set = element.get_nodal_basis().get_expansion_set()
+        expansion_set = base_expansion_set.reconstruct(ref_el=ref_el)
+
+        shp = element.value_shape()
+        num_bfs = expansions.polynomial_dimension(ref_el, n, base_entity_ids)
+        num_members = expansion_set.get_num_members(n)
+        coeffs = np.zeros((num_bfs, *shp, num_members))
+        base_coeffs = element.get_coeffs()
+
+        rmap = expansions.polynomial_cell_node_map(ref_el, n, base_entity_ids)
+        cmap = expansion_set.get_cell_node_map(n)
+        for cell in sorted(top[sd]):
+            cell_verts = ref_el.get_vertices_of_subcomplex(top[sd][cell])
+            A, _ = cl.make_affine_mapping(base_ref_el.vertices, cell_verts)
+            indices = np.ix_(rmap[cell], *map(range, shp), cmap[cell])
+            coeffs[indices] = pullback(base_coeffs, mapping, J=A)
+        super().__init__(ref_el, n, n, expansion_set, coeffs)

@@ -1,0 +1,77 @@
+"""Multi-chip scaling for batched tabulation.
+
+The reference is a single-process numpy library (SURVEY.md §2.5); the
+natural TPU-parallel axis of this workload is the POINT batch (tabulation
+is embarrassingly parallel over points, while moment/dual contractions
+reduce over points and need an all-reduce).  This module provides:
+
+* ``points_mesh(n)``        -- a 1D device mesh over a "points" axis;
+* ``shard_points(x, mesh)`` -- place a point batch with the leading axis
+  sharded across the mesh;
+* ``sharded_tabulate``      -- run any jitted tabulator SPMD over the mesh
+  (no communication: outputs stay point-sharded);
+* ``sharded_moments``       -- integral moments  M[i] = sum_q w_q phi_i(x_q)
+  f(x_q) over a sharded point batch: each device contracts its local shard
+  on the MXU and XLA inserts a psum over the mesh (rides ICI).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def points_mesh(n_devices=None, devices=None, axis="points"):
+    """A 1D mesh over the point-batch axis."""
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_points(points, mesh, axis="points"):
+    """Device-put a (npts, sd) batch sharded along the leading axis."""
+    return jax.device_put(points, NamedSharding(mesh, P(axis, None)))
+
+
+def sharded_tabulate(tabulator, points, mesh, axis="points"):
+    """Tabulate with the point axis sharded: pure SPMD, no collectives.
+    Tables come back sharded on their trailing (point) axis."""
+    points = shard_points(jnp.asarray(points), mesh, axis)
+    return tabulator(points)
+
+
+def make_moment_step(tabulator, mesh, axis="points"):
+    """A jitted 'assembly step': given sharded points, weights, and a field
+    f at the points, compute all moments  M[i] = sum_q w_q phi_i(x_q) f(x_q)
+    for every basis function of the fused zoo.  The contraction reduces over
+    the sharded axis, so XLA emits an all-reduce (psum) across the mesh."""
+    pspec = NamedSharding(mesh, P(axis, None))
+    wspec = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit,
+             in_shardings=(pspec, wspec, wspec),
+             out_shardings=NamedSharding(mesh, P()))
+    def step(points, weights, f_at_pts):
+        tables = tabulator._tabulate(points)
+        sd = points.shape[-1]
+        phi = tables[(0,) * sd]                 # (rows, npts) point-sharded
+        return phi @ (weights * f_at_pts)       # reduce over sharded axis
+    return step
+
+
+def make_interpolation_step(tabulator, mesh, axis="points"):
+    """The transpose direction: given coefficients per basis function,
+    evaluate the field at a sharded point batch (no communication; the
+    result stays point-sharded)."""
+    pspec = NamedSharding(mesh, P(axis, None))
+
+    @partial(jax.jit, in_shardings=(pspec, None),
+             out_shardings=NamedSharding(mesh, P(axis)))
+    def step(points, coefficients):
+        tables = tabulator._tabulate(points)
+        sd = points.shape[-1]
+        phi = tables[(0,) * sd]
+        return coefficients @ phi
+    return step
