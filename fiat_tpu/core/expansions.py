@@ -16,6 +16,7 @@ redesigned for JAX:
 """
 
 import math
+from functools import lru_cache
 from itertools import chain
 
 import numpy as np
@@ -23,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from . import cells as cl
-from ..utils.jets import Jet, taylor_seeds, multiindices
+from ..utils.jets import (Jet, concat_rows, matapply, multiindices,
+                          take_rows, taylor_seeds)
 
 
 def _is_traced(x):
@@ -75,76 +77,141 @@ def integrated_jacobi_recurrence_coeffs(a, b, n):
 
 
 # ---------------------------------------------------------------------------
-# The value recurrence (generic over numpy / traced jnp arrays)
+# Member-vectorized recurrence (the TPU formulation)
+#
+# The reference evaluates the Kirby recurrence one basis member at a time
+# (an O(n^dim)-operation program).  Here each degree step advances ALL
+# members that share a trailing index simultaneously: the working state is a
+# stacked (num_rows, npts) array and the Jacobi coefficients become static
+# per-row column vectors.  The whole tabulation is O(n * dim) large array
+# operations -- small XLA graphs (fast compiles), bounded live memory, and
+# whole-batch VPU work.  Derivatives come from running the same program on
+# Taylor jets whose components are the stacked arrays.
 
-def dubiner_values(dim, n, ref_pts, scale, variant=None):
-    """Values of the degree-n Dubiner basis at points on the default
-    (-1,1)-vertex dim-simplex.
+def _stage_multiindices(length, n, dim):
+    """Multi-indices of the given length with sum <= n, ordered by the
+    dim-variable morton rank (trailing zeros implied)."""
+    idx = _morton(dim)
+    mis_ = [mi for mi in multiindices(length, n)]
+    return sorted(mis_, key=lambda mi: idx(*mi, *((0,) * (dim - length))))
 
-    :arg ref_pts: sequence of ``dim`` coordinate arrays (any common batch
-        shape; plain numpy or traced jnp).
-    :arg scale: scalar setting the constant member.
-    :arg variant: None | 'bubble' (integrated Jacobi) | 'dual'.
-    :returns: list of ``comb(n+dim, dim)`` batch-shaped arrays, ordered by
-        the morton multi-index convention of the reference.
+
+def _variant_alpha(sub, variant):
+    if variant == "bubble":
+        return 2 * sum(sub)
+    alpha = 2 * sum(sub) + len(sub)
+    if variant == "dual":
+        alpha += 1 + len(sub)
+    return alpha
+
+
+@lru_cache(maxsize=None)
+def _stage_constants(dim, n, codim, variant):
+    """Static per-row recurrence data for one codimension stage:
+    (a1, b1) first-step vectors, {i: (a, b, c)} general-step vectors, the
+    gather permutation into the next stage's morton order, and the
+    normalization vector of the next stage."""
+    beta = 1 if variant == "dual" else 0
+    coeff_fn = (integrated_jacobi_recurrence_coeffs if variant == "bubble"
+                else jacobi_recurrence_coeffs)
+    subs = _stage_multiindices(codim, n, dim)
+    m_in = len(subs)
+    alphas = np.array([_variant_alpha(sub, variant) for sub in subs], dtype=np.float64)
+
+    if variant == "bubble":
+        a1 = np.full((m_in, 1), -0.5)
+        b1 = np.full((m_in, 1), -0.5)
+    else:
+        a1 = (0.5 * (alphas + beta) + 1.0).reshape(-1, 1)
+        b1 = (0.5 * (alphas - beta)).reshape(-1, 1)
+
+    # step i produces trailing-index-i members from i-1 and i-2, which is the
+    # three-term recurrence evaluated at index i-1.
+    general = {}
+    for i in range(2, n + 1):
+        abc = np.array([coeff_fn(al, beta, i - 1) for al in alphas])
+        general[i] = (abc[:, 0:1], abc[:, 1:2], abc[:, 2:3])
+
+    # gather permutation: next-stage multiindices -> (i * m_in + row_in)
+    outs = _stage_multiindices(codim + 1, n, dim)
+    sub_rank = {sub: r for r, sub in enumerate(subs)}
+    perm = np.array([mi[-1] * m_in + sub_rank[mi[:-1]] for mi in outs], dtype=int)
+
+    # normalization of the next stage (d = codim + 1)
+    d = codim + 1
+    shift = 1 if variant == "dual" else 0
+    norms = []
+    for mi in outs:
+        if variant is not None:
+            p = mi[-1] + shift
+            al = 2 * (sum(mi[:-1]) + d * shift) - 1
+            norm2 = (0.5 + d) / d
+            if p > 0 and p + al > 0:
+                norm2 *= (p + al) * (2 * p + al) / p
+        else:
+            norm2 = (2 * sum(mi) + d) / d
+        norms.append(math.sqrt(norm2))
+    norms = np.asarray(norms).reshape(-1, 1)
+    return a1, b1, general, perm, norms
+
+
+@lru_cache(maxsize=None)
+def _c0_matrix(dim, n):
+    """Static matrix C with phi_C0 = C @ phi_bubble (facet-bubble recovery
+    differencing + entity reordering), derived by running the index algebra
+    on identity rows."""
+    m = math.comb(n + dim, dim)
+    rows = c0_reorder(dim, n, [row for row in np.eye(m)])
+    return np.stack(rows)
+
+
+def dubiner_tabulate(dim, n, coords, scale, variant=None, xp=np):
+    """Stacked tabulation (num_members, npts) of the Dubiner basis at points
+    on the default (-1,1) simplex.
+
+    :arg coords: list of ``dim`` coordinate objects -- (npts,) arrays (plain
+        values) or Jets over them (values + derivatives).
+    :returns: a (num_members, npts) array, or a Jet whose components are
+        such arrays.
     """
     if variant not in (None, "bubble", "dual"):
         raise ValueError(f"Invalid expansion variant {variant!r}")
-    if variant == "bubble":
-        scale = -scale
-
-    num_members = math.comb(n + dim, dim)
-    # zero of the right batch shape/dtype
-    zero = sum((ref_pts[i] - ref_pts[i] for i in range(dim)), 0.0) if dim else 0.0
-    phi = [None] * num_members
-    phi[0] = zero + scale
-    if dim == 0 or n == 0:
-        return phi
     if dim > 3:
         raise ValueError("Only dim <= 3 simplices supported")
+    eff_scale = -scale if variant == "bubble" else scale
 
-    X = tuple(ref_pts) + (-1.0,) * (dim + 2 - dim)
-    beta = 1 if variant == "dual" else 0
-    coeffs = (integrated_jacobi_recurrence_coeffs if variant == "bubble"
-              else jacobi_recurrence_coeffs)
-    idx = _morton(dim)
+    x0 = coords[0]
+    if isinstance(x0, Jet):
+        npts_val = next(iter(x0.comps.values()))
+        ones = xp.zeros(npts_val.shape)[None] + 1.0
+        R = Jet(x0.nvars, x0.order, {(0,) * x0.nvars: ones * eff_scale})
+    else:
+        R = (xp.zeros(x0.shape) + eff_scale)[None]
 
-    for codim in range(dim):
-        x, y, z = X[codim], X[codim + 1], X[codim + 2]
-        fb = 0.5 * (y + z)
-        fa = x + fb + 1.0
-        fc = fb * fb
-        for sub in cl.lattice_iter(0, n, codim):
-            icur, inext = idx(*sub, 0), idx(*sub, 1)
-            if variant == "bubble":
-                alpha = 2 * sum(sub)
-                a1, b1 = -0.5, -0.5
-            else:
-                alpha = 2 * sum(sub) + len(sub)
-                if variant == "dual":
-                    alpha += 1 + len(sub)
-                a1 = 0.5 * (alpha + beta) + 1.0
-                b1 = 0.5 * (alpha - beta)
-            phi[inext] = (a1 * fa - b1 * fb) * phi[icur]
-            for i in range(1, n - sum(sub)):
-                iprev, icur, inext = icur, inext, idx(*sub, i + 1)
-                a, b, c = coeffs(alpha, beta, i)
-                phi[inext] = (a * fa - b * fb) * phi[icur] - (c * fc) * phi[iprev]
+    if n == 0:
+        out = R
+    else:
+        X = tuple(coords) + (-1.0, -1.0)
+        for codim in range(dim):
+            x, y, z = X[codim], X[codim + 1], X[codim + 2]
+            fb = 0.5 * (y + z)
+            fa = x + fb + 1.0
+            fc = fb * fb
+            a1, b1, general, perm, norms = _stage_constants(dim, n, codim, variant)
+            levels = [R]
+            if n >= 1:
+                levels.append((a1 * fa - b1 * fb) * R)
+            for i in range(2, n + 1):
+                a, b, c = general[i]
+                levels.append((a * fa - b * fb) * levels[-1]
+                              - (c * fc) * levels[-2])
+            big = concat_rows(levels, xp)
+            R = take_rows(big, perm) * norms
+        out = R
 
-        # orthonormalisation scaling after extending to dimension d
-        d = codim + 1
-        shift = 1 if variant == "dual" else 0
-        for index in cl.lattice_iter(0, n + 1, d):
-            if variant is not None:
-                p = index[-1] + shift
-                al = 2 * (sum(index[:-1]) + d * shift) - 1
-                norm2 = (0.5 + d) / d
-                if p > 0 and p + al > 0:
-                    norm2 *= (p + al) * (2 * p + al) / p
-            else:
-                norm2 = (2 * sum(index) + d) / d
-            phi[idx(*index)] = phi[idx(*index)] * math.sqrt(norm2)
-    return phi
+    if variant == "bubble":
+        out = matapply(_c0_matrix(dim, n), out)
+    return out
 
 
 def c0_reorder(dim, n, phi):
@@ -280,25 +347,25 @@ class ExpansionSet:
     def _tabulate_on_cell(self, n, pts, order=0, cell=0, direction=None):
         """dict alpha -> array (m, npts) of D^alpha phi_i(pts_j).
 
-        Runs the value recurrence on truncated Taylor jets: plain arrays for
-        order 0, jets in the cell coordinates (or a single jet variable when
-        ``direction`` is given) otherwise.  Works on numpy arrays (host) and
-        on traced jnp arrays (inside jit)."""
+        Runs the member-vectorized recurrence; derivatives come from running
+        it on Taylor jets in the cell coordinates (or a single jet variable
+        when ``direction`` is given).  Works on numpy arrays (host) and on
+        traced jnp arrays (inside jit)."""
         sd = self.ref_el.get_spatial_dimension()
         traced = _is_traced(pts)
+        xp = jnp if traced else np
         if not traced:
             pts = np.asarray(pts, dtype=np.float64).reshape(-1, sd)
         A, b = self.affine_mappings[cell]
         scale = self.get_scale(n, cell=cell)
         ref = pts @ A.T + b                          # (npts, sd), default simplex
         vals = [ref[..., i] for i in range(sd)]
-        npts = pts.shape[0] if hasattr(pts, "shape") else len(pts)
+        npts = pts.shape[0]
+        num_members = math.comb(n + sd, sd)
 
         if order == 0:
-            phi = dubiner_values(sd, n, vals, scale, variant=self.variant)
-            if self.continuity == "C0":
-                phi = c0_reorder(sd, n, phi)
-            return {(0,) * sd: _stack_rows(phi, npts, traced)}
+            out = dubiner_tabulate(sd, n, vals, scale, variant=self.variant, xp=xp)
+            return {(0,) * sd: out}
 
         if direction is None:
             nvars, jac = sd, A
@@ -309,16 +376,14 @@ class ExpansionSet:
             alpha_of = lambda a: a + (0,) * (sd - 1)
 
         coords = taylor_seeds(vals, jac, nvars, order)
-        phi = dubiner_values(sd, n, coords, scale, variant=self.variant)
-        if self.continuity == "C0":
-            phi = c0_reorder(sd, n, phi)
+        out = dubiner_tabulate(sd, n, coords, scale, variant=self.variant, xp=xp)
 
         result = {}
         for alpha in multiindices(nvars, order):
-            rows = [p.derivative(alpha) if isinstance(p, Jet)
-                    else (p if sum(alpha) == 0 else None)
-                    for p in phi]
-            result[alpha_of(alpha)] = _stack_rows(rows, npts, traced)
+            d = out.derivative(alpha)
+            if d is None:
+                d = xp.zeros((num_members, npts))
+            result[alpha_of(alpha)] = d
         return result
 
     def _tabulate(self, n, pts, order=0):

@@ -28,6 +28,10 @@ class Jet:
 
     __slots__ = ("nvars", "order", "comps")
 
+    # Make numpy defer to Jet's operators (ndarray * Jet -> Jet.__rmul__),
+    # instead of broadcasting the Jet into an object array.
+    __array_ufunc__ = None
+
     def __init__(self, nvars, order, comps):
         self.nvars = nvars
         self.order = order
@@ -117,6 +121,53 @@ def _sum_mi(a, b):
 
 def _is_nonzero(g):
     return not (isinstance(g, (int, float)) and g == 0)
+
+
+# -- structural helpers generic over plain arrays and Jets ------------------
+
+def is_jet(x):
+    return isinstance(x, Jet)
+
+
+def take_rows(x, idx):
+    """Row-gather along axis 0 (arrays or Jets with array components)."""
+    if is_jet(x):
+        return x._like({k: v[idx] for k, v in x.comps.items()})
+    return x[idx]
+
+
+def concat_rows(xs, xp):
+    """Concatenate along axis 0; for Jets, missing components are zeros."""
+    if not any(is_jet(x) for x in xs):
+        return xp.concatenate(xs, axis=0)
+    jets = []
+    for x in xs:
+        jets.append(x if is_jet(x) else None)
+    zkey = None
+    keys = set()
+    for x in xs:
+        keys |= set(x.comps.keys())
+        zkey = zkey or next(iter(x.comps))
+    nvars = xs[0].nvars
+    order = xs[0].order
+    comps = {}
+    for k in keys:
+        rows = []
+        for x in xs:
+            v = x.comps.get(k)
+            if v is None:
+                ref = next(iter(x.comps.values()))
+                v = xp.zeros(ref.shape)
+            rows.append(v)
+        comps[k] = xp.concatenate(rows, axis=0)
+    return Jet(nvars, order, comps)
+
+
+def matapply(D, x):
+    """Left-multiply rows by a static matrix (arrays or Jets)."""
+    if is_jet(x):
+        return x._like({k: D @ v for k, v in x.comps.items()})
+    return D @ x
 
 
 def taylor_seeds(values, jacobian, nvars, order):

@@ -18,4 +18,7 @@ for p in (os.path.join(_REPO, "shims"), "/root/reference", _REPO):
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
