@@ -72,14 +72,27 @@ def main():
     n_tables = 3  # value + 2 gradient components
     work = rows * NPTS * n_tables
 
-    out = tab(dpts)
-    jax.block_until_ready(out)
+    # Remote/async dispatch makes block_until_ready unreliable for timing
+    # through a device tunnel: run K chained iterations inside ONE program
+    # and fetch a scalar, so the wall time provably covers K executions.
+    K = 8
+
+    @jax.jit
+    def chained(points):
+        def body(p, _):
+            tables = tab._tabulate(p)
+            s = sum(jnp.sum(t) for t in tables.values())
+            return p + 1e-300 * s, s
+        _, ss = jax.lax.scan(body, points, None, length=K)
+        return ss
+
+    float(np.asarray(chained(dpts))[0])       # compile + warm
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(tab(dpts))
+        float(np.asarray(chained(dpts))[0])   # host fetch = hard sync
         times.append(time.perf_counter() - t0)
-    tpu_time = min(times)
+    tpu_time = min(times) / K
     value = work / tpu_time
 
     # ---- reference FIAT on CPU, same tabulations -------------------------
