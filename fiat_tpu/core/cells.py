@@ -304,7 +304,10 @@ class SimplicialComplex(Cell):
 
     def compute_face_edge_tangents(self, dim, entity_id):
         vs = np.asarray(self.get_vertices_of_subcomplex(self.topology[dim][entity_id]))
-        src, dst = zip(*[(a, b) for a in range(dim) for b in range(a + 1, dim + 1)])
+        pairs = [(a, b) for a in range(dim) for b in range(a + 1, dim + 1)]
+        if not pairs:
+            return np.zeros((0, vs.shape[1]))
+        src, dst = zip(*pairs)
         return vs[list(dst)] - vs[list(src)]
 
     def compute_scaled_normal(self, facet_i):
