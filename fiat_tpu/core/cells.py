@@ -389,10 +389,13 @@ class SimplicialComplex(Cell):
             offset = v_c[0] - v_e[0] @ C
 
         def transform(point):
-            point = np.asarray(point)
+            traced = type(point).__module__.startswith("jax")
+            if not traced:
+                point = np.asarray(point)
             if dim == 0 and point.ndim >= 1 and point.shape[-1] == 0:
                 return np.broadcast_to(offset, point.shape[:-1] + offset.shape).copy()
-            return np.dot(point, C) + offset
+            # operator form dispatches to jax for traced points
+            return point @ C + offset
 
         return transform
 

@@ -389,6 +389,12 @@ class ExpansionSet:
     def _tabulate(self, n, pts, order=0):
         """Tabulate on the whole complex (single-cell case is the identity
         assembly; macro complexes bin points to subcells)."""
+        if _is_traced(pts):
+            if self.ref_el.is_macrocell():
+                raise NotImplementedError(
+                    "Traced tabulation on macro complexes requires static "
+                    "point binning; bin points host-side first.")
+            return self._tabulate_on_cell(n, pts, order)
         pts = np.asarray(pts, dtype=np.float64)
         unique = self.continuity is not None and order == 0
         cell_point_map = compute_cell_point_map(self.ref_el, pts, unique=unique)
