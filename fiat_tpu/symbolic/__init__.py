@@ -35,4 +35,21 @@ from .hct import HsiehCloughTocher, ReducedHsiehCloughTocher      # noqa: F401
 from .morley import Morley                                        # noqa: F401
 from .powell_sabin import (QuadraticPowellSabin6,                 # noqa: F401
                            QuadraticPowellSabin12)
+from .piola_mapped import PiolaBubbleElement                      # noqa: F401
+from .aw import ArnoldWinther, ArnoldWintherNC                    # noqa: F401
+from .hz import HuZhang                                           # noqa: F401
+from .mtw import MardalTaiWinther                                 # noqa: F401
+from .bernardi_raugel import (BernardiRaugel,                     # noqa: F401
+                              BernardiRaugelBubble)
+from .johnson_mercier import JohnsonMercier                       # noqa: F401
+from .guzman_neilan import (GuzmanNeilanBubble,                   # noqa: F401
+                            GuzmanNeilanFirstKindH1,
+                            GuzmanNeilanH1div,
+                            GuzmanNeilanSecondKindH1)
+from .christiansen_hu import ChristiansenHu                       # noqa: F401
+from .arnold_qin import ArnoldQin, ReducedArnoldQin               # noqa: F401
+from .alfeld_sorokina import AlfeldSorokina                       # noqa: F401
+from .wuxu import WuXuH3NC, WuXuRobustH3NC                        # noqa: F401
+from .c2_elements import AlfeldC2, BrambleZlamalC2                # noqa: F401
+from .walkington import Walkington                                # noqa: F401
 from .citations import cite                                       # noqa: F401

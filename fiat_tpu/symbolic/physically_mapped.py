@@ -161,6 +161,11 @@ class PhysicalGeometry(metaclass=ABCMeta):
     def physical_vertices(self):
         """Physical vertex locations, shape (nvertex, gdim)."""
 
+    def normalized_reference_edge_tangents(self):
+        """Unit reference edge tangents, shape (nedge, tdim)."""
+        raise NotImplementedError(
+            f"normalized_reference_edge_tangents not provided by {type(self)}")
+
 
 # -- object-matrix linear algebra over (possibly traced) scalars -------------
 

@@ -60,6 +60,11 @@ class MyMapping(PhysicalGeometry):
     def physical_vertices(self):
         return np.asarray(self.phys_cell.vertices)
 
+    def normalized_reference_edge_tangents(self):
+        top = self.ref_cell.get_topology()
+        return np.asarray([self.ref_cell.compute_normalized_edge_tangent(i)
+                           for i in sorted(top[1])])
+
 
 def _distorted_cells(dim):
     ref_cell = cl.ufc_simplex(dim)
@@ -154,7 +159,38 @@ def check_zany_mapping(element_cls, dim, *args, **kwargs):
     ("ReducedHsiehCloughTocher", 2, (), {}),
     ("QuadraticPowellSabin6", 2, (), {}),
     ("QuadraticPowellSabin12", 2, (), {"avg": True}),
+    ("WuXuH3NC", 2, (), {}),
+    ("WuXuRobustH3NC", 2, (), {}),
+    ("BrambleZlamalC2", 2, (), {}),
+    ("AlfeldC2", 2, (), {}),
+    ("Walkington", 3, (), {}),
 ])
 def test_zany_scalar(name, dim, args, kwargs):
+    from fiat_tpu import symbolic
+    check_zany_mapping(getattr(symbolic, name), dim, *args, **kwargs)
+
+
+@pytest.mark.parametrize("name,dim,args,kwargs", [
+    ("ArnoldWinther", 2, (), {}),
+    ("ArnoldWintherNC", 2, (), {}),
+    ("HuZhang", 2, (3,), {}),
+    ("HuZhang", 2, (4,), {}),
+    ("MardalTaiWinther", 2, (), {}),
+    ("MardalTaiWinther", 3, (), {}),
+    ("JohnsonMercier", 2, (), {}),
+    ("JohnsonMercier", 3, (), {}),
+    ("BernardiRaugel", 2, (), {}),
+    ("BernardiRaugel", 3, (), {}),
+    ("ChristiansenHu", 2, (), {}),
+    ("ChristiansenHu", 3, (), {}),
+    ("AlfeldSorokina", 2, (), {}),
+    ("AlfeldSorokina", 3, (), {}),
+    ("ReducedArnoldQin", 2, (), {}),
+    ("GuzmanNeilanFirstKindH1", 2, (), {}),
+    ("GuzmanNeilanFirstKindH1", 3, (), {}),
+    ("GuzmanNeilanSecondKindH1", 2, (), {}),
+    ("GuzmanNeilanH1div", 2, (), {}),
+])
+def test_zany_piola(name, dim, args, kwargs):
     from fiat_tpu import symbolic
     check_zany_mapping(getattr(symbolic, name), dim, *args, **kwargs)
