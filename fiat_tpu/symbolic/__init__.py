@@ -52,4 +52,22 @@ from .alfeld_sorokina import AlfeldSorokina                       # noqa: F401
 from .wuxu import WuXuH3NC, WuXuRobustH3NC                        # noqa: F401
 from .c2_elements import AlfeldC2, BrambleZlamalC2                # noqa: F401
 from .walkington import Walkington                                # noqa: F401
+from .tensor_product import TensorProductElement                  # noqa: F401
+from .tensorfiniteelement import TensorFiniteElement              # noqa: F401
+from .cube import FlattenedDimensions                             # noqa: F401
+from .spectral import (FDMBrokenH1, FDMBrokenL2,                  # noqa: F401
+                       FDMDiscontinuousLagrange, FDMHermite,
+                       FDMLagrange, FDMQuadrature, GaussLegendre,
+                       GaussLobattoLegendre, IntegratedLegendre,
+                       KongMulderVeldhuizen, Legendre, SpectralElement)
+from .discontinuous import DiscontinuousElement                   # noqa: F401
+from .enriched import EnrichedElement                             # noqa: F401
+from .mixed import MixedElement, MixedSubElement                  # noqa: F401
+from .nodal_enriched import NodalEnrichedElement                  # noqa: F401
+from .hdivcurl import HCurlElement, HDivElement                   # noqa: F401
+from .restricted import RestrictedElement                         # noqa: F401
+from .quadrature_element import (QuadratureElement as             # noqa: F401
+                                 QuadratureElementSymbolic,
+                                 make_quadrature_element)
+from .runtime_tabulated import RuntimeTabulated                   # noqa: F401
 from .citations import cite                                       # noqa: F401

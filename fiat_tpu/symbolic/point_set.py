@@ -200,4 +200,6 @@ def _is_traced(x):
 def flat_points(ps):
     """The (N, dim) flattened point array of any point set."""
     pts = ps.points
-    return pts.reshape(-1, pts.shape[-1])
+    # explicit leading size: reshape(-1, 0) is ambiguous for 0-dim cells
+    npts = int(np.prod(pts.shape[:-1], dtype=int))
+    return pts.reshape(npts, pts.shape[-1])
