@@ -28,4 +28,13 @@ from fiat_tpu.core.quadrature_schemes import create_quadrature  # noqa: E402,F40
 from fiat_tpu.elements import *  # noqa: E402,F401,F403
 from fiat_tpu.elements import extra_elements, supported_elements  # noqa: E402,F401
 
+# subpackages imported lazily by most users but re-exported for
+# discoverability: fiat_tpu.symbolic (traceable element layer),
+# fiat_tpu.ufl (element descriptions), fiat_tpu.factory (descriptions ->
+# symbolic elements)
+from fiat_tpu import symbolic  # noqa: E402,F401
+from fiat_tpu import ufl  # noqa: E402,F401
+from fiat_tpu.factory import (  # noqa: E402,F401
+    as_fiat_cell, create_base_element, create_element)
+
 __version__ = "0.1.0"

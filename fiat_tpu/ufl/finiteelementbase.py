@@ -1,0 +1,218 @@
+"""Base class for symbolic element descriptions.
+
+Equivalent of the reference's finat/ufl/finiteelementbase.py, with
+fiat_tpu's self-contained pullback vocabulary replacing ``ufl.pullback``
+(the physical value shape is derived directly from the mapping name)."""
+
+from abc import ABC, abstractmethod
+from hashlib import md5
+
+import numpy as np
+
+from .cell import AbstractCell, as_cell
+
+
+def product(shape):
+    return int(np.prod(shape, dtype=int))
+
+
+def istr(o):
+    """Format, with ? for None (pretty-printing helper)."""
+    return "?" if o is None else str(o)
+
+
+# mapping name -> function(reference_value_shape, tdim) -> physical shape
+def _physical_value_shape(mapping, element):
+    cell = element.cell
+    tdim = None if cell is None else cell.topological_dimension
+    if mapping in ("identity", "L2 Piola", "custom", "physical"):
+        return element.reference_value_shape
+    elif mapping in ("covariant Piola", "contravariant Piola"):
+        return (tdim,)
+    elif mapping in ("double covariant Piola", "double contravariant Piola",
+                     "covariant contravariant Piola"):
+        return (tdim, tdim)
+    elif mapping == "undefined":
+        return element.reference_value_shape
+    elif mapping == "symmetries":
+        # symmetric tensors store a compressed reference vector but
+        # expose the full physical shape
+        return element._shape + element.sub_elements[0].value_shape()
+    else:
+        raise ValueError(f"Unsupported mapping: {mapping}")
+
+
+class FiniteElementBase(ABC):
+    """Base class for all symbolic element descriptions."""
+
+    def __init__(self, family, cell, degree, quad_scheme,
+                 reference_value_shape):
+        if not (degree is None or isinstance(degree, (int, tuple))):
+            raise ValueError("Invalid degree type.")
+        if not isinstance(reference_value_shape, tuple):
+            raise ValueError("Invalid reference_value_shape type.")
+        if cell is not None:
+            cell = as_cell(cell)
+            if not isinstance(cell, AbstractCell):
+                raise ValueError("Invalid cell type.")
+        self._family = family
+        self._cell = cell
+        self._degree = degree
+        self._reference_value_shape = reference_value_shape
+        self._quad_scheme = quad_scheme
+
+    @abstractmethod
+    def __repr__(self):
+        """Format as string for evaluation as a Python object."""
+
+    @property
+    @abstractmethod
+    def sobolev_space(self):
+        """The underlying Sobolev space."""
+
+    @abstractmethod
+    def mapping(self):
+        """The reference-to-physical mapping name."""
+
+    def _is_globally_constant(self):
+        return False
+
+    def _is_linear(self):
+        return False
+
+    def _ufl_hash_data_(self):
+        return repr(self)
+
+    def _ufl_signature_data_(self):
+        return repr(self)
+
+    def __hash__(self):
+        return int.from_bytes(
+            md5(self._ufl_hash_data_().encode()).digest(), byteorder="big")
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self._ufl_hash_data_() == other._ufl_hash_data_())
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __lt__(self, other):
+        return repr(self) < repr(other)
+
+    def family(self):
+        return self._family
+
+    def variant(self):
+        return None
+
+    def degree(self, component=None):
+        return self._degree
+
+    def quadrature_scheme(self):
+        return self._quad_scheme
+
+    @property
+    def cell(self):
+        return self._cell
+
+    def is_cellwise_constant(self, component=None):
+        return self._is_globally_constant() or self.degree() == 0
+
+    def value_shape(self, domain=None):
+        """Shape of values on a physical domain."""
+        return _physical_value_shape(self.mapping(), self)
+
+    def value_size(self, domain=None):
+        return product(self.value_shape(domain))
+
+    @property
+    def reference_value_shape(self):
+        return self._reference_value_shape
+
+    @property
+    def reference_value_size(self):
+        return product(self.reference_value_shape)
+
+    def symmetry(self, domain=None):
+        """Component symmetry map (c0 -> c1: c0 is stored as c1)."""
+        return {}
+
+    def _check_component(self, i, domain=None):
+        sh = self.value_shape(domain)
+        if not (len(i) == len(sh)
+                and all(int(j) < k for j, k in zip(i, sh))):
+            raise ValueError(
+                f"Illegal component index {i} for value shape {sh}.")
+
+    def extract_subelement_component(self, i, domain=None):
+        if isinstance(i, int):
+            i = (i,)
+        self._check_component(i, domain)
+        return (None, i)
+
+    def extract_component(self, i, domain=None):
+        if isinstance(i, int):
+            i = (i,)
+        self._check_component(i, domain)
+        return (i, self)
+
+    def _check_reference_component(self, i):
+        sh = self.reference_value_shape
+        if not (len(i) == len(sh)
+                and all(int(j) < k for j, k in zip(i, sh))):
+            raise ValueError(
+                f"Illegal component index {i} for reference shape {sh}.")
+
+    def extract_subelement_reference_component(self, i):
+        if isinstance(i, int):
+            i = (i,)
+        self._check_reference_component(i)
+        return (None, i)
+
+    def extract_reference_component(self, i):
+        if isinstance(i, int):
+            i = (i,)
+        self._check_reference_component(i)
+        return (i, self)
+
+    @property
+    def num_sub_elements(self):
+        return 0
+
+    @property
+    def sub_elements(self):
+        return []
+
+    def __add__(self, other):
+        """element + element -> EnrichedElement."""
+        if not isinstance(other, FiniteElementBase):
+            raise ValueError(f"Can't add element and {other.__class__}.")
+        from .enrichedelement import EnrichedElement
+        return EnrichedElement(self, other)
+
+    def __mul__(self, other):
+        """element * element -> MixedElement."""
+        if not isinstance(other, FiniteElementBase):
+            raise ValueError(f"Can't multiply element and {other.__class__}.")
+        from .mixedelement import MixedElement
+        return MixedElement(self, other)
+
+    def __getitem__(self, index):
+        """element["facet"] etc. -> RestrictedElement."""
+        from .restrictedelement import valid_restriction_domains
+        if index in valid_restriction_domains:
+            from .restrictedelement import RestrictedElement
+            return RestrictedElement(self, index)
+        raise KeyError(f"Invalid index for restriction: {index!r}")
+
+    def __iter__(self):
+        raise TypeError(f"'{type(self).__name__}' object is not iterable")
+
+    @property
+    def embedded_superdegree(self):
+        return self.degree()
+
+    @property
+    def embedded_subdegree(self):
+        return self.degree()
