@@ -120,23 +120,20 @@ supported_elements = {
     "Walkington": Walkington,
 }
 
-# Trimmed serendipity + BDM-cube families register themselves lazily once
-# implemented (tracked in README).
-try:
-    from .Sminus import TrimmedSerendipityEdge, TrimmedSerendipityFace
-    from .SminusDiv import TrimmedSerendipityDiv
-    from .SminusCurl import TrimmedSerendipityCurl
-    from .brezzi_douglas_marini_cube import (BrezziDouglasMariniCubeEdge,
-                                             BrezziDouglasMariniCubeFace)
-    supported_elements.update({
-        "SminusF": TrimmedSerendipityFace,
-        "SminusDiv": TrimmedSerendipityDiv,
-        "SminusE": TrimmedSerendipityEdge,
-        "SminusCurl": TrimmedSerendipityCurl,
-        "Brezzi-Douglas-Marini Cube Face": BrezziDouglasMariniCubeFace,
-        "Brezzi-Douglas-Marini Cube Edge": BrezziDouglasMariniCubeEdge,
-    })
-except ImportError:
-    pass
+from .trimmed_serendipity import (TrimmedSerendipityCurl,  # noqa: F401
+                                  TrimmedSerendipityDiv,
+                                  TrimmedSerendipityEdge,
+                                  TrimmedSerendipityFace)
+from .bdm_cube import (BrezziDouglasMariniCubeEdge,  # noqa: F401
+                       BrezziDouglasMariniCubeFace)
+
+supported_elements.update({
+    "SminusF": TrimmedSerendipityFace,
+    "SminusDiv": TrimmedSerendipityDiv,
+    "SminusE": TrimmedSerendipityEdge,
+    "SminusCurl": TrimmedSerendipityCurl,
+    "Brezzi-Douglas-Marini Cube Face": BrezziDouglasMariniCubeFace,
+    "Brezzi-Douglas-Marini Cube Edge": BrezziDouglasMariniCubeEdge,
+})
 
 extra_elements = {"P0": P0}

@@ -23,7 +23,11 @@ from .fiat_bridge import (DPC, Bernstein, BrezziDouglasFortinMarini,  # noqa: F4
                           HDivTrace, HellanHerrmannJohnson, Histopolation,
                           Lagrange, Nedelec, NedelecSecondKind,
                           RaviartThomas, Real, Regge, ScalarFiatElement,
-                          Serendipity, VectorFiatElement)
+                          Serendipity, VectorFiatElement,
+                          BrezziDouglasMariniCubeEdge,
+                          BrezziDouglasMariniCubeFace,
+                          TrimmedSerendipityCurl, TrimmedSerendipityDiv,
+                          TrimmedSerendipityEdge, TrimmedSerendipityFace)
 from .physically_mapped import (DirectlyDefinedElement,           # noqa: F401
                                 MappedTabulation,
                                 NeedsCoordinateMappingElement,

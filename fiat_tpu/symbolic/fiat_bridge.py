@@ -276,6 +276,38 @@ class BrezziDouglasMarini(VectorFiatElement):
         super().__init__(fe.BrezziDouglasMarini(cell, degree, **kwargs))
 
 
+class TrimmedSerendipityEdge(VectorFiatElement):
+    def __init__(self, cell, degree, **kwargs):
+        super().__init__(fe.TrimmedSerendipityEdge(cell, degree, **kwargs))
+
+
+class TrimmedSerendipityFace(VectorFiatElement):
+    def __init__(self, cell, degree, **kwargs):
+        super().__init__(fe.TrimmedSerendipityFace(cell, degree, **kwargs))
+
+
+class TrimmedSerendipityDiv(VectorFiatElement):
+    def __init__(self, cell, degree, **kwargs):
+        super().__init__(fe.TrimmedSerendipityDiv(cell, degree, **kwargs))
+
+
+class TrimmedSerendipityCurl(VectorFiatElement):
+    def __init__(self, cell, degree, **kwargs):
+        super().__init__(fe.TrimmedSerendipityCurl(cell, degree, **kwargs))
+
+
+class BrezziDouglasMariniCubeEdge(VectorFiatElement):
+    def __init__(self, cell, degree, **kwargs):
+        super().__init__(fe.BrezziDouglasMariniCubeEdge(cell, degree,
+                                                        **kwargs))
+
+
+class BrezziDouglasMariniCubeFace(VectorFiatElement):
+    def __init__(self, cell, degree, **kwargs):
+        super().__init__(fe.BrezziDouglasMariniCubeFace(cell, degree,
+                                                        **kwargs))
+
+
 class BrezziDouglasFortinMarini(VectorFiatElement):
     def __init__(self, cell, degree, **kwargs):
         super().__init__(fe.BrezziDouglasFortinMarini(cell, degree, **kwargs))
