@@ -74,4 +74,6 @@ from .quadrature_element import (QuadratureElement as             # noqa: F401
                                  QuadratureElementSymbolic,
                                  make_quadrature_element)
 from .runtime_tabulated import RuntimeTabulated                   # noqa: F401
+from .direct_serendipity import DirectSerendipity                 # noqa: F401
+from .sympy2array import evaluate_sympy                           # noqa: F401
 from .citations import cite                                       # noqa: F401

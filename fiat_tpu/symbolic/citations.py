@@ -24,6 +24,8 @@ def recorded_citations():
 BIBLIOGRAPHY = {
     "Kirby2010": "Kirby, Singularity-free evaluation of collapsed-coordinate "
                  "orthonormal polynomials, ACM TOMS 2010",
+    "Arbogast2017": "Arbogast & Tao, Direct serendipity and mixed finite "
+                    "elements on convex quadrilaterals, 2017",
     "Kirby2018zany": "Kirby, A general approach to transforming finite "
                      "elements, SMAI-JCM 2018",
     "Kirby2019zany": "Kirby & Mitchell, Code generation for generally mapped "
