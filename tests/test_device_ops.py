@@ -1,0 +1,127 @@
+"""Tests for the device tabulation engine (ops/), the sharding layer
+(parallel/), and the IR utilities (ir/) -- run on the 8-device virtual
+CPU mesh set up in conftest.py."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fiat_tpu.core import cells as cl
+from fiat_tpu import elements as fe
+from fiat_tpu.ops.tabulate import BatchedTabulator, ElementTabulator
+from fiat_tpu.parallel.sharding import (make_interpolation_step,
+                                        make_moment_step, points_mesh,
+                                        shard_points, sharded_tabulate)
+from fiat_tpu import ir
+
+T = cl.ufc_simplex(2)
+RNG = np.random.default_rng(7)
+
+
+def test_element_tabulator_matches_host():
+    el = fe.Lagrange(T, 4)
+    pts = RNG.random((50, 2)) / 2
+    tab = ElementTabulator(el, order=1)
+    dev = tab(jnp.asarray(pts))
+    host = el.tabulate(1, pts)
+    for alpha in host:
+        assert np.allclose(np.asarray(dev[alpha]), host[alpha],
+                           atol=1e-12), alpha
+
+
+def test_batched_tabulator_matches_host():
+    els = [fe.Lagrange(T, p) for p in (1, 2, 3)] + \
+        [fe.RaviartThomas(T, 2), fe.Nedelec(T, 1)]
+    bt = BatchedTabulator(els, order=1)
+    pts = RNG.random((33, 2)) / 2
+    stacked = bt(jnp.asarray(pts))
+    tabs = bt.unpack(stacked)
+    for el, tab in zip(els, tabs):
+        host = el.tabulate(1, pts)
+        for alpha in host:
+            assert np.allclose(np.asarray(tab[alpha]), host[alpha],
+                               atol=1e-11), (el, alpha)
+
+
+def test_batched_tabulator_tiling():
+    """Point counts beyond the tile size concatenate correctly."""
+    import fiat_tpu.ops.tabulate as mod
+    els = [fe.Lagrange(T, 2)]
+    bt = BatchedTabulator(els, order=0)
+    pts = RNG.random((mod.DEFAULT_TILE // 512 + 7, 2)) / 2
+    big = np.tile(pts, (600, 1))[: mod.DEFAULT_TILE + 13]
+    stacked = bt(jnp.asarray(big))
+    host = els[0].tabulate(0, big)[(0, 0)]
+    dev = bt.unpack(stacked)[0][(0, 0)]
+    assert np.allclose(np.asarray(dev), host, atol=1e-12)
+
+
+def test_sharded_tabulate_8_devices():
+    assert jax.device_count() == 8
+    mesh = points_mesh()
+    els = [fe.Lagrange(T, 3)]
+    bt = BatchedTabulator(els, order=0)
+    pts = RNG.random((64, 2)) / 2
+    tables = sharded_tabulate(bt, pts, mesh)
+    host = els[0].tabulate(0, pts)[(0, 0)]
+    dev = bt.unpack(tables)[0][(0, 0)]
+    assert np.allclose(np.asarray(dev), host, atol=1e-12)
+
+
+def test_moment_step_psum():
+    """Sharded moments equal the host contraction (XLA inserts the
+    all-reduce over the mesh)."""
+    mesh = points_mesh()
+    els = [fe.Lagrange(T, 3)]
+    bt = BatchedTabulator(els, order=0)
+    step = make_moment_step(bt, mesh)
+
+    npts = 80
+    pts = RNG.random((npts, 2)) / 2
+    w = RNG.random(npts)
+    f = RNG.random(npts)
+    out = np.asarray(step(shard_points(jnp.asarray(pts), mesh),
+                          jnp.asarray(w), jnp.asarray(f)))
+    phi = els[0].tabulate(0, pts)[(0, 0)]
+    expect = phi @ (w * f)
+    assert np.allclose(out, expect, atol=1e-11)
+
+
+def test_interpolation_step():
+    mesh = points_mesh()
+    els = [fe.Lagrange(T, 2)]
+    bt = BatchedTabulator(els, order=0)
+    step = make_interpolation_step(bt, mesh)
+    pts = RNG.random((40, 2)) / 2
+    coeffs = RNG.random(els[0].space_dimension())
+    out = np.asarray(step(shard_points(jnp.asarray(pts), mesh),
+                          jnp.asarray(coeffs)))
+    phi = els[0].tabulate(0, pts)[(0, 0)]
+    assert np.allclose(out, coeffs @ phi, atol=1e-12)
+
+
+def test_ir_utilities():
+    def f(x):
+        return jnp.sin(x) @ x
+
+    x = jnp.ones((4, 4))
+    jaxpr = ir.as_jaxpr(f, x)
+    assert len(jaxpr.jaxpr.eqns) >= 2
+    assert "sin" in ir.pprint(f, x)
+    assert "stablehlo" in ir.lower_text(f, x) or "func" in ir.lower_text(f, x)
+    cost = ir.cost_analysis(f, x)
+    assert isinstance(cost, dict)
+    out = ir.evaluate(f, np.ones((4, 4)))
+    assert np.allclose(np.asarray(out), f(x))
+    a = jnp.asarray(RNG.random((3, 4)))
+    b = jnp.asarray(RNG.random((4, 5)))
+    c = jnp.asarray(RNG.random((5, 2)))
+    assert np.allclose(np.asarray(ir.contract("ij,jk,kl->il", a, b, c)),
+                       np.asarray(a @ b @ c), atol=1e-12)
+
+
+def test_batched_flop_count():
+    els = [fe.Lagrange(T, 2)]
+    bt = BatchedTabulator(els, order=0)
+    assert bt.flop_count(1000) > 0
