@@ -1,0 +1,174 @@
+"""Pallas fused tabulation kernel (f32 throughput path).
+
+The XLA path (ops/tabulate.py) materialises the orthonormal expansion
+table Phi [nexp, npts] in HBM between the Dubiner recurrence (VPU) and
+the nodal change-of-basis matmul (MXU).  This kernel fuses them: per
+point tile the recurrence runs entirely in VMEM and the tile of the
+fused nodal table comes from one MXU contraction, so the expansion
+table never touches HBM and the VPU recurrence of tile i+1 overlaps the
+MXU work of tile i through the pipelined grid.
+
+Mosaic-friendly reformulation of the recurrence
+(fiat_tpu/core/expansions.py dubiner_tabulate):
+
+* per-stage per-row coefficient vectors are packed host-side into one
+  (m_in, 2 + 3(n-1)) array per codimension and passed as kernel inputs
+  (Pallas forbids captured array constants);
+* the morton gather + normalization `take_rows(big, perm) * norms` is
+  replaced by multiplication with a sparse selection matrix S with
+  S[r, perm[r]] = norms[r] -- a small dense MXU matmul instead of a
+  gather, which Mosaic cannot vectorise.
+
+float32 only (Mosaic has no f64); the f64 accuracy path stays on the
+XLA engine.  Plain Dubiner variant only (the zoo tabulator's basis);
+``interpret=True`` runs the kernel on CPU for tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.expansions import _stage_constants
+
+DEFAULT_TILE = 2048
+
+
+def _stage_inputs(dim, n, dtype=np.float32):
+    """Host-packed recurrence data per codimension stage:
+    (packed coefficient columns, selection matrix)."""
+    stages = []
+    for codim in range(dim):
+        a1, b1, general, perm, norms = _stage_constants(dim, n, codim, None)
+        m_in = a1.shape[0]
+        cols = [a1, b1]
+        for i in range(2, n + 1):
+            a, b, c = general[i]
+            cols.extend([a, b, c])
+        packed = np.concatenate(cols, axis=1).astype(dtype)
+        ncand = (n + 1) * m_in if n >= 1 else m_in
+        S = np.zeros((len(perm), ncand), dtype=dtype)
+        S[np.arange(len(perm)), perm] = norms[:, 0]
+        stages.append((packed, S))
+    return stages
+
+
+class PallasZooTabulator:
+    """Fused-values tabulation of a BatchedTabulator's zoo in float32.
+
+    ``tab = PallasZooTabulator(batched); values = tab(points)`` returns
+    the fused (total_rows, npts) 0th-derivative table, matching
+    ``batched(points)[(0,)*sd]`` to f32 accuracy."""
+
+    def __init__(self, batched, tile=DEFAULT_TILE, interpret=False):
+        es = batched.target_es
+        if es.variant is not None:
+            raise NotImplementedError(
+                "Pallas path supports the plain Dubiner variant only")
+        self.batched = batched
+        self.tile = tile
+        self.interpret = interpret
+        self.sd = batched.sd
+        self.degree = batched.max_degree
+        A, b = es.affine_mappings[0]
+        self.A = np.asarray(A, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+        self.scale = float(np.asarray(es.get_scale(self.degree)))
+        self.stacked = np.asarray(batched.stacked, dtype=np.float32)
+        self.rows, self.nexp = self.stacked.shape
+        self.stages = _stage_inputs(self.sd, self.degree)
+        self._jitted = jax.jit(self._apply)
+
+    def _kernel(self, pts_ref, C_ref, *rest):
+        stage_refs, out_ref = rest[:-1], rest[-1]
+        sd, n = self.sd, self.degree
+        # map the tile to the default (-1,1) simplex (A, b as literals)
+        vals = []
+        for i in range(sd):
+            v = jnp.float32(self.b[i])
+            for j in range(sd):
+                v = v + jnp.float32(self.A[i, j]) * pts_ref[j, :]
+            vals.append(v)
+
+        R = jnp.full((1, pts_ref.shape[1]), self.scale, dtype=jnp.float32)
+        X = tuple(vals) + (-1.0, -1.0)
+        for codim in range(sd):
+            x, y, z = X[codim], X[codim + 1], X[codim + 2]
+            fb = 0.5 * (y + z)
+            fa = x + fb + 1.0
+            fc = fb * fb
+            pk = stage_refs[2 * codim][:]
+            S = stage_refs[2 * codim + 1][:]
+            a1 = pk[:, 0:1]
+            b1 = pk[:, 1:2]
+            levels = [R]
+            if n >= 1:
+                levels.append((a1 * fa - b1 * fb) * R)
+            for i in range(2, n + 1):
+                o = 2 + 3 * (i - 2)
+                a = pk[:, o:o + 1]
+                b = pk[:, o + 1:o + 2]
+                c = pk[:, o + 2:o + 3]
+                levels.append((a * fa - b * fb) * levels[-1]
+                              - (c * fc) * levels[-2])
+            big = jnp.concatenate(levels, axis=0)
+            # HIGHEST: the MXU's default bf16 passes lose ~3 digits over
+            # the p=10 dynamic range; full-f32 passes keep 1e-7
+            R = jnp.dot(S, big, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        out_ref[:] = jnp.dot(C_ref[:], R,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    def _vmem_tile(self):
+        """Largest lane-multiple tile fitting the VMEM budget: the
+        (rows, T) output block and (sd, T) input block are double
+        buffered by the pipeline; the recurrence's live intermediates
+        are ~3 candidate blocks of (n+1)*m_in rows."""
+        budget = 10 * 1024 * 1024  # leave headroom under the 16M limit
+        m_mid = max(S.shape[1] for _, S in self.stages)
+        per_point = 4 * (2 * self.rows + 2 * self.sd + 3 * m_mid)
+        fixed = 4 * self.rows * self.nexp
+        T = (budget - fixed) // per_point
+        return max(128, min(self.tile, (T // 128) * 128))
+
+    def _apply(self, points):
+        npts = points.shape[0]
+        T = min(self._vmem_tile(), max(128, npts))
+        ntiles = -(-npts // T)
+        pad = ntiles * T - npts
+        pts = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0))).T
+
+        # index maps return i*0 instead of literal 0: under jax_enable_x64
+        # a static 0 traces as i64 and Mosaic rejects the mixed-width
+        # (i64, i32) index tuple
+        full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (i * 0, i * 0),
+                                        memory_space=pltpu.VMEM)
+        in_specs = [pl.BlockSpec((self.sd, T), lambda i: (i * 0, i),
+                                 memory_space=pltpu.VMEM),
+                    full(self.stacked)]
+        operands = [pts, jnp.asarray(self.stacked)]
+        for packed, S in self.stages:
+            in_specs.extend([full(packed), full(S)])
+            operands.extend([jnp.asarray(packed), jnp.asarray(S)])
+
+        out = pl.pallas_call(
+            self._kernel,
+            grid=(ntiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((self.rows, T), lambda i: (i * 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((self.rows, ntiles * T),
+                                           jnp.float32),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * self.rows * self.nexp * ntiles * T,
+                bytes_accessed=4 * (self.sd + self.rows) * ntiles * T
+                + 4 * self.rows * self.nexp,
+                transcendentals=0,
+            ),
+        )(*operands)
+        return out[:, :npts]
+
+    def __call__(self, points):
+        return self._jitted(jnp.asarray(points))

@@ -176,6 +176,17 @@ class BatchedTabulator:
                         for alpha, tab in tables.items()})
         return out
 
+    def _expansion_tables(self, points):
+        """Raw orthonormal-expansion tables {alpha: (nexp, npts)} without
+        the nodal change of basis.  This is the sum-factorised form:
+        moments contract points against the (small) expansion FIRST, so
+        the (total_rows, npts) nodal table is never materialised --
+        the gem sum_factorise optimisation, done by associativity."""
+        def body(pts):
+            return self.target_es._tabulate_on_cell(self.max_degree, pts,
+                                                    order=self.order)
+        return _tiled_apply(body, points, self.tile)
+
     def flop_count(self, npts):
         """Matmul flops for one application (cost-model hook)."""
         rows, nexp = self.stacked.shape

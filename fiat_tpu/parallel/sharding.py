@@ -54,10 +54,17 @@ def make_moment_step(tabulator, mesh, axis="points"):
              in_shardings=(pspec, wspec, wspec),
              out_shardings=NamedSharding(mesh, P()))
     def step(points, weights, f_at_pts):
-        tables = tabulator._tabulate(points)
+        # sum-factorised: contract the (small) expansion table against
+        # the points FIRST (2*nexp*npts flops + a psum of one nexp
+        # vector), then apply the nodal change of basis (2*rows*nexp) --
+        # instead of materialising the (rows, npts) nodal table
+        # (2*rows*nexp*npts flops).  Associativity = gem's sum_factorise.
+        base = tabulator._expansion_tables(points)
         sd = points.shape[-1]
-        phi = tables[(0,) * sd]                 # (rows, npts) point-sharded
-        return phi @ (weights * f_at_pts)       # reduce over sharded axis
+        phi = base[(0,) * sd]                   # (nexp, npts) point-sharded
+        vec = phi @ (weights * f_at_pts)        # psum over the mesh
+        stacked = jnp.asarray(tabulator.stacked, dtype=points.dtype)
+        return stacked @ vec
     return step
 
 
@@ -70,8 +77,12 @@ def make_interpolation_step(tabulator, mesh, axis="points"):
     @partial(jax.jit, in_shardings=(pspec, None),
              out_shardings=NamedSharding(mesh, P(axis)))
     def step(points, coefficients):
-        tables = tabulator._tabulate(points)
+        # sum-factorised transpose: fold the coefficients through the
+        # nodal change of basis first (one nexp vector), then evaluate
+        # against the expansion -- no (rows, npts) intermediate
+        base = tabulator._expansion_tables(points)
         sd = points.shape[-1]
-        phi = tables[(0,) * sd]
-        return coefficients @ phi
+        phi = base[(0,) * sd]                   # (nexp, npts)
+        stacked = jnp.asarray(tabulator.stacked, dtype=points.dtype)
+        return (coefficients @ stacked) @ phi
     return step

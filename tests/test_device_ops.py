@@ -125,3 +125,20 @@ def test_batched_flop_count():
     els = [fe.Lagrange(T, 2)]
     bt = BatchedTabulator(els, order=0)
     assert bt.flop_count(1000) > 0
+
+
+def test_pallas_fused_tabulation_interpret():
+    """The Mosaic-friendly fused kernel (interpret mode on CPU) matches
+    the XLA engine to f32 accuracy in 2D and 3D."""
+    from fiat_tpu.ops.pallas_tabulate import PallasZooTabulator
+    for dim in (2, 3):
+        cell = cl.ufc_simplex(dim)
+        els = [fe.Lagrange(cell, p) for p in (1, 3, 5)] + \
+            [fe.RaviartThomas(cell, 2)]
+        bt = BatchedTabulator(els, order=0)
+        pt = PallasZooTabulator(bt, tile=256, interpret=True)
+        pts = RNG.random((700, dim)) / 2
+        fused = np.asarray(pt(pts))
+        ref = np.asarray(bt(pts)[(0,) * dim])
+        err = np.abs(fused - ref).max() / np.abs(ref).max()
+        assert err < 5e-6, (dim, err)
