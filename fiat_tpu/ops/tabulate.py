@@ -114,7 +114,14 @@ class BatchedTabulator:
     derivative multi-index.
     """
 
-    def __init__(self, elements, order=0, tile=DEFAULT_TILE):
+    def __init__(self, elements, order=0, tile=DEFAULT_TILE,
+                 derivs="dmats"):
+        """:arg derivs: 'dmats' (default) computes derivative tables as
+        extra matmuls against the order-0 expansion (exact spectral
+        differentiation; the recurrence runs once, on plain values),
+        'jets' runs the Taylor-jet recurrence (order-proportional VPU
+        work; f64 elementwise is emulated on TPU, so dmats is faster)."""
+        self.derivs = derivs
         self.tile = tile
         cells = {e.get_reference_element() for e in elements}
         if len(cells) != 1:
@@ -151,15 +158,42 @@ class BatchedTabulator:
                                 coeffs.shape[:-1]))
             cursor += flat.shape[0]
         self.stacked = np.vstack(blocks)          # (total_rows, nexp)
+
+        # one change-of-basis matrix per derivative multi-index:
+        # D^alpha phi = (prod_k dmats[k]^T^alpha_k) @ phi, so the
+        # derivative tables are extra matmuls against the SAME order-0
+        # expansion (exact for polynomials; FIAT's dmats path,
+        # FIAT/expansions.py:495 & polynomial_set.py tabulate)
+        self.alpha_mats = {}
+        if self.order > 0 and self.derivs == "dmats":
+            D = self.target_es.get_dmats(self.max_degree)
+            for total in range(self.order + 1):
+                for alpha in expansions.multiindices(self.sd, total):
+                    M = self.stacked
+                    for k, ak in enumerate(alpha):
+                        for _ in range(ak):
+                            M = M @ np.transpose(D[k])
+                    self.alpha_mats[alpha] = M
         self._jitted = jax.jit(self._tabulate)
 
     def _tabulate(self, points):
-        stacked = jnp.asarray(self.stacked, dtype=points.dtype)
+        if self.alpha_mats:
+            mats = {alpha: jnp.asarray(M, dtype=points.dtype)
+                    for alpha, M in self.alpha_mats.items()}
 
-        def body(pts):
-            base = self.target_es._tabulate_on_cell(self.max_degree, pts,
-                                                    order=self.order)
-            return {alpha: stacked @ tab for alpha, tab in base.items()}
+            def body(pts):
+                base = self.target_es._tabulate_on_cell(self.max_degree,
+                                                        pts, order=0)
+                phi = base[(0,) * self.sd]
+                return {alpha: M @ phi for alpha, M in mats.items()}
+        else:
+            stacked = jnp.asarray(self.stacked, dtype=points.dtype)
+
+            def body(pts):
+                base = self.target_es._tabulate_on_cell(
+                    self.max_degree, pts, order=self.order)
+                return {alpha: stacked @ tab
+                        for alpha, tab in base.items()}
 
         return _tiled_apply(body, points, self.tile)
 
