@@ -424,7 +424,7 @@ class SimplicialComplex(Cell):
         if rescale:
             h = 1.0 / np.linalg.norm(A, axis=1)
             A, b = A * h[:, None], b * h
-        return np.dot(points, A.T) + b
+        return points @ A.T + b    # @ so traced jnp points dispatch
 
     def compute_bubble(self, points, entity=None):
         return np.prod(self.compute_barycentric_coordinates(points, entity), axis=1)

@@ -391,9 +391,7 @@ class ExpansionSet:
         assembly; macro complexes bin points to subcells)."""
         if _is_traced(pts):
             if self.ref_el.is_macrocell():
-                raise NotImplementedError(
-                    "Traced tabulation on macro complexes requires static "
-                    "point binning; bin points host-side first.")
+                return self._tabulate_traced_macro(n, pts, order)
             return self._tabulate_on_cell(n, pts, order)
         pts = np.asarray(pts, dtype=np.float64)
         unique = self.continuity is not None and order == 0
@@ -426,6 +424,29 @@ class ExpansionSet:
                 else:
                     out[np.ix_(ibfs, ipts)] += phis[c][alpha]
             result[alpha] = out
+        return result
+
+    def _tabulate_traced_macro(self, n, pts, order=0):
+        """Shape-static traced tabulation on a macro complex: every
+        subcell tabulates at EVERY point and the results combine through
+        {0,1} partition-of-unity masks (no data-dependent gather, so the
+        whole thing jits; the reference's symbolic PoU dual,
+        FIAT/expansions.py:732, made concrete)."""
+        unique = self.continuity is not None and order == 0
+        masks = partition_of_unity_masks(self.ref_el, pts, unique=unique)
+        top = self.ref_el.get_topology()
+        sd = self.ref_el.get_spatial_dimension()
+        num_phis = self.get_num_members(n)
+        cell_node_map = self.get_cell_node_map(n)
+        result = {}
+        for pos, c in enumerate(sorted(top[sd])):
+            phis = self._tabulate_on_cell(n, pts, order, cell=c)
+            for alpha, tab in phis.items():
+                if alpha not in result:
+                    result[alpha] = jnp.zeros(
+                        (num_phis,) + tab.shape[1:], dtype=tab.dtype)
+                result[alpha] = result[alpha].at[cell_node_map[c]].add(
+                    masks[pos] * tab)
         return result
 
     def tabulate(self, n, pts):

@@ -211,3 +211,23 @@ def test_runtime_tabulated():
     tab = el.basis_evaluation(0, ps)[(0,)]
     assert tab.shape == (3, 2)
     assert "rt_mgd_2_0_0_c_" in tables
+
+
+def test_traced_macro_tabulation_under_jit():
+    """Macro elements (Alfeld-split HCT) tabulate with traced points via
+    shape-static partition-of-unity masks."""
+    import jax
+    import jax.numpy as jnp
+    from fiat_tpu import elements as fe
+    from fiat_tpu.symbolic.fiat_bridge import FiatElement
+    T = cl.ufc_simplex(2)
+    el = FiatElement(fe.HsiehCloughTocher(T, 3))
+    rng = np.random.default_rng(2)
+    pts = rng.random((16, 2)) / 2
+
+    @jax.jit
+    def tab(p):
+        return el.basis_evaluation(1, UnknownPointSet(p))[(0, 1)]
+
+    host = el.fiat_equivalent.tabulate(1, pts)[(0, 1)]
+    assert np.allclose(np.asarray(tab(jnp.asarray(pts))), host, atol=1e-11)
