@@ -68,6 +68,54 @@ def make_moment_step(tabulator, mesh, axis="points"):
     return step
 
 
+def zoo_mesh(n_points=None, n_rows=None, devices=None,
+             axes=("points", "rows")):
+    """A 2D mesh: the point batch ('data parallel') axis times the
+    basis-row ('tensor parallel') axis of the stacked zoo."""
+    if devices is None:
+        devices = jax.devices()
+    if n_points is None or n_rows is None:
+        n = len(devices)
+        n_rows = n_rows or 1
+        n_points = n_points or n // n_rows
+    devices = np.asarray(devices[: n_points * n_rows]).reshape(
+        n_points, n_rows)
+    return Mesh(devices, axes)
+
+
+def make_moment_step_2d(tabulator, mesh, axes=("points", "rows")):
+    """Moments on a 2D (points x rows) mesh: the expansion-vs-points
+    contraction reduces over the sharded point axis (psum along
+    'points'); the nodal matrix is sharded over its row axis so each
+    device owns a slice of the moments ('tensor parallel' output)."""
+    paxis, raxis = axes
+    pspec = NamedSharding(mesh, P(paxis, None))
+    wspec = NamedSharding(mesh, P(paxis))
+    out_spec = NamedSharding(mesh, P(raxis))
+
+    # zero-pad the stacked rows to a multiple of the row-axis size so
+    # the output shards evenly; the step returns the padded moments
+    # (first tabulator.stacked.shape[0] entries are the real ones)
+    nr = mesh.shape[raxis]
+    rows = tabulator.stacked.shape[0]
+    padded_rows = -(-rows // nr) * nr
+    stacked_padded = np.zeros((padded_rows, tabulator.stacked.shape[1]))
+    stacked_padded[:rows] = tabulator.stacked
+
+    @partial(jax.jit, in_shardings=(pspec, wspec, wspec),
+             out_shardings=out_spec)
+    def step(points, weights, f_at_pts):
+        base = tabulator._expansion_tables(points)
+        sd = points.shape[-1]
+        phi = base[(0,) * sd]                   # (nexp, npts)
+        vec = phi @ (weights * f_at_pts)        # psum over 'points'
+        stacked = jax.lax.with_sharding_constraint(
+            jnp.asarray(stacked_padded, dtype=points.dtype),
+            NamedSharding(mesh, P(raxis, None)))
+        return stacked @ vec                    # row-sharded moments
+    return step
+
+
 def make_interpolation_step(tabulator, mesh, axis="points"):
     """The transpose direction: given coefficients per basis function,
     evaluate the field at a sharded point batch (no communication; the

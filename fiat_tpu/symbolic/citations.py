@@ -26,6 +26,39 @@ BIBLIOGRAPHY = {
                  "orthonormal polynomials, ACM TOMS 2010",
     "Arbogast2017": "Arbogast & Tao, Direct serendipity and mixed finite "
                     "elements on convex quadrilaterals, 2017",
+    "Alfeld1984": "Alfeld, A trivariate Clough-Tocher scheme for "
+                  "tetrahedral data, CAGD 1984",
+    "AlfeldSorokina2016": "Alfeld & Sorokina, Linear differential "
+                          "operators on bivariate spline spaces, 2016",
+    "Arnold2002": "Arnold & Winther, Mixed finite elements for "
+                  "elasticity, Numer. Math. 2002",
+    "Arnold2003": "Arnold & Winther, Nonconforming mixed elements for "
+                  "elasticity, M3AS 2003",
+    "ArnoldQin1992": "Arnold & Qin, Quadratic velocity/linear pressure "
+                     "Stokes elements, 1992",
+    "BernardiRaugel1985": "Bernardi & Raugel, Analysis of some finite "
+                          "elements for the Stokes problem, 1985",
+    "BrambleZlamal1970": "Bramble & Zlamal, Triangular elements in the "
+                         "finite element method, Math. Comp. 1970",
+    "ChristiansenHu2019": "Christiansen & Hu, A finite element method "
+                          "for elasticity with weak symmetry, 2019",
+    "GuzmanNeilan2018": "Guzman & Neilan, Inf-sup stable finite elements "
+                        "on barycentric refinements, Math. Comp. 2018",
+    "Gopalakrishnan2024": "Gopalakrishnan, Lederer & Schoberl, mass "
+                          "conserving mixed stress formulations, 2024",
+    "Hu2015": "Hu & Zhang, A family of conforming mixed finite elements "
+              "for linear elasticity on triangles, 2015",
+    "MingXu2006": "Ming & Xu, The Morley element for fourth order "
+                  "elliptic equations in any dimensions, 2006",
+    "Walkington2010": "Walkington, A C1 tetrahedral finite element "
+                      "without edge degrees of freedom, SINUM 2014",
+    "WuXu2019": "Wu & Xu, Nonconforming finite element spaces for 2m-th "
+                "order PDEs on R^n simplicial grids, Math. Comp. 2019",
+    "Xie2008": "Xie, Shi & Xu, New mixed elements for plane elasticity, "
+               "2008",
+    "Chin1999higher": "Chin-Joe-Kong, Mulder & Van Veldhuizen, "
+                      "higher-order mass-lumped tetrahedral elements, "
+                      "1999",
     "Kirby2018zany": "Kirby, A general approach to transforming finite "
                      "elements, SMAI-JCM 2018",
     "Kirby2019zany": "Kirby & Mitchell, Code generation for generally mapped "

@@ -142,3 +142,22 @@ def test_pallas_fused_tabulation_interpret():
         ref = np.asarray(bt(pts)[(0,) * dim])
         err = np.abs(fused - ref).max() / np.abs(ref).max()
         assert err < 5e-6, (dim, err)
+
+
+def test_moment_step_2d_mesh():
+    """2D (points x rows) mesh: data-parallel reduction + row-sharded
+    ('tensor parallel') moments match the host contraction."""
+    from fiat_tpu.parallel.sharding import make_moment_step_2d, zoo_mesh
+    mesh = zoo_mesh(n_points=4, n_rows=2)
+    els = [fe.Lagrange(T, p) for p in (1, 2, 3)]
+    bt = BatchedTabulator(els, order=0)
+    step = make_moment_step_2d(bt, mesh)
+    npts = 64
+    pts = RNG.random((npts, 2)) / 2
+    w = RNG.random(npts)
+    f = RNG.random(npts)
+    out = np.asarray(step(jnp.asarray(pts), jnp.asarray(w),
+                          jnp.asarray(f)))[: bt.stacked.shape[0]]
+    expect = np.concatenate(
+        [el.tabulate(0, pts)[(0, 0)] @ (w * f) for el in els])
+    assert np.allclose(out, expect, atol=1e-11)
