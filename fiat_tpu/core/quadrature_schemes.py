@@ -14,7 +14,8 @@ import numpy as np
 from . import cells as cl
 from .quadrature import (FacetQuadratureRule,
                          GaussLobattoLegendreQuadratureLineRule,
-                         make_quadrature, make_tensor_product_quadrature)
+                         QuadratureRule, make_quadrature,
+                         make_tensor_product_quadrature)
 
 
 def create_quadrature(ref_el, degree, scheme="default", entity=None):
@@ -48,11 +49,74 @@ def create_quadrature(ref_el, degree, scheme="default", entity=None):
     if degree < 0:
         raise ValueError(f"Need positive degree, not {degree}")
 
-    if scheme in ("default", "canonical"):
+    if scheme == "default":
+        # economical: pick the cheaper of Grundmann-Moller and collapsed
+        # Gauss (the reference's 'default' uses precomputed
+        # Xiao-Gimbutas tables, quadrature_schemes.py:46; GM is the
+        # generated-at-runtime substitute -- it wins on tets everywhere
+        # and on triangles at low degree).
+        from math import comb
+        sd = ref_el.get_spatial_dimension()
+        if sd >= 2 and degree <= 30:
+            s = degree // 2
+            if 2 * s + 1 < degree:
+                s += 1
+            n_gm = comb(s + sd + 1, sd + 1)
+            n_collapsed = ((degree + 2) // 2) ** sd
+            if n_gm < n_collapsed:
+                return _grundmann_moller_scheme(ref_el, degree)
         return _collapsed_scheme(ref_el, degree)
+    if scheme == "canonical":
+        return _collapsed_scheme(ref_el, degree)
+    if scheme in ("gm", "grundmann_moller"):
+        return _grundmann_moller_scheme(ref_el, degree)
     if scheme == "KMV":
         return _kmv_lump_scheme(ref_el, degree)
     raise ValueError(f"Unknown quadrature scheme {scheme!r}")
+
+
+def _grundmann_moller_scheme(ref_el, degree):
+    """Grundmann & Moller (1978) fully symmetric simplex rule of the
+    requested exactness: degree 2s+1 with binom(s+dim, dim) points on
+    the s-th member.  Points are barycentric lattice nodes; weights have
+    alternating signs (fine for assembly; use scheme='canonical' when
+    positivity matters, e.g. lumping)."""
+    from math import comb, factorial
+
+    from math import factorial
+
+    d = ref_el.get_spatial_dimension()
+    s = degree // 2  # rule of degree 2s+1 >= degree
+    if 2 * s + 1 < degree:
+        s += 1
+
+    verts = np.asarray(ref_el.get_vertices(), dtype=np.float64)
+    vol = ref_el.volume()
+    pts, wts = [], []
+    for i in range(s + 1):
+        # i-th layer weight (Grundmann & Moller 1978, Theorem 4): the
+        # global constant is fixed afterwards by matching the volume
+        w = ((-1.0) ** i * float(d + 2 * s + 1 - 2 * i) ** (2 * s + 1)
+             / (factorial(i) * factorial(d + 2 * s + 1 - i)))
+        denom = float(d + 2 * s + 1 - 2 * i)
+        for kk in _compositions(d + 1, s - i):
+            bary = np.array([(2 * k + 1) / denom for k in kk])
+            pts.append(bary @ verts)
+            wts.append(w)
+    pts = np.asarray(pts)
+    wts = np.asarray(wts)
+    wts = wts * (vol / wts.sum())
+    return QuadratureRule(ref_el, pts, wts)
+
+
+def _compositions(parts, total):
+    """All tuples of ``parts`` nonnegative ints summing to ``total``."""
+    if parts == 1:
+        yield (total,)
+        return
+    for first in range(total + 1):
+        for rest in _compositions(parts - 1, total - first):
+            yield (first,) + rest
 
 
 def _collapsed_scheme(ref_el, degree):

@@ -86,3 +86,30 @@ def test_parity_with_reference():
             M = create_quadrature(cl.ufc_simplex(dim), degree, scheme="canonical")
             assert np.allclose(R.get_points(), M.get_points(), atol=1e-14)
             assert np.allclose(R.get_weights(), M.get_weights(), atol=1e-14)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("degree", [1, 2, 3, 5, 8, 11])
+def test_grundmann_moller_exactness(dim, degree):
+    """GM rules integrate all monomials of the requested degree exactly
+    and never use more points than the collapsed rule when selected."""
+    from itertools import product as iproduct
+    from math import factorial
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+    T = cl.ufc_simplex(dim)
+    Q = create_quadrature(T, degree, scheme="gm")
+    pts = np.asarray(Q.get_points())
+    wts = np.asarray(Q.get_weights())
+    for alpha in iproduct(range(degree + 1), repeat=dim):
+        if sum(alpha) > degree:
+            continue
+        num = 1
+        for a in alpha:
+            num *= factorial(a)
+        exact = num / factorial(sum(alpha) + dim)
+        val = wts @ np.prod(pts ** np.array(alpha), axis=1)
+        assert abs(val - exact) < 1e-12, alpha
+    # the default picks the cheaper of GM and collapsed
+    Qd = create_quadrature(T, degree, scheme="default")
+    Qc = create_quadrature(T, degree, scheme="canonical")
+    assert len(Qd.get_points()) <= len(Qc.get_points())
