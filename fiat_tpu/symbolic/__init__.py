@@ -70,9 +70,9 @@ from .mixed import MixedElement, MixedSubElement                  # noqa: F401
 from .nodal_enriched import NodalEnrichedElement                  # noqa: F401
 from .hdivcurl import HCurlElement, HDivElement                   # noqa: F401
 from .restricted import RestrictedElement                         # noqa: F401
-from .quadrature_element import (QuadratureElement as             # noqa: F401
-                                 QuadratureElementSymbolic,
+from .quadrature_element import (QuadratureElement,               # noqa: F401
                                  make_quadrature_element)
+from . import cell_tools                                          # noqa: F401
 from .runtime_tabulated import RuntimeTabulated                   # noqa: F401
 from .direct_serendipity import DirectSerendipity                 # noqa: F401
 from .sympy2array import evaluate_sympy                           # noqa: F401
