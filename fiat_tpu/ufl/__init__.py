@@ -25,3 +25,7 @@ from .hdivcurl import (HCurlElement, HDivElement,  # noqa: F401
 from .restrictedelement import RestrictedElement  # noqa: F401
 from .brokenelement import BrokenElement  # noqa: F401
 from .tensorproductelement import TensorProductElement  # noqa: F401
+from . import pullback  # noqa: F401
+from .pullback import (contravariant_piola, covariant_piola,  # noqa: F401
+                       identity_pullback, l2_piola,
+                       supported_pullbacks)

@@ -216,3 +216,12 @@ class FiniteElementBase(ABC):
     @property
     def embedded_subdegree(self):
         return self.degree()
+
+    @property
+    def pullback(self):
+        """The reference-to-physical pullback singleton."""
+        from .pullback import supported_pullbacks
+        try:
+            return supported_pullbacks[self.mapping()]
+        except KeyError:
+            raise ValueError(f"Unsupported mapping: {self.mapping()}")

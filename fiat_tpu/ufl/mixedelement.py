@@ -222,6 +222,11 @@ class MixedElement(FiniteElementBase):
                 + ", ".join(e.shortstr() for e in self._sub_elements)
                 + ">")
 
+    @property
+    def pullback(self):
+        from .pullback import MixedPullback
+        return MixedPullback(self)
+
 
 class VectorElement(MixedElement):
     """dim copies of one subelement, vector-valued."""
@@ -287,6 +292,10 @@ class VectorElement(MixedElement):
     def shortstr(self):
         return (f"Vector<{len(self._sub_elements)} x "
                 f"{self._sub_element.shortstr()}>")
+
+    @property
+    def pullback(self):
+        return self._sub_element.pullback
 
 
 class TensorElement(MixedElement):
@@ -420,3 +429,19 @@ class TensorElement(MixedElement):
             sym = f" with symmetries ({tmp})"
         return (f"Tensor<{self.reference_value_shape} x "
                 f"{self._sub_element.shortstr()}{sym}>")
+
+    @property
+    def pullback(self):
+        if self._symmetry:
+            from .pullback import SymmetricPullback
+            import numpy as _np
+            symmetry = {}
+            n = 0
+            for i in _np.ndindex(self._shape):
+                if i in self._symmetry and self._symmetry[i] in symmetry:
+                    symmetry[i] = symmetry[self._symmetry[i]]
+                else:
+                    symmetry[i] = n
+                    n += 1
+            return SymmetricPullback(self, symmetry)
+        return self._sub_element.pullback

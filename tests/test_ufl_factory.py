@@ -191,3 +191,17 @@ def test_supported_elements_coverage():
     """Every directly-constructible family in the registry resolves."""
     present = [k for k, v in supported_elements.items() if v is not None]
     assert len(present) >= 55
+
+
+def test_pullbacks():
+    rt = ufl.FiniteElement("RT", "triangle", 1)
+    assert rt.pullback is ufl.contravariant_piola
+    assert rt.pullback.physical_value_shape(rt) == (2,)
+    cg = ufl.FiniteElement("CG", "triangle", 1)
+    assert cg.pullback is ufl.identity_pullback
+    t = ufl.TensorElement("CG", "triangle", 1, symmetry=True)
+    assert t.pullback.physical_value_shape(t) == (2, 2)
+    v = ufl.VectorElement("N1curl", "tetrahedron", 1)
+    assert v.pullback.name == "covariant Piola"
+    m = cg * rt
+    assert m.pullback.physical_value_shape(m) == (3,)
