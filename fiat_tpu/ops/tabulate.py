@@ -115,13 +115,18 @@ class BatchedTabulator:
     """
 
     def __init__(self, elements, order=0, tile=DEFAULT_TILE,
-                 derivs="dmats"):
+                 derivs="dmats", matmul="ozaki"):
         """:arg derivs: 'dmats' (default) computes derivative tables as
         extra matmuls against the order-0 expansion (exact spectral
         differentiation; the recurrence runs once, on plain values),
         'jets' runs the Taylor-jet recurrence (order-proportional VPU
-        work; f64 elementwise is emulated on TPU, so dmats is faster)."""
+        work; f64 elementwise is emulated on TPU, so dmats is faster).
+        :arg matmul: 'ozaki' (default) computes f64 change-of-basis
+        matmuls via the multiword bf16 MXU scheme (ops/multiword.py,
+        ~3e-14 relative, ~10x faster than emulated f64 on TPU);
+        'native' uses the platform's f64 dot."""
         self.derivs = derivs
+        self.matmul = matmul
         self.tile = tile
         cells = {e.get_reference_element() for e in elements}
         if len(cells) != 1:
@@ -174,26 +179,58 @@ class BatchedTabulator:
                         for _ in range(ak):
                             M = M @ np.transpose(D[k])
                     self.alpha_mats[alpha] = M
+
+        if self.matmul == "ozaki":
+            from .multiword import MultiwordMatmul
+            if self.alpha_mats:
+                self._mw = {a: MultiwordMatmul(M)
+                            for a, M in self.alpha_mats.items()}
+            else:
+                self._mw = {None: MultiwordMatmul(self.stacked)}
         self._jitted = jax.jit(self._tabulate)
 
     def _tabulate(self, points):
+        use_ozaki = (self.matmul == "ozaki"
+                     and points.dtype == jnp.float64)
         if self.alpha_mats:
-            mats = {alpha: jnp.asarray(M, dtype=points.dtype)
-                    for alpha, M in self.alpha_mats.items()}
+            if use_ozaki:
+                from .multiword import prepare_B
 
-            def body(pts):
-                base = self.target_es._tabulate_on_cell(self.max_degree,
-                                                        pts, order=0)
-                phi = base[(0,) * self.sd]
-                return {alpha: M @ phi for alpha, M in mats.items()}
+                def body(pts):
+                    base = self.target_es._tabulate_on_cell(
+                        self.max_degree, pts, order=0)
+                    phi_p = prepare_B(base[(0,) * self.sd])
+                    return {alpha: mw.apply(phi_p)
+                            for alpha, mw in self._mw.items()}
+            else:
+                mats = {alpha: jnp.asarray(M, dtype=points.dtype)
+                        for alpha, M in self.alpha_mats.items()}
+
+                def body(pts):
+                    base = self.target_es._tabulate_on_cell(
+                        self.max_degree, pts, order=0)
+                    phi = base[(0,) * self.sd]
+                    return {alpha: M @ phi for alpha, M in mats.items()}
         else:
-            stacked = jnp.asarray(self.stacked, dtype=points.dtype)
+            if use_ozaki:
+                from .multiword import prepare_B
+                mw = self._mw[None] if None in getattr(self, "_mw", {}) \
+                    else None
 
-            def body(pts):
-                base = self.target_es._tabulate_on_cell(
-                    self.max_degree, pts, order=self.order)
-                return {alpha: stacked @ tab
-                        for alpha, tab in base.items()}
+            if use_ozaki and mw is not None and self.order == 0:
+                def body(pts):
+                    base = self.target_es._tabulate_on_cell(
+                        self.max_degree, pts, order=0)
+                    phi_p = prepare_B(base[(0,) * self.sd])
+                    return {(0,) * self.sd: mw.apply(phi_p)}
+            else:
+                stacked = jnp.asarray(self.stacked, dtype=points.dtype)
+
+                def body(pts):
+                    base = self.target_es._tabulate_on_cell(
+                        self.max_degree, pts, order=self.order)
+                    return {alpha: stacked @ tab
+                            for alpha, tab in base.items()}
 
         return _tiled_apply(body, points, self.tile)
 

@@ -161,3 +161,51 @@ def test_moment_step_2d_mesh():
     expect = np.concatenate(
         [el.tabulate(0, pts)[(0, 0)] @ (w * f) for el in els])
     assert np.allclose(out, expect, atol=1e-11)
+
+
+def test_multiword_ozaki_matmul():
+    """Ozaki-split bf16 matmul reaches near-f64 accuracy, ~7 bits per
+    retained group order."""
+    from fiat_tpu.ops.multiword import (MultiwordMatmul, matmul_f64_ozaki,
+                                        prepare_B, split_scaled_host)
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((200, 66)) * np.exp(
+        2 * rng.standard_normal((200, 66)))
+    B = rng.standard_normal((66, 3000)) * np.exp(
+        2 * rng.standard_normal((66, 3000)))
+    C_ref = A @ B
+    scale = np.abs(C_ref).max()
+
+    mm = MultiwordMatmul(A)
+    C = np.asarray(jax.jit(mm)(jnp.asarray(B)))
+    assert np.abs(C - C_ref).max() / scale < 1e-12
+
+    # shared-B application
+    slices, sA = split_scaled_host(A)
+    Bp = prepare_B(jnp.asarray(B))
+    C2 = np.asarray(matmul_f64_ozaki([jnp.asarray(s) for s in slices],
+                                     sA, None, B_prepared=Bp))
+    assert np.allclose(C2, C, atol=0)
+
+    # accuracy improves ~7 bits per order
+    errs = []
+    for order in (3, 5):
+        Ck = np.asarray(matmul_f64_ozaki(
+            [jnp.asarray(s) for s in slices], sA, jnp.asarray(B),
+            order=order))
+        errs.append(np.abs(Ck - C_ref).max() / scale)
+    assert errs[1] < errs[0] / 100
+
+
+def test_batched_tabulator_ozaki_vs_native():
+    """The default ozaki matmul path matches the native-f64 path to the
+    framework tolerance."""
+    els = [fe.Lagrange(T, p) for p in (2, 6, 10)]
+    bo = BatchedTabulator(els, order=1, matmul="ozaki")
+    bn = BatchedTabulator(els, order=1, matmul="native")
+    pts = RNG.random((300, 2)) / 2
+    to, tn = bo(pts), bn(pts)
+    for alpha in tn:
+        scale = max(1.0, np.abs(np.asarray(tn[alpha])).max())
+        err = np.abs(np.asarray(to[alpha]) - np.asarray(tn[alpha])).max()
+        assert err / scale < 1e-12, alpha
