@@ -59,24 +59,36 @@ class ElementTabulator:
     host API.
     """
 
-    def __init__(self, element, order=0, tile=DEFAULT_TILE):
+    def __init__(self, element, order=0, tile=DEFAULT_TILE,
+                 matmul="ozaki"):
         self.element = element
         self.order = order
         self.tile = tile
+        self.matmul = matmul
         poly_set = element.get_nodal_basis()
         self.coeffs = np.asarray(poly_set.get_coeffs())
         self.expansion_set = poly_set.get_expansion_set()
         self.embedded_degree = poly_set.get_embedded_degree()
         self.sd = element.get_reference_element().get_spatial_dimension()
+        if matmul == "ozaki":
+            from .multiword import MultiwordMatmul
+            self._mw = MultiwordMatmul(
+                self.coeffs.reshape(-1, self.coeffs.shape[-1]))
         self._jitted = jax.jit(self._tabulate)
 
     def _tabulate(self, points):
         coeffs = jnp.asarray(self.coeffs, dtype=points.dtype)
         flat = coeffs.reshape(-1, coeffs.shape[-1])
+        use_ozaki = (self.matmul == "ozaki"
+                     and points.dtype == jnp.float64)
 
         def body(pts):
             base = self.expansion_set._tabulate_on_cell(
                 self.embedded_degree, pts, order=self.order)
+            if use_ozaki:
+                from .multiword import prepare_B
+                return {alpha: self._mw.apply(prepare_B(tab))
+                        for alpha, tab in base.items()}
             return {alpha: flat @ tab for alpha, tab in base.items()}
 
         out = _tiled_apply(body, points, self.tile)

@@ -231,3 +231,43 @@ def test_traced_macro_tabulation_under_jit():
 
     host = el.fiat_equivalent.tabulate(1, pts)[(0, 1)]
     assert np.allclose(np.asarray(tab(jnp.asarray(pts))), host, atol=1e-11)
+
+
+def test_point_evaluation():
+    """point_evaluation at a single (static or traced) coordinate
+    (reference strategy: test/finat/test_point_evaluation.py)."""
+    import jax
+    import jax.numpy as jnp
+    T = cl.ufc_simplex(2)
+    el = sym.Lagrange(T, 3)
+    x = np.array([0.31, 0.27])
+    tables = el.point_evaluation(1, x)
+    host = el.fiat_equivalent.tabulate(1, x[None, :])
+    for alpha in host:
+        mine = np.asarray(tables[alpha]).reshape(host[alpha].shape)
+        assert np.allclose(mine, host[alpha], atol=1e-12)
+
+    @jax.jit
+    def peval(p):
+        return el.point_evaluation(0, p)[(0, 0)]
+
+    traced = np.asarray(peval(jnp.asarray(x)))
+    assert np.allclose(traced.ravel(), host[(0, 0)].ravel(), atol=1e-12)
+
+
+def test_spectral_mass_conditioning():
+    """GLL mass matrices at matching quadrature are diagonal (the
+    spectral delta shortcut; reference: test_mass_conditioning.py)."""
+    from fiat_tpu.core.quadrature import GaussLobattoLegendreQuadratureLineRule
+    from fiat_tpu.symbolic.point_set import GaussLobattoLegendrePointSet
+    I = cl.ufc_simplex(1)
+    for degree in (3, 5):
+        el = sym.GaussLobattoLegendre(I, degree)
+        rule = GaussLobattoLegendreQuadratureLineRule(I, degree + 1)
+        ps = GaussLobattoLegendrePointSet(rule.get_points())
+        phi = np.asarray(el.basis_evaluation(0, ps)[(0,)])
+        w = np.asarray(rule.get_weights())
+        M = phi @ np.diag(w) @ phi.T
+        off = M - np.diag(np.diag(M))
+        assert np.abs(off).max() < 1e-14
+        assert np.linalg.cond(M) < 10 ** degree
