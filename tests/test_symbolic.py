@@ -271,3 +271,45 @@ def test_spectral_mass_conditioning():
         off = M - np.diag(np.diag(M))
         assert np.abs(off).max() < 1e-14
         assert np.linalg.cond(M) < 10 ** degree
+
+
+def test_gll_hex_sum_factorised():
+    """BASELINE config 2: order-8 GLL spectral on hex via
+    tensor-product sum-factorised tabulation -- per-factor point axes
+    stay factored, and at matching GLL nodes every factor table is the
+    identity (diagonal mass for free)."""
+    from fiat_tpu.core.quadrature import (
+        GaussLobattoLegendreQuadratureLineRule)
+    from fiat_tpu.symbolic.point_set import (
+        GaussLobattoLegendrePointSet, TensorPointSet)
+    I = cl.ufc_simplex(1)
+    A = sym.GaussLobattoLegendre(I, 8)
+    tp = sym.TensorProductElement([A, A, A])
+    # factored quadrature: points_shape stays (5, 5, 5)
+    q = make_quadrature(tp.cell, (9, 9, 9))
+    tab = np.asarray(tp.basis_evaluation(0, q.point_set)[(0, 0, 0)])
+    assert tab.shape == (9, 9, 9, 5, 5, 5)
+    # delta shortcut at matching GLL nodes
+    rule = GaussLobattoLegendreQuadratureLineRule(I, 9)
+    ps1 = GaussLobattoLegendrePointSet(rule.get_points())
+    tab2 = np.asarray(tp.basis_evaluation(
+        0, TensorPointSet([ps1, ps1, ps1]))[(0, 0, 0)])
+    assert np.allclose(tab2.reshape(9 ** 3, 9 ** 3), np.eye(9 ** 3))
+
+
+def test_order8_lagrange_tet():
+    """BASELINE config 2 (other half): order-8 Lagrange on tet
+    tabulates on device to reference accuracy."""
+    import jax.numpy as jnp
+    from fiat_tpu import elements as fe
+    from fiat_tpu.ops.tabulate import ElementTabulator
+    T = cl.ufc_simplex(3)
+    el = fe.Lagrange(T, 8)
+    tab = ElementTabulator(el, order=1)
+    rng = np.random.default_rng(4)
+    pts = rng.random((60, 3)) / 3
+    dev = tab(jnp.asarray(pts))
+    host = el.tabulate(1, pts)
+    for alpha in host:
+        err = np.abs(np.asarray(dev[alpha]) - host[alpha]).max()
+        assert err < 1e-10, (alpha, err)
