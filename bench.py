@@ -126,13 +126,12 @@ def main():
     except Exception as exc:  # reference unavailable: report absolute only
         sys.stderr.write(f"reference comparison skipped: {exc}\n")
 
-    # ---- pallas fused f32 throughput path (values only) ------------------
+    # ---- pallas fused f32 throughput path (values + gradients) -----------
     pallas_vps = None
     pallas_err = None
     try:
         from fiat_tpu.ops.pallas_tabulate import PallasZooTabulator
-        bt0 = BatchedTabulator(zoo, order=0)
-        ptab = PallasZooTabulator(bt0)
+        ptab = PallasZooTabulator(tab)   # fuses all 3 tables
 
         @jax.jit
         def pallas_chained(points):
@@ -148,12 +147,14 @@ def main():
         t0 = time.perf_counter()
         float(np.asarray(pallas_chained(dpts))[0])
         pallas_time = (time.perf_counter() - t0) / K
-        pallas_vps = bt0.stacked.shape[0] * NPTS / pallas_time
+        pallas_vps = ptab.rows * NPTS / pallas_time
         sub = pts[:NCHECK]
-        fused32 = np.asarray(ptab(jnp.asarray(sub)))
-        ref64 = np.asarray(bt0(jnp.asarray(sub))[(0, 0)])
-        pallas_err = float(np.abs(fused32 - ref64).max()
-                           / np.abs(ref64).max())
+        fused32 = ptab.unpack(np.asarray(ptab(jnp.asarray(sub))))
+        ref64 = tab(jnp.asarray(sub))
+        pallas_err = max(
+            float(np.abs(fused32[a] - np.asarray(ref64[a])).max()
+                  / max(1.0, np.abs(np.asarray(ref64[a])).max()))
+            for a in ref64)
     except Exception as exc:
         sys.stderr.write(f"pallas path skipped: {exc}\n")
 

@@ -54,11 +54,15 @@ def _stage_inputs(dim, n, dtype=np.float32):
 
 
 class PallasZooTabulator:
-    """Fused-values tabulation of a BatchedTabulator's zoo in float32.
+    """Fused tabulation of a BatchedTabulator's zoo in float32.
 
-    ``tab = PallasZooTabulator(batched); values = tab(points)`` returns
-    the fused (total_rows, npts) 0th-derivative table, matching
-    ``batched(points)[(0,)*sd]`` to f32 accuracy."""
+    ``tab = PallasZooTabulator(batched); out = tab(points)`` returns the
+    fused table matching ``batched(points)`` to f32 accuracy.  When the
+    BatchedTabulator carries derivative matrices (order >= 1, dmats
+    path) the kernel emits ALL tables from the same in-VMEM recurrence:
+    the per-alpha change-of-basis matrices are stacked row-wise so
+    values + derivatives come from one MXU contraction per tile; use
+    ``unpack`` to split.  Otherwise returns the (rows, npts) values."""
 
     def __init__(self, batched, tile=DEFAULT_TILE, interpret=False):
         es = batched.target_es
@@ -74,10 +78,25 @@ class PallasZooTabulator:
         self.A = np.asarray(A, dtype=np.float64)
         self.b = np.asarray(b, dtype=np.float64)
         self.scale = float(np.asarray(es.get_scale(self.degree)))
-        self.stacked = np.asarray(batched.stacked, dtype=np.float32)
+        if batched.alpha_mats:
+            self.alphas = list(batched.alpha_mats)
+            self.stacked = np.vstack(
+                [batched.alpha_mats[a] for a in self.alphas]
+            ).astype(np.float32)
+        else:
+            self.alphas = None
+            self.stacked = np.asarray(batched.stacked, dtype=np.float32)
         self.rows, self.nexp = self.stacked.shape
         self.stages = _stage_inputs(self.sd, self.degree)
         self._jitted = jax.jit(self._apply)
+
+    def unpack(self, out):
+        """{alpha: (zoo_rows, npts)} when derivative tables are fused."""
+        if self.alphas is None:
+            return {(0,) * self.sd: out}
+        r = self.batched.stacked.shape[0]
+        return {a: out[i * r:(i + 1) * r]
+                for i, a in enumerate(self.alphas)}
 
     def _kernel(self, pts_ref, C_ref, *rest):
         stage_refs, out_ref = rest[:-1], rest[-1]
@@ -125,9 +144,14 @@ class PallasZooTabulator:
         (rows, T) output block and (sd, T) input block are double
         buffered by the pipeline; the recurrence's live intermediates
         are ~3 candidate blocks of (n+1)*m_in rows."""
-        budget = 10 * 1024 * 1024  # leave headroom under the 16M limit
+        budget = 6 * 1024 * 1024  # leave headroom under the 16M limit
         m_mid = max(S.shape[1] for _, S in self.stages)
-        per_point = 4 * (2 * self.rows + 2 * self.sd + 3 * m_mid)
+        n = self.degree
+        # double-buffered out/in blocks + the recurrence's live arrays
+        # (levels list + candidate stack + selected rows)
+        per_point = 4 * (2 * self.rows + 2 * self.sd
+                         + (n + 3) * m_mid // (n + 1) + 2 * m_mid
+                         + self.nexp)
         fixed = 4 * self.rows * self.nexp
         T = (budget - fixed) // per_point
         return max(128, min(self.tile, (T // 128) * 128))
