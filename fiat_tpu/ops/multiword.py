@@ -82,9 +82,16 @@ def matmul_f64_ozaki(A_slices, sA, B, nslices=DEFAULT_SLICES,
     if B_prepared is None:
         B_prepared = prepare_B(B, nslices)
     B_slices, sB = B_prepared
+    # adjacent groups t >= 1 share one f32 accumulation: a (t+1)-product
+    # rounds at 2^-24 of the t-group's scale 2^{-7(t+2)}, i.e. below
+    # 2^-45 of the result -- inside budget.  Group 0 stays alone (its
+    # accumulation must remain exact).  Fewer dots AND fewer f64 adds
+    # in the combine.
+    batches = [(0,)] + [tuple(t for t in pair if t <= order)
+                        for pair in ((1, 2), (3, 4), (5, 6), (7, 8))]
     groups = []
-    for t in range(order + 1):
-        idx = [(i, t - i) for i in range(t + 1)
+    for ts in batches:
+        idx = [(i, t - i) for t in ts for i in range(t + 1)
                if i < len(A_slices) and t - i < len(B_slices)]
         if not idx:
             continue
