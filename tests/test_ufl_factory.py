@@ -205,3 +205,16 @@ def test_pullbacks():
     assert v.pullback.name == "covariant Piola"
     m = cg * rt
     assert m.pullback.physical_value_shape(m) == (3,)
+
+
+def test_factory_corner_cases():
+    el = create_element(ufl.FiniteElement("Bernstein", "quadrilateral", 2))
+    assert el.space_dimension() == 9
+    el = create_element(ufl.FiniteElement("Boundary Quadrature",
+                                          "triangle", 2,
+                                          quad_scheme="default"))
+    assert el.space_dimension() > 0
+    el = create_element(ufl.FiniteElement("Real", "quadrilateral", 0))
+    assert el.space_dimension() == 1
+    el = create_element(ufl.FiniteElement("DQ L2", "quadrilateral", 1))
+    assert el.space_dimension() == 4
