@@ -209,3 +209,20 @@ def test_batched_tabulator_ozaki_vs_native():
         scale = max(1.0, np.abs(np.asarray(tn[alpha])).max())
         err = np.abs(np.asarray(to[alpha]) - np.asarray(tn[alpha])).max()
         assert err / scale < 1e-12, alpha
+
+
+def test_tet_zoo_device_accuracy():
+    """3D zoo through the device engine (ozaki f64) matches host
+    tabulation within the framework tolerance."""
+    T3 = cl.ufc_simplex(3)
+    zoo = [fe.Lagrange(T3, p) for p in (1, 4)] + \
+        [fe.RaviartThomas(T3, 2), fe.Nedelec(T3, 2)]
+    bt = BatchedTabulator(zoo, order=1)
+    pts = RNG.random((200, 3)) / 3
+    tabs = bt.unpack(bt(jnp.asarray(pts)))
+    for el, tab in zip(zoo, tabs):
+        host = el.tabulate(1, pts)
+        for a in host:
+            err = np.abs(np.asarray(tab[a]).reshape(host[a].shape)
+                         - host[a]).max()
+            assert err < 1e-10, (el, a, err)
