@@ -146,20 +146,31 @@ class BatchedTabulator:
         if len(cells) != 1:
             raise ValueError("BatchedTabulator needs a common reference cell")
         self.ref_el, = cells
-        if any(e.is_macroelement() for e in elements):
-            raise NotImplementedError("macro elements are tabulated per-complex")
         self.elements = list(elements)
         self.order = order
         self.sd = self.ref_el.get_spatial_dimension()
+
+        # partition: 'plain' elements share the fused change-of-basis
+        # matmul; macro elements (split-complex expansions) each get a
+        # side program using the traced partition-of-unity tabulation
+        plain = [e for e in self.elements if not e.is_macroelement()]
+        self.special = [(i, e) for i, e in enumerate(self.elements)
+                        if e.is_macroelement()]
+        if not plain:
+            raise ValueError(
+                "BatchedTabulator needs at least one non-macro element")
+
         self.max_degree = max(e.get_nodal_basis().get_embedded_degree()
-                              for e in self.elements)
+                              for e in plain)
         self.target_es = expansions.ExpansionSet(self.ref_el)
         nexp = self.target_es.get_num_members(self.max_degree)
 
         blocks = []
-        self.slices = []       # (start, stop, value_shape) per element
+        plain_slices = {}      # element index -> (start, stop, shape)
         cursor = 0
-        for e in self.elements:
+        for i, e in enumerate(self.elements):
+            if e.is_macroelement():
+                continue
             ps = e.get_nodal_basis()
             es = ps.get_expansion_set()
             deg = ps.get_embedded_degree()
@@ -173,10 +184,26 @@ class BatchedTabulator:
                 T = change_of_basis(es, deg, self.target_es, self.max_degree)
             flat = coeffs.reshape(-1, coeffs.shape[-1]) @ T
             blocks.append(flat)
-            self.slices.append((cursor, cursor + flat.shape[0],
-                                coeffs.shape[:-1]))
+            plain_slices[i] = (cursor, cursor + flat.shape[0],
+                               coeffs.shape[:-1])
             cursor += flat.shape[0]
-        self.stacked = np.vstack(blocks)          # (total_rows, nexp)
+        self.stacked = np.vstack(blocks)          # (plain_rows, nexp)
+
+        # macro side programs: (expansion set, degree, flat coeffs)
+        self.special_progs = []
+        special_slices = {}
+        for i, e in self.special:
+            ps = e.get_nodal_basis()
+            coeffs = np.asarray(ps.get_coeffs())
+            flat = coeffs.reshape(-1, coeffs.shape[-1])
+            self.special_progs.append(
+                (ps.get_expansion_set(), ps.get_embedded_degree(), flat))
+            special_slices[i] = (cursor, cursor + flat.shape[0],
+                                 coeffs.shape[:-1])
+            cursor += flat.shape[0]
+
+        self.slices = [plain_slices.get(i) or special_slices[i]
+                       for i in range(len(self.elements))]
 
         # one change-of-basis matrix per derivative multi-index:
         # D^alpha phi = (prod_k dmats[k]^T^alpha_k) @ phi, so the
@@ -246,7 +273,23 @@ class BatchedTabulator:
                     return {alpha: stacked @ tab
                             for alpha, tab in base.items()}
 
-        return _tiled_apply(body, points, self.tile)
+        if not self.special_progs:
+            return _tiled_apply(body, points, self.tile)
+
+        plain_body = body
+
+        def full_body(pts):
+            out = plain_body(pts)
+            parts = {alpha: [tab] for alpha, tab in out.items()}
+            for es, deg, flat in self.special_progs:
+                base = es._tabulate(deg, pts, order=self.order)
+                C = jnp.asarray(flat, dtype=pts.dtype)
+                for alpha, tab in base.items():
+                    parts[alpha].append(C @ tab)
+            return {alpha: jnp.concatenate(blocks, axis=0)
+                    for alpha, blocks in parts.items()}
+
+        return _tiled_apply(full_body, points, self.tile)
 
     def __call__(self, points):
         """{alpha: (total_rows, npts)} fused tables; use ``unpack`` for

@@ -226,3 +226,19 @@ def test_tet_zoo_device_accuracy():
             err = np.abs(np.asarray(tab[a]).reshape(host[a].shape)
                          - host[a]).max()
             assert err < 1e-10, (el, a, err)
+
+
+def test_macro_elements_in_batched_zoo():
+    """Macro elements (HCT, Powell-Sabin) join the fused zoo via traced
+    partition-of-unity side programs within the same jitted function."""
+    zoo = [fe.Lagrange(T, 3), fe.HsiehCloughTocher(T, 3),
+           fe.RaviartThomas(T, 2), fe.QuadraticPowellSabin6(T, 2)]
+    bt = BatchedTabulator(zoo, order=1)
+    pts = RNG.random((150, 2)) / 2
+    tabs = bt.unpack(bt(jnp.asarray(pts)))
+    for el, tab in zip(zoo, tabs):
+        host = el.tabulate(1, pts)
+        for a in host:
+            err = np.abs(np.asarray(tab[a]).reshape(host[a].shape)
+                         - host[a]).max()
+            assert err < 1e-10, (el, a, err)
