@@ -1,13 +1,12 @@
 """Dual sets: the functionals of an element plus entity->DoF maps.
 
-Parity with /root/reference/FIAT/dual_set.py.  ``to_riesz`` is the batched
-generalized-Vandermonde builder: all functionals' evaluation points are
-deduplicated, the expansion set is tabulated once per derivative order, and
-weights are scatter-accumulated -- the same dataflow a device segment-sum
-would use.
+Covers /root/reference/FIAT/dual_set.py.  ``to_riesz`` (the batched
+generalized-Vandermonde builder) delegates to the struct-of-arrays
+segment-sum program in functionals.riesz_representers: one expansion
+tabulation over the union of all functionals' points, then per-multi-index
+segment-sums.
 """
 
-from collections import defaultdict
 from itertools import chain
 
 import numpy as np
@@ -59,55 +58,9 @@ class DualSet:
         """Action of every functional on every expansion member:
         array (num_nodes, *target_shape, num_exp).
 
-        Batched: functional points are deduplicated so the expansion set is
-        tabulated once for values and once for derivatives."""
-        tshape = self.nodes[0].target_shape
-        num_nodes = len(self.nodes)
-        es = poly_set.get_expansion_set()
-        ed = poly_set.get_embedded_degree()
-        num_exp = es.get_num_members(ed)
-        mat = np.zeros((num_nodes, *tshape, num_exp))
-
-        # -- point-value part -------------------------------------------------
-        pts_index = {}
-        for node in self.nodes:
-            for pt in node.pt_dict:
-                pts_index.setdefault(pt, None)
-        pts = sorted(pts_index)
-        for j, pt in enumerate(pts):
-            pts_index[pt] = j
-        if pts:
-            # wts[i, c..., j] scatter, then one dense contraction.
-            wts = np.zeros((num_nodes, *tshape, len(pts)))
-            for i, node in enumerate(self.nodes):
-                for pt, wc_list in node.pt_dict.items():
-                    j = pts_index[pt]
-                    for (w, c) in wc_list:
-                        wts[(i, *c, j)] += w
-            expansion_values = es.tabulate(ed, pts)   # (num_exp, npts)
-            mat += np.dot(wts, expansion_values.T)
-
-        # -- derivative part ---------------------------------------------------
-        max_order = max(node.max_deriv_order for node in self.nodes)
-        if max_order > 0:
-            dpts_index = {}
-            for node in self.nodes:
-                for pt in node.deriv_dict:
-                    dpts_index.setdefault(pt, None)
-            dpts = sorted(dpts_index)
-            for j, pt in enumerate(dpts):
-                dpts_index[pt] = j
-            dvals = es._tabulate(ed, dpts, order=max_order)
-            dwts = {alpha: np.zeros((num_nodes, *tshape, len(dpts)))
-                    for alpha in dvals if sum(alpha) > 0}
-            for i, node in enumerate(self.nodes):
-                for pt, wac_list in node.deriv_dict.items():
-                    j = dpts_index[pt]
-                    for (w, alpha, c) in wac_list:
-                        dwts[tuple(alpha)][(i, *c, j)] += w
-            for alpha, wts in dwts.items():
-                mat += np.dot(wts, dvals[alpha].T)
-        return mat
+        One batched segment-sum program over the flattened term tables of
+        all functionals (see functionals.riesz_representers)."""
+        return functionals.riesz_representers(self.nodes, poly_set)
 
     def get_indices(self, restriction_domain, take_closure=True):
         """DoF indices supported on a restriction domain ('interior',
@@ -175,7 +128,7 @@ def unflatten_entity_ids(ref_el, entity_ids):
 def lexsort_nodes(ref_el, nodes, entity=None, offset=0):
     """Order PointEvaluation nodes lexicographically by barycentric coords."""
     if len(nodes) > 1:
-        pts = [tuple(node.get_point_dict())[0] for node in nodes]
+        pts = [tuple(node.points[0]) for node in nodes]
         bary = ref_el.compute_barycentric_coordinates(pts)
         return list(offset + np.lexsort(bary.T))
     return list(range(offset, offset + len(nodes)))

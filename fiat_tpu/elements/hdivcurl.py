@@ -13,7 +13,7 @@ from .tensor_product import TensorProductElement
 def _splat_point_evaluations(dual):
     """PointEvaluation DoFs become undefined under the vector
     reinterpretation (mixed internal/external components)."""
-    dual.nodes = [functionals.Functional(None, None, None, {}, "Undefined")
+    dual.nodes = [functionals.Functional(None, (), "Undefined", np.zeros((1, 0)))
                   if isinstance(node, functionals.PointEvaluation) else node
                   for node in dual.nodes]
 

@@ -16,17 +16,33 @@ from ..core.finite_element import FiniteElement
 
 
 def _first_point(node):
-    return tuple(node.get_point_dict().keys())[0]
+    return tuple(node.points[0])
 
 
-def _first_point_pair(node):
-    return tuple(node.get_point_dict().items())[0]
+def _extrude_node(Anode, Bnode, ref_el, name, pad_component):
+    """Lift a vector functional A onto the product cell: every A point is
+    extended by B's (single) point, and term components are optionally
+    padded with a zero-weight slot in the new (last) direction so the dual
+    keeps the full product-cell component stencil."""
+    Bpoint = _first_point(Bnode)
+    if len(Bpoint) > 1:
+        raise NotImplementedError(f"{name} x PointEval needs a 1D second factor")
+    sd = ref_el.get_spatial_dimension()
+    points = np.hstack([Anode.points,
+                        np.tile(Bpoint, (Anode.points.shape[0], 1))])
+    n = Anode.weights.shape[0]
+    npad = points.shape[0] if pad_component else 0
+    return functionals.Functional(
+        ref_el, (sd,), name, points,
+        pt_ids=np.concatenate([Anode.pt_ids, np.arange(npad)]),
+        weights=np.concatenate([Anode.weights, np.zeros(npad)]),
+        comps=np.concatenate([Anode.comps, np.full(npad, sd - 1, np.intp)]))
 
 
 def _product_node(Anode, Bnode, ref_el):
     """The product functional of two factor functionals, where defined;
     a placeholder 'Undefined' functional otherwise."""
-    undefined = functionals.Functional(None, None, None, {}, "Undefined")
+    undefined = functionals.Functional(None, (), "Undefined", np.zeros((1, 0)))
     if isinstance(Anode, functionals.PointEvaluation):
         if isinstance(Bnode, functionals.PointEvaluation):
             return functionals.PointEvaluation(
@@ -34,27 +50,12 @@ def _product_node(Anode, Bnode, ref_el):
         return undefined
     if isinstance(Anode, functionals.PointScaledNormalEvaluation):
         if isinstance(Bnode, functionals.PointEvaluation):
-            if len(_first_point(Bnode)) > 1:
-                raise NotImplementedError(
-                    "PointScaledNormalEval x PointEval needs a 1D second factor")
-            Apoint, Avalue = _first_point_pair(Anode)
-            pt_dict = {Apoint + _first_point(Bnode):
-                       Avalue + [(0.0, (len(Apoint),))]}
-            return functionals.Functional(
-                ref_el, (ref_el.get_spatial_dimension(),), pt_dict, {},
-                "PointScaledNormalEval")
+            return _extrude_node(Anode, Bnode, ref_el,
+                                 "PointScaledNormalEval", True)
         raise NotImplementedError("unsupported functional type")
     if isinstance(Anode, functionals.PointEdgeTangentEvaluation):
         if isinstance(Bnode, functionals.PointEvaluation):
-            if len(_first_point(Bnode)) > 1:
-                raise NotImplementedError(
-                    "PointEdgeTangentEval x PointEval needs a 1D second factor")
-            Apoint, Avalue = _first_point_pair(Anode)
-            pt_dict = {Apoint + _first_point(Bnode):
-                       Avalue + [(0.0, (len(Apoint),))]}
-            return functionals.Functional(
-                ref_el, (ref_el.get_spatial_dimension(),), pt_dict, {},
-                "PointEdgeTangent")
+            return _extrude_node(Anode, Bnode, ref_el, "PointEdgeTangent", True)
         raise NotImplementedError("unsupported functional type")
     if isinstance(Anode, functionals.ComponentPointEvaluation):
         if isinstance(Bnode, functionals.PointEvaluation):
@@ -64,19 +65,12 @@ def _product_node(Anode, Bnode, ref_el):
         raise NotImplementedError("unsupported functional type")
     if isinstance(Anode, functionals.FrobeniusIntegralMoment):
         if isinstance(Bnode, functionals.PointEvaluation):
-            sd = ref_el.get_spatial_dimension()
-            pt_dict = {pt + _first_point(Bnode): wc + [(0.0, sd - 1)]
-                       for pt, wc in Anode.get_point_dict().items()}
-            return functionals.Functional(ref_el, (sd,), pt_dict, {},
-                                          "FrobeniusIntegralMoment")
+            return _extrude_node(Anode, Bnode, ref_el,
+                                 "FrobeniusIntegralMoment", True)
         raise NotImplementedError("unsupported functional type")
     if isinstance(Anode, functionals.IntegralMoment):
         if isinstance(Bnode, functionals.PointEvaluation):
-            sd = ref_el.get_spatial_dimension()
-            pt_dict = {pt + _first_point(Bnode): wc
-                       for pt, wc in Anode.get_point_dict().items()}
-            return functionals.Functional(ref_el, (sd,), pt_dict, {},
-                                          "IntegralMoment")
+            return _extrude_node(Anode, Bnode, ref_el, "IntegralMoment", False)
         raise NotImplementedError("unsupported functional type")
     if isinstance(Anode, functionals.Functional):
         return undefined
