@@ -1,22 +1,57 @@
-"""Finite element base classes.
+"""Finite element bases.
 
-Parity with /root/reference/FIAT/finite_element.py: ``FiniteElement`` is the
-non-nodal ABC; ``CiarletElement`` solves the generalized Vandermonde system
-V c = B (host-side float64, singularity-guarded) for the nodal basis.  The
-nodal coefficients are the static per-element data consumed by the TPU
-tabulation engine (fiat_tpu.ops.tabulate).
+Covers /root/reference/FIAT/finite_element.py (FiniteElement ABC,
+CiarletElement, entity_support_dofs) with an array-program construction:
+
+* the nodal solve (``nodal_coefficients``) LU-factorises the generalized
+  Vandermonde matrix once and guards ill-conditioning with an explicit
+  LAPACK reciprocal-condition estimate rather than escalated solver
+  warnings;
+* ``entity_support_dofs`` integrates |phi|^2 over *all* entities of a
+  dimension in one stacked tabulation + einsum instead of a per-entity
+  loop.
+
+Construction is host-side float64; the resulting coefficient tensors are
+the static data consumed by the device engine (fiat_tpu.ops.tabulate).
 """
 
 import numpy as np
+from scipy.linalg import get_lapack_funcs, lu_factor, lu_solve
 
-from .dualset import DualSet
 from .polyset import PolynomialSet
 from .quadrature_schemes import create_quadrature
+
+
+def nodal_coefficients(poly_set, dual):
+    """Coefficients of the nodal basis: invert ell_i(phi_j) = delta_ij.
+
+    Builds V[i, j] = ell_i(b_j) over the prime basis b (the rows come from
+    the batched segment-sum Riesz map, functionals.riesz_representers),
+    LU-factorises it, estimates the reciprocal condition number with
+    LAPACK ``gecon``, and back-substitutes the prime coefficients.
+    Returns (new_coeffs, V)."""
+    B = poly_set.get_coeffs()
+    R = dual.to_riesz(poly_set)
+    n = R.shape[0]
+    Bf = B.reshape(n, -1)
+    V = R.reshape(n, -1) @ Bf.T
+
+    VT = V.T
+    lu, piv = lu_factor(VT)
+    gecon, = get_lapack_funcs(("gecon",), (lu,))
+    rcond, _ = gecon(lu, np.linalg.norm(VT, 1))
+    if rcond < np.finfo(VT.dtype).eps:
+        raise np.linalg.LinAlgError(
+            f"Singular Vandermonde matrix (rcond={rcond:.1e})")
+    coeffs = lu_solve((lu, piv), Bf).reshape((n,) + B.shape[1:])
+    return coeffs, V
 
 
 class FiniteElement:
     """Template for finite element families; non-nodal unless a
     CiarletElement."""
+
+    is_nodal_basis = False
 
     def __init__(self, ref_el, dual, order, formdegree=None, mapping="affine",
                  ref_complex=None):
@@ -26,6 +61,8 @@ class FiniteElement:
         self.formdegree = formdegree
         self.ref_complex = ref_complex or ref_el
         self._mapping = mapping
+
+    # -- accessors (names fixed by the reference API) -------------------------
 
     def get_reference_element(self):
         return self.ref_el
@@ -39,6 +76,9 @@ class FiniteElement:
     def get_order(self):
         return self.order
 
+    def get_formdegree(self):
+        return self.formdegree
+
     def dual_basis(self):
         return self.dual.get_nodes()
 
@@ -51,9 +91,6 @@ class FiniteElement:
     def entity_permutations(self):
         return self.dual.get_entity_permutations()
 
-    def get_formdegree(self):
-        return self.formdegree
-
     def mapping(self):
         """Pullback type per basis function."""
         return [self._mapping] * self.space_dimension()
@@ -62,23 +99,25 @@ class FiniteElement:
         return 1
 
     def space_dimension(self):
-        return len(self.get_dual_set())
-
-    def tabulate(self, order, points, entity=None):
-        raise NotImplementedError(
-            "Must be specified in the element subclass of FiniteElement.")
-
-    @staticmethod
-    def is_nodal():
-        return False
+        return len(self.dual)
 
     def is_macroelement(self):
         return self.ref_el is not self.ref_complex
 
+    @classmethod
+    def is_nodal(cls):
+        return cls.is_nodal_basis
+
+    def tabulate(self, order, points, entity=None):
+        raise NotImplementedError(
+            f"tabulate is defined by the subclasses of {type(self).__name__}")
+
 
 class CiarletElement(FiniteElement):
-    """A nodal element: (cell, polynomial set, dual set), with the nodal
-    basis obtained by the generalized Vandermonde solve."""
+    """A nodal element: (cell, polynomial set, dual set), nodal basis by
+    the generalized Vandermonde solve in ``nodal_coefficients``."""
+
+    is_nodal_basis = True
 
     def __init__(self, poly_set, dual, order, formdegree=None, mapping="affine",
                  ref_complex=None):
@@ -91,30 +130,12 @@ class CiarletElement(FiniteElement):
                 f"Dimension of function space is {len(poly_set)}, "
                 f"but got {len(dual)} nodes.")
 
-        old_coeffs = poly_set.get_coeffs()
-        dualmat = dual.to_riesz(poly_set)
-
-        shp = dualmat.shape
-        A = dualmat.reshape((shp[0], -1))
-        B = old_coeffs.reshape((shp[0], -1))
-        V = A @ B.T
-        self.V = V
-
-        # Solve V^T x = B with an explicit conditioning guard (the reference
-        # escalates scipy's ill-conditioning warning to LinAlgError).
-        new_coeffs_flat = np.linalg.solve(V.T, B)
-        if not np.all(np.isfinite(new_coeffs_flat)):
-            raise np.linalg.LinAlgError("Singular Vandermonde matrix")
-        resid = V.T @ new_coeffs_flat - B
-        if np.linalg.norm(resid, np.inf) > 1e-6 * max(1.0, np.linalg.norm(B, np.inf)):
-            raise np.linalg.LinAlgError("Singular Vandermonde matrix")
-
-        new_coeffs = new_coeffs_flat.reshape(new_coeffs_flat.shape[:1] + shp[1:])
+        coeffs, self.V = nodal_coefficients(poly_set, dual)
         self.poly_set = PolynomialSet(poly_set.get_reference_element(),
                                       poly_set.get_degree(),
                                       poly_set.get_embedded_degree(),
                                       poly_set.get_expansion_set(),
-                                      new_coeffs)
+                                      coeffs)
 
     def degree(self):
         """Degree of the embedding polynomial space."""
@@ -126,56 +147,53 @@ class CiarletElement(FiniteElement):
     def get_coeffs(self):
         return self.poly_set.get_coeffs()
 
+    def value_shape(self):
+        return self.poly_set.get_shape()
+
+    def dmats(self):
+        return self.poly_set.get_dmats()
+
+    def get_num_members(self, arg):
+        return self.poly_set.get_expansion_set().get_num_members(arg)
+
     def tabulate(self, order, points, entity=None):
         """dict alpha -> D^alpha tabulation (num_bfs[, components], npts) at
         ``points`` (optionally given on a subentity)."""
         if entity is None:
             entity = (self.ref_el.get_spatial_dimension(), 0)
-        entity_dim, entity_id = entity
-        transform = self.ref_el.get_entity_transform(entity_dim, entity_id)
+        transform = self.ref_el.get_entity_transform(*entity)
         return self.poly_set.tabulate(transform(points), order)
-
-    def value_shape(self):
-        return self.poly_set.get_shape()
-
-    def dmats(self):
-        return self.get_nodal_basis().get_dmats()
-
-    def get_num_members(self, arg):
-        return self.get_nodal_basis().get_expansion_set().get_num_members(arg)
-
-    @staticmethod
-    def is_nodal():
-        return True
 
 
 def entity_support_dofs(elem, entity_dim):
-    """{entity id: dofs whose basis functions are nonzero on the entity}."""
-    if not hasattr(elem, "_entity_support_dofs"):
-        elem._entity_support_dofs = {}
-    cache = elem._entity_support_dofs
+    """{entity id: dofs whose basis functions are nonzero on the entity}.
+
+    One batched program per dimension: the reference-facet quadrature is
+    pushed onto every entity, the element is tabulated once at the stacked
+    points, and per-(dof, entity) L2 masses come out of a single einsum."""
+    cache = elem.__dict__.setdefault("_entity_support_dofs", {})
     try:
         return cache[entity_dim]
     except KeyError:
         pass
 
     ref_el = elem.get_reference_element()
-    dim = ref_el.get_spatial_dimension()
-    entity_cell = ref_el.construct_subelement(entity_dim)
-    quad = create_quadrature(entity_cell, max(2 * elem.degree(), 1))
-    weights = quad.get_weights()
+    sd = ref_el.get_spatial_dimension()
+    quad = create_quadrature(ref_el.construct_subelement(entity_dim),
+                             max(2 * elem.degree(), 1))
+    qpts, qwts = quad.get_points(), quad.get_weights()
+
+    entities = sorted(elem.entity_dofs()[entity_dim])
+    stacked = np.concatenate(
+        [ref_el.get_entity_transform(entity_dim, e)(qpts) for e in entities])
+    vals = np.asarray(elem.tabulate(0, stacked)[(0,) * sd])
+    # (ndof[, comps...], nent, nq) -> mass (nent, ndof): contract comps + q
+    blocks = vals.reshape(vals.shape[:-1] + (len(entities), len(qwts)))
+    sq = (blocks * blocks).sum(axis=tuple(range(1, blocks.ndim - 2)))
+    masses = np.einsum("deq,q->ed", sq, qwts)
+
     eps = 1e-8
-
-    result = {}
-    for f in elem.entity_dofs()[entity_dim]:
-        entity_transform = ref_el.get_entity_transform(entity_dim, f)
-        points = entity_transform(quad.get_points())
-        vals = elem.tabulate(0, points)[(0,) * dim]
-        if elem.value_shape():
-            ints = np.dot(np.einsum("...ij,...ij->...j", vals, vals), weights)
-        else:
-            ints = np.dot(vals ** 2, weights)
-        result[f] = [dof for dof, i in enumerate(ints) if i > eps]
-
+    result = {e: np.flatnonzero(masses[k] > eps).tolist()
+              for k, e in enumerate(entities)}
     cache[entity_dim] = result
     return result

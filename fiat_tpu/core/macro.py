@@ -1,15 +1,18 @@
 """Macro elements: split simplicial complexes and constrained polynomial
 spaces on them.
 
-Parity with /root/reference/FIAT/macro.py: Alfeld / Worsey-Farin /
+Covers /root/reference/FIAT/macro.py: Alfeld / Worsey-Farin /
 Powell-Sabin(6/12) / Iso(k) splits with child<->parent entity maps and
 interior-facet lists; composite quadrature; C^k-continuous and
-H(div)-conforming polynomial subspaces obtained as jump null spaces (SVD);
-Piola pullbacks; tiling of a base element over a complex.
+H(div)-conforming polynomial subspaces (jump null spaces); Piola pullbacks;
+tiling of a base element over a complex.
 
-All constructions are host-side float64; downstream tabulation of macro
-spaces stays shape-static by binning points to subcells (one-hot
-partition-of-unity masks on device, expansions.partition_of_unity_masks).
+The constructions here are array programs over whole entity tables:
+child->parent classification, topology completion, composite-rule point
+merging and per-subcell Piola pullbacks all run vectorised over every
+entity/subcell at once.  Downstream tabulation of macro spaces stays
+shape-static by binning points to subcells (one-hot partition-of-unity
+masks on device, expansions.partition_of_unity_masks).
 """
 
 from itertools import chain, combinations
@@ -27,12 +30,15 @@ def bary_to_xy(verts, bary, result=None):
 
 
 def xy_to_bary(verts, pts, result=None):
-    """Physical points -> barycentric coordinates (affine solve)."""
-    verts = np.asarray(verts)
-    pts = np.asarray(pts)
-    mat = np.vstack((verts.T, np.ones((1, verts.shape[0]))))
-    rhs = np.vstack((pts.T, np.ones((1, pts.shape[0]))))
-    out = np.linalg.solve(mat, rhs).T
+    """Physical points -> barycentric coordinates.
+
+    One affine solve for all points: [V^T; 1] b = [x^T; 1]."""
+    verts = np.asarray(verts, dtype=float)
+    pts = np.asarray(pts, dtype=float)
+    nv = verts.shape[0]
+    lhs = np.vstack([verts.T, np.ones((1, nv))])
+    rhs = np.vstack([pts.T, np.ones((1, pts.shape[0]))])
+    out = np.linalg.solve(lhs, rhs).T
     if result is None:
         return out.copy()
     result[:, :] = out
@@ -41,31 +47,35 @@ def xy_to_bary(verts, pts, result=None):
 
 def facet_support(facet_coords, tol=1e-12):
     """Parent vertex ids supporting a child facet (nonzero barycentric)."""
-    return tuple(sorted(set(i for x in facet_coords
-                            for i, xi in enumerate(x) if abs(xi) > tol)))
+    mask = np.abs(np.asarray(facet_coords)).max(axis=0) > tol
+    return tuple(np.flatnonzero(mask).tolist())
 
 
 def invert_cell_topology(T):
     """{dim: {vertex tuple: entity id}}."""
-    return {dim: {T[dim][e]: e for e in T[dim]} for dim in T}
+    return {dim: {verts: e for e, verts in T[dim].items()} for dim in T}
 
 
 def make_topology(sd, num_verts, edges):
-    """Complete a topology from vertices + edges by greedily appending
-    adjacent vertices to codim-1 facets."""
+    """Complete a topology from vertices + edges.
+
+    Entities of dimension d+1 are found with one boolean matrix product
+    per dimension: vertex v extends facet f iff v is adjacent to every
+    vertex of f (and v < min(f), for uniqueness)."""
+    edges = np.asarray(sorted(edges), dtype=int)
+    adj = np.zeros((num_verts, num_verts), dtype=bool)
+    adj[edges[:, 0], edges[:, 1]] = True
+    adj[edges[:, 1], edges[:, 0]] = True
+
     topology = {0: {i: (i,) for i in range(num_verts)},
-                1: dict(enumerate(sorted(edges)))}
-    adjacency = {v: set(chain.from_iterable(vs for vs in edges if v in vs))
-                 for v in topology[0]}
+                1: dict(enumerate(map(tuple, edges)))}
     for dim in range(1, sd):
-        entities = []
-        for entity in topology[dim]:
-            facet = topology[dim][entity]
-            facet_verts = set(facet)
-            for v in range(min(facet)):
-                if facet_verts < adjacency[v]:
-                    entities.append((v, *facet))
-        topology[dim + 1] = dict(enumerate(sorted(entities)))
+        facets = np.asarray(list(topology[dim].values()), dtype=int)
+        extends = adj[facets].all(axis=1)            # (nfacets, num_verts)
+        extends &= np.arange(num_verts)[None, :] < facets.min(axis=1)[:, None]
+        fids, verts = np.nonzero(extends)
+        new = sorted((v, *facets[f]) for f, v in zip(fids, verts))
+        topology[dim + 1] = dict(enumerate(new))
     return topology
 
 
@@ -78,46 +88,46 @@ class SplitSimplicialComplex(cl.SimplicialComplex):
         while parent.get_parent():
             parent = parent.get_parent()
         self._parent_simplex = parent
+        sd = parent.get_spatial_dimension()
 
+        # one barycentric solve classifies every child vertex at once;
+        # a child entity's parent is the entity spanned by the union of
+        # its vertices' supports
         bary = xy_to_bary(parent.get_vertices(), vertices)
-        parent_top = parent.get_topology()
-        parent_inv_top = invert_cell_topology(parent_top)
+        vert_support = np.abs(bary) > 1e-12            # (nverts, sd+1)
+        parent_inv_top = invert_cell_topology(parent.get_topology())
 
         child_to_parent = {}
-        parent_to_children = {dim: {e: [] for e in parent_top[dim]}
-                              for dim in parent_top}
+        parent_to_children = {dim: {e: [] for e in parent_inv_top[dim].values()}
+                              for dim in parent_inv_top}
         for dim in topology:
+            ents = np.asarray([topology[dim][e] for e in sorted(topology[dim])])
+            supports = vert_support[ents].any(axis=1)  # (nents, sd+1)
+            pdims = supports.sum(axis=1) - 1
             child_to_parent[dim] = {}
-            for entity in topology[dim]:
-                facet_ids = topology[dim][entity]
-                parent_verts = facet_support(bary[list(facet_ids), :])
-                parent_dim = len(parent_verts) - 1
-                parent_entity = parent_inv_top[parent_dim][parent_verts]
-                child_to_parent[dim][entity] = (parent_dim, parent_entity)
-                parent_to_children[parent_dim][parent_entity].append((dim, entity))
+            for entity, (pdim, sup) in enumerate(zip(pdims, supports)):
+                pdim = int(pdim)
+                pent = parent_inv_top[pdim][tuple(np.flatnonzero(sup).tolist())]
+                child_to_parent[dim][entity] = (pdim, pent)
+                parent_to_children[pdim][pent].append((dim, entity))
 
-        # order children of each parent entity lexicographically by barycentre
+        # order children of each parent entity lexicographically by their
+        # barycentre's coordinates on that entity
+        verts_arr = np.asarray(vertices)
         for dim in parent_to_children:
-            for entity in parent_to_children[dim]:
-                children = parent_to_children[dim][entity]
+            for entity, children in parent_to_children[dim].items():
                 if len(children) > 1:
-                    mids = [tuple(np.average([vertices[i]
-                                              for i in topology[cdim][centity]], 0))
-                            for cdim, centity in children]
+                    mids = np.stack([verts_arr[list(topology[cd][ce])].mean(axis=0)
+                                     for cd, ce in children])
                     b = parent.compute_barycentric_coordinates(
                         mids, entity=(dim, entity))
-                    children = tuple(children[j] for j in np.lexsort(b.T))
-                else:
-                    children = tuple(children)
-                parent_to_children[dim][entity] = children
+                    children = [children[j] for j in np.lexsort(b.T)]
+                parent_to_children[dim][entity] = tuple(children)
 
         self._child_to_parent = child_to_parent
         self._parent_to_children = parent_to_children
-
-        sd = parent.get_spatial_dimension()
         self._interior_facets = {
-            dim: [e for e in child_to_parent[dim]
-                  if child_to_parent[dim][e][0] == sd]
+            dim: [e for e, (pd, _) in child_to_parent[dim].items() if pd == sd]
             for dim in sorted(child_to_parent)}
 
         super().__init__(parent.shape, vertices, topology)
@@ -155,21 +165,23 @@ class IsoSplit(SplitSimplicialComplex):
         self.variant = variant
         sd = ref_el.get_spatial_dimension()
         new_verts = cl.make_lattice(ref_el.vertices, degree, variant=variant)
+
+        # edges of the refined lattice: every unit-box diagonal chain
         flat_index = {alpha: i for i, alpha in
                       enumerate(cl.lattice_iter(0, degree + 1, sd))}
-        edges = []
+        edges = set()
+        corners = list(cl.lattice_iter(0, 2, sd))
         for alpha in cl.lattice_iter(0, degree, sd):
-            simplex = []
-            for beta in cl.lattice_iter(0, 2, sd):
-                v1 = flat_index[tuple(a + b for a, b in zip(alpha, beta))]
-                edges.extend((v0, v1) for v0 in simplex)
-                simplex.append(v1)
+            box = [flat_index[tuple(a + b for a, b in zip(alpha, beta))]
+                   for beta in corners]
+            edges.update((min(u, v), max(u, v))
+                         for i, u in enumerate(box) for v in box[i + 1:])
         if sd == 3:
             # cut the central octahedron along one diagonal
             if degree != 2:
                 raise NotImplementedError("3D IsoSplit needs degree 2")
             v0, v1 = flat_index[(1, 0, 0)], flat_index[(0, 1, 1)]
-            edges.append(tuple(sorted((v0, v1))))
+            edges.add((min(v0, v1), max(v0, v1)))
         topology = make_topology(sd, len(new_verts), edges)
         super().__init__(ref_el, tuple(new_verts), topology)
 
@@ -192,6 +204,9 @@ class PowellSabinSplit(SplitSimplicialComplex):
         top = ref_el.get_topology()
         connectivity = ref_el.get_connectivity()
         new_verts = list(ref_el.get_vertices())
+
+        # grow simplices dimension by dimension: each entity's barycentre
+        # cones over the simplices of its codim-1 children
         dim = dimension - 1
         simplices = {dim: {e: [top[dim][e]] for e in top[dim]}}
         for dim in range(dimension, sd + 1):
@@ -227,8 +242,8 @@ class PowellSabinSplit(SplitSimplicialComplex):
         return PowellSabinSplit(subcomplex, dimension=self.split_dimension)
 
 
-class AlfeldSplit(PowellSabinSplit):
-    """Barycentric (Alfeld/Clough-Tocher) split."""
+class _CachedSplit(PowellSabinSplit):
+    """Split variants cached on the cell being split."""
 
     def __new__(cls, ref_el):
         try:
@@ -236,20 +251,17 @@ class AlfeldSplit(PowellSabinSplit):
         except KeyError:
             self = super().__new__(cls)
             return ref_el._split_cache.setdefault(cls, self)
+
+
+class AlfeldSplit(_CachedSplit):
+    """Barycentric (Alfeld/Clough-Tocher) split."""
 
     def __init__(self, ref_el):
         super().__init__(ref_el, dimension=ref_el.get_spatial_dimension())
 
 
-class WorseyFarinSplit(PowellSabinSplit):
+class WorseyFarinSplit(_CachedSplit):
     """Barycentres of cells AND facets (PS on triangles, Alfeld on lines)."""
-
-    def __new__(cls, ref_el):
-        try:
-            return ref_el._split_cache[cls]
-        except KeyError:
-            self = super().__new__(cls)
-            return ref_el._split_cache.setdefault(cls, self)
 
     def __init__(self, ref_el):
         super().__init__(ref_el, dimension=ref_el.get_spatial_dimension() - 1)
@@ -258,23 +270,24 @@ class WorseyFarinSplit(PowellSabinSplit):
 class PowellSabin12Split(SplitSimplicialComplex):
     """The 12-triangle Powell-Sabin split of a triangle."""
 
+    _BARY = np.array(
+        [[1/3, 1/3, 1/3],
+         [1/2, 1/2, 0], [1/2, 0, 1/2], [0, 1/2, 1/2],
+         [1/2, 1/4, 1/4], [1/4, 1/2, 1/4], [1/4, 1/4, 1/2]])
+    _EDGES = [(0, 4), (0, 7), (0, 5),
+              (1, 4), (1, 8), (1, 6),
+              (2, 5), (2, 9), (2, 6),
+              (3, 4), (3, 5), (3, 6), (3, 7), (3, 8), (3, 9),
+              (4, 7), (4, 8), (5, 7), (5, 9), (6, 8), (6, 9)]
+
     def __init__(self, ref_el):
         if ref_el.get_shape() != cl.TRIANGLE:
             raise ValueError("PowellSabin12Split is triangle-only")
         verts = ref_el.get_vertices()
-        new_verts = list(verts)
-        new_verts.extend(map(tuple, bary_to_xy(verts, np.array(
-            [[1/3, 1/3, 1/3],
-             [1/2, 1/2, 0], [1/2, 0, 1/2], [0, 1/2, 1/2],
-             [1/2, 1/4, 1/4], [1/4, 1/2, 1/4], [1/4, 1/4, 1/2]]))))
-        edges = [(0, 4), (0, 7), (0, 5),
-                 (1, 4), (1, 8), (1, 6),
-                 (2, 5), (2, 9), (2, 6),
-                 (3, 4), (3, 5), (3, 6), (3, 7), (3, 8), (3, 9),
-                 (4, 7), (4, 8), (5, 7), (5, 9), (6, 8), (6, 9)]
+        new_verts = np.vstack([verts, bary_to_xy(verts, self._BARY)])
         parent = PowellSabinSplit(ref_el)
-        super().__init__(parent, tuple(new_verts),
-                         make_topology(2, len(new_verts), edges))
+        super().__init__(parent, tuple(map(tuple, new_verts)),
+                         make_topology(2, len(new_verts), self._EDGES))
 
     def construct_subcomplex(self, dimension):
         if dimension == 2:
@@ -286,6 +299,19 @@ class PowellSabin12Split(SplitSimplicialComplex):
         raise ValueError("Illegal dimension")
 
 
+def merge_coincident(pts, wts, atol=1e-10):
+    """Deduplicate near-coincident rows of pts, accumulating weights:
+    lexsort, chain-merge consecutive rows within atol, segment-sum."""
+    pts = np.asarray(pts)
+    wts = np.asarray(wts)
+    order = np.lexsort(pts.T)
+    p = pts[order]
+    new_group = np.r_[True, ~np.all(np.abs(np.diff(p, axis=0)) <= atol, axis=1)]
+    gids = np.cumsum(new_group) - 1
+    starts = np.flatnonzero(new_group)
+    return p[starts], np.add.reduceat(wts[order], starts)
+
+
 class MacroQuadratureRule(QuadratureRule):
     """Composite rule: a reference rule mapped to every child facet (of the
     reference rule's dimension), with duplicate boundary points merged."""
@@ -294,38 +320,21 @@ class MacroQuadratureRule(QuadratureRule):
         parent_dim = Q_ref.ref_el.get_spatial_dimension()
         if parent_facets is not None:
             parent_to_children = ref_el.get_parent_to_children()
-            facets = []
-            for pe in parent_facets:
-                facets.extend(e for dim, e in parent_to_children[parent_dim][pe]
-                              if dim == parent_dim)
+            facets = [e for pe in parent_facets
+                      for dim, e in parent_to_children[parent_dim][pe]
+                      if dim == parent_dim]
         else:
-            facets = ref_el.get_topology()[parent_dim]
+            facets = list(ref_el.get_topology()[parent_dim])
 
-        pts, wts = [], []
-        for entity in facets:
-            Q_cur = FacetQuadratureRule(ref_el, parent_dim, entity, Q_ref)
-            pts.extend(Q_cur.pts)
-            wts.extend(Q_cur.wts)
+        child_rules = [FacetQuadratureRule(ref_el, parent_dim, e, Q_ref)
+                       for e in facets]
+        pts = np.concatenate([Q.pts for Q in child_rules])
+        wts = np.concatenate([Q.wts for Q in child_rules])
 
-        # merge coincident points lying on internal facets
-        atol = 1e-10
-        sd = ref_el.get_spatial_dimension()
-        top = ref_el.get_topology()
-        for cell in top[sd]:
-            bary = ref_el.compute_barycentric_coordinates(pts, entity=(sd, cell))
-            if np.isclose(bary, 0, atol=atol).any():
-                order = np.lexsort(bary.T)
-                iprev = order[0]
-                unique_pts, unique_wts = [pts[iprev]], [wts[iprev]]
-                for icur in order[1:]:
-                    if np.allclose(bary[icur], bary[iprev], atol=atol):
-                        unique_wts[-1] += wts[icur]
-                    else:
-                        unique_pts.append(pts[icur])
-                        unique_wts.append(wts[icur])
-                    iprev = icur
-                pts, wts = unique_pts, unique_wts
-        super().__init__(ref_el, tuple(pts), tuple(wts))
+        # points shared by several children (on interior facets) coincide
+        # physically: merge them globally
+        pts, wts = merge_coincident(pts, wts)
+        super().__init__(ref_el, pts, wts)
 
 
 class CkPolynomialSet(polyset.PolynomialSet):
@@ -355,12 +364,11 @@ class CkPolynomialSet(polyset.PolynomialSet):
         phi = polyset.ONPolynomialSet(facet_el, phi_deg)
         Q = create_quadrature(facet_el, 2 * phi_deg)
         qpts, qwts = Q.get_points(), Q.get_weights()
-        phi_at_qpts = phi.tabulate(qpts)[(0,) * (sd - 1)]
-        weights = phi_at_qpts * qwts
+        weights = phi.tabulate(qpts)[(0,) * (sd - 1)] * qwts
 
+        # facet continuity: weighted normal-derivative jumps must vanish
         rows = []
-        for facet in order[sd - 1]:
-            forder = order[sd - 1][facet]
+        for facet, forder in order[sd - 1].items():
             jumps = expansion_set.tabulate_normal_jumps(degree, qpts, facet,
                                                         order=forder)
             for r in range(k, forder + 1):
@@ -382,8 +390,7 @@ class CkPolynomialSet(polyset.PolynomialSet):
                 rows.extend(np.vstack(jumps[r].T) for r in range(sorder + 1, vo + 1))
 
         if rows:
-            for row in rows:
-                row *= 1 / max(np.max(abs(row)), 1)
+            rows = [row / max(np.max(abs(row)), 1) for row in rows]
             coeffs = polyset.spanning_basis(np.vstack(rows), nullspace=True)
         else:
             coeffs = np.eye(expansion_set.get_num_members(degree))
@@ -412,8 +419,7 @@ def hdiv_conforming_coefficients(U, order=0):
     phi = polyset.ONPolynomialSet(facet_el, phi_deg, shape=shape[1:])
     Q = create_quadrature(facet_el, 2 * phi_deg)
     qpts, qwts = Q.get_points(), Q.get_weights()
-    phi_at_qpts = phi.tabulate(qpts)[(0,) * (sd - 1)]
-    weights = phi_at_qpts * qwts
+    weights = phi.tabulate(qpts)[(0,) * (sd - 1)] * qwts
     ax = tuple(range(1, weights.ndim))
 
     rows = []
@@ -450,19 +456,23 @@ class HDivSymPolynomialSet(polyset.PolynomialSet):
         super().__init__(ref_el, degree, degree, U.expansion_set, coeffs)
 
 
+_FORM_DEGREES = {
+    "affine": (0,),
+    "covariant piola": (1,),
+    "contravariant piola": (2,),
+    "double covariant piola": (1, 1),
+    "double contravariant piola": (2, 2),
+    "covariant contravariant piola": (1, 2),
+    "contravariant covariant piola": (2, 1)}
+
+
 def pullback(phi, mapping, J=None, Jinv=None, Jdet=None):
-    """Push a reference tabulation to physical space by the named Piola
-    pullback (affine / covariant / contravariant / double variants)."""
-    formdegrees = {
-        "affine": (0,),
-        "covariant piola": (1,),
-        "contravariant piola": (2,),
-        "double covariant piola": (1, 1),
-        "double contravariant piola": (2, 2),
-        "covariant contravariant piola": (1, 2),
-        "contravariant covariant piola": (2, 1)}
+    """Push reference tabulations to physical space by the named Piola
+    pullback.  ``phi`` may carry leading batch axes: the value axes are the
+    len(formdegree) axes after the first, and each is hit with one
+    tensordot against J^-T (1-forms) or J/detJ (2-forms)."""
     try:
-        formdegree = formdegrees[mapping]
+        formdegree = _FORM_DEGREES[mapping]
     except KeyError:
         raise ValueError(f"Unrecognized mapping {mapping}")
     if J is None:
@@ -471,15 +481,11 @@ def pullback(phi, mapping, J=None, Jinv=None, Jdet=None):
         Jinv = np.linalg.pinv(J)
     if Jdet is None:
         Jdet = np.linalg.det(J)
-    F1 = Jinv.T
-    F2 = J / Jdet
+    F = {0: None, 1: Jinv.T, 2: J / Jdet}
     for i, k in enumerate(formdegree):
         if k == 0:
             continue
-        F = F1 if k == 1 else F2
-        perm = list(range(phi.ndim))
-        perm[i + 1], perm[-1] = perm[-1], perm[i + 1]
-        phi = phi.transpose(perm).dot(F.T).transpose(perm)
+        phi = np.moveaxis(np.tensordot(phi, F[k], axes=(i + 1, 1)), -1, i + 1)
     return phi
 
 
@@ -506,9 +512,12 @@ class MacroPolynomialSet(polyset.PolynomialSet):
 
         rmap = expansions.polynomial_cell_node_map(ref_el, n, base_entity_ids)
         cmap = expansion_set.get_cell_node_map(n)
-        for cell in sorted(top[sd]):
-            cell_verts = ref_el.get_vertices_of_subcomplex(top[sd][cell])
-            A, _ = cl.make_affine_mapping(base_ref_el.vertices, cell_verts)
-            indices = np.ix_(rmap[cell], *map(range, shp), cmap[cell])
+        cells = sorted(top[sd])
+        # all subcell affine maps in one stacked build, pullbacks per cell
+        As = np.stack([cl.make_affine_mapping(
+            base_ref_el.vertices,
+            ref_el.get_vertices_of_subcomplex(top[sd][c]))[0] for c in cells])
+        for c, A in zip(cells, As):
+            indices = np.ix_(rmap[c], *map(range, shp), cmap[c])
             coeffs[indices] = pullback(base_coeffs, mapping, J=A)
         super().__init__(ref_el, n, n, expansion_set, coeffs)

@@ -1,13 +1,12 @@
-"""Quadrature rules on reference cells.
+"""Quadrature rules on reference cells, array-native.
 
-Behavioural parity with /root/reference/FIAT/quadrature.py: Gauss-Jacobi /
-Gauss-Lobatto-Legendre / Gauss-Radau line rules (with intrinsic-orientation
-point permutation maps), collapsed (Duffy) simplex rules, mapped facet
-rules, and tensor products.  Rule construction is tiny host-side float64;
-points/weights are handed to device kernels as arrays.
+Covers /root/reference/FIAT/quadrature.py (Gauss-Jacobi / GLL / Radau line
+rules with intrinsic-orientation permutation maps, collapsed Duffy simplex
+rules, pushed-forward facet rules, tensor products), but points and weights
+live as contiguous float64 ndarrays from construction onward -- they are
+handed to device kernels as-is, and affine pushforwards are single matmuls.
 """
 
-import itertools
 import math
 
 import numpy as np
@@ -18,48 +17,29 @@ from .recursive_nodes import (collapsed_gauss_simplex, gauss_jacobi_rule,
                               gauss_lobatto_jacobi_rule)
 
 
-def pseudo_determinant(A):
-    return np.sqrt(abs(np.linalg.det(A.T @ A)))
-
-
-def map_quadrature(pts_ref, wts_ref, source_cell, target_cell, jacobian=False, avg=False):
-    """Map points/weights from source_cell onto target_cell by the affine
-    vertex map, scaling weights by the pseudo-determinant."""
-    while source_cell.get_parent():
-        source_cell = source_cell.get_parent()
-    A, b = cl.make_affine_mapping(source_cell.get_vertices(),
-                                  target_cell.get_vertices())
-    pts_ref = np.asarray(pts_ref)
-    if pts_ref.ndim != 2:
-        pts_ref = pts_ref.reshape(-1, A.shape[1])
-    pts = pts_ref @ A.T + b
-    wts = np.asarray(wts_ref) if avg else np.asarray(wts_ref) * pseudo_determinant(A)
-    pts = tuple(map(tuple, pts))
-    wts = tuple(wts.flat)
-    if jacobian:
-        return pts, wts, A
-    return pts, wts
-
-
 class QuadratureRule:
     """Integration over a reference cell as a weighted point sum."""
 
     def __init__(self, ref_el, pts, wts):
-        if len(wts) != len(pts):
-            raise ValueError(f"Have {len(wts)} weights, but {len(pts)} points")
+        pts = np.ascontiguousarray(pts, dtype=float)
+        if pts.ndim != 2:
+            pts = pts.reshape(max(len(pts), 1), -1)
+        wts = np.ascontiguousarray(wts, dtype=float).ravel()
+        if wts.shape[0] != pts.shape[0]:
+            raise ValueError(f"Have {wts.shape[0]} weights, but {pts.shape[0]} points")
         self.ref_el = ref_el
         self.pts = pts
         self.wts = wts
         self._intrinsic_orientation_permutation_map_tuple = (None,)
 
     def get_points(self):
-        return np.asarray(self.pts)
+        return self.pts
 
     def get_weights(self):
-        return np.asarray(self.wts)
+        return self.wts
 
     def integrate(self, f):
-        return sum(w * f(x) for x, w in zip(self.pts, self.wts))
+        return float(np.dot([f(tuple(x)) for x in self.pts], self.wts))
 
     @property
     def extrinsic_orientation_permutation_map(self):
@@ -72,13 +52,46 @@ class QuadratureRule:
         return self._intrinsic_orientation_permutation_map_tuple
 
 
+def pseudo_determinant(A):
+    """sqrt(det(A^T A)): volume scale of a (possibly non-square) affine map."""
+    return math.sqrt(abs(np.linalg.det(A.T @ A)))
+
+
+def affine_pushforward(pts, wts, source_cell, target_cell, avg=False):
+    """Push a rule from source_cell to target_cell along the vertex affine
+    map.  Returns (points, weights, A): one matmul for the points, one
+    pseudo-determinant scale for the weights (skipped when ``avg``)."""
+    while source_cell.get_parent():
+        source_cell = source_cell.get_parent()
+    A, b = cl.make_affine_mapping(source_cell.get_vertices(),
+                                  target_cell.get_vertices())
+    npts = len(pts)
+    pts = np.asarray(pts, dtype=float).reshape(npts, A.shape[1])
+    out = pts @ A.T + b
+    scale = 1.0 if avg else pseudo_determinant(A)
+    return out, np.asarray(wts, dtype=float).ravel() * scale, A
+
+
+def map_quadrature(pts_ref, wts_ref, source_cell, target_cell, jacobian=False,
+                   avg=False):
+    """Reference-compatible wrapper around affine_pushforward."""
+    pts, wts, A = affine_pushforward(pts_ref, wts_ref, source_cell,
+                                     target_cell, avg=avg)
+    return (pts, wts, A) if jacobian else (pts, wts)
+
+
+def _line_rule(ref_el, x, w):
+    """A 1D rule given on the default [-1, 1] line, mapped onto ref_el."""
+    pts, wts, _ = affine_pushforward(x, w, cl.DefaultLine(), ref_el)
+    return pts, wts
+
+
 class GaussJacobiQuadratureLineRule(QuadratureRule):
     """m-point Gauss-Jacobi rule for weights (a, b) on an interval."""
 
     def __init__(self, ref_el, m, a=0, b=0):
-        x, w = gauss_jacobi_rule(m, a, b)
-        pts, wts = map_quadrature(x, w, cl.DefaultLine(), ref_el)
-        super().__init__(ref_el, pts, wts)
+        super().__init__(ref_el, *_line_rule(ref_el, *gauss_jacobi_rule(m, a, b)))
+        # intrinsic orientation o -> inverse point permutation
         perm = np.zeros((math.factorial(2), m), dtype=int)
         for io, p in make_entity_permutations_simplex(1, m).items():
             perm[io, p] = range(m)
@@ -96,32 +109,37 @@ class GaussLobattoLegendreQuadratureLineRule(QuadratureRule):
     def __init__(self, ref_el, m):
         if m < 2:
             raise ValueError("GLL quadrature needs at least 2 points")
-        x, w = gauss_lobatto_jacobi_rule(m, 0, 0)
-        pts, wts = map_quadrature(x, w, cl.DefaultLine(), ref_el)
-        super().__init__(ref_el, pts, wts)
+        super().__init__(ref_el,
+                         *_line_rule(ref_el, *gauss_lobatto_jacobi_rule(m, 0, 0)))
 
 
 class RadauQuadratureLineRule(QuadratureRule):
-    """m-point Gauss-Radau rule with a fixed endpoint (exact to 2m-2)."""
+    """m-point Gauss-Radau rule with a fixed endpoint (exact to 2m-2).
+
+    Built from the (m-1)-point Gauss-Jacobi rule with the weight absorbed:
+    w_i = w_i^GJ / |x0 - x_i|-hat, and the endpoint weight closes the total
+    volume."""
 
     def __init__(self, ref_el, m, right=True):
         if m < 1:
             raise ValueError("Radau quadrature needs at least 1 point")
         right = int(right)
-        x0 = ref_el.vertices[right]
+        x0 = np.asarray(ref_el.vertices[right], dtype=float)
         volume = ref_el.volume()
         if m > 1:
             inner = GaussJacobiQuadratureLineRule(ref_el, m - 1, right, 1 - right)
-            x = inner.get_points().reshape(-1)
-            hat = (2.0 / volume) * abs(x0[0] - x)
-            wts = inner.get_weights() / hat
-            pts = inner.pts
+            hat = (2.0 / volume) * np.abs(x0[0] - inner.pts[:, 0])
+            ipts, iwts = inner.pts, inner.wts / hat
         else:
-            wts, pts = (), ()
-        w0 = volume - sum(wts)
-        xs = (*pts, x0) if right else (x0, *pts)
-        ws = (*wts, w0) if right else (w0, *wts)
-        super().__init__(ref_el, xs, ws)
+            ipts, iwts = np.zeros((0, 1)), np.zeros(0)
+        w0 = volume - iwts.sum()
+        if right:
+            pts = np.vstack([ipts, x0[None, :]])
+            wts = np.append(iwts, w0)
+        else:
+            pts = np.vstack([x0[None, :], ipts])
+            wts = np.append(w0, iwts)
+        super().__init__(ref_el, pts, wts)
 
 
 class CollapsedQuadratureSimplexRule(QuadratureRule):
@@ -131,7 +149,7 @@ class CollapsedQuadratureSimplexRule(QuadratureRule):
     def __init__(self, ref_el, m):
         dim = ref_el.get_spatial_dimension()
         x, w = collapsed_gauss_simplex(dim, m)
-        pts, wts = map_quadrature(x, w, cl.default_simplex(dim), ref_el)
+        pts, wts, _ = affine_pushforward(x, w, cl.default_simplex(dim), ref_el)
         super().__init__(ref_el, pts, wts)
 
 
@@ -150,8 +168,8 @@ class FacetQuadratureRule(QuadratureRule):
         facet = ref_el.construct_subelement(entity_dim)
         facet_topology = ref_el.get_topology()[entity_dim][entity_id]
         facet.vertices = ref_el.get_vertices_of_subcomplex(facet_topology)
-        pts, wts, J = map_quadrature(Q_ref.get_points(), Q_ref.get_weights(),
-                                     Q_ref.ref_el, facet, jacobian=True, avg=avg)
+        pts, wts, J = affine_pushforward(Q_ref.get_points(), Q_ref.get_weights(),
+                                         Q_ref.ref_el, facet, avg=avg)
         super().__init__(facet, pts, wts)
         self._J = J
         self._reference_rule = Q_ref
@@ -166,6 +184,31 @@ class FacetQuadratureRule(QuadratureRule):
         return pseudo_determinant(self._J)
 
 
+def make_tensor_product_quadrature(*quad_rules):
+    """Product rule on the TensorProductCell of the factors: the point grid
+    and weight products are built with one kron / block stack per factor."""
+    ref_el = cl.TensorProductCell(*[q.ref_el for q in quad_rules])
+    counts = [q.pts.shape[0] for q in quad_rules]
+    total = int(np.prod(counts))
+    cols = []
+    for k, q in enumerate(quad_rules):
+        before = int(np.prod(counts[:k], dtype=int))
+        after = int(np.prod(counts[k + 1:], dtype=int))
+        # repeat this factor's point block so factor 0 varies slowest
+        cols.append(np.repeat(np.tile(q.pts, (before, 1)), after, axis=0))
+    wts = quad_rules[0].wts
+    for q in quad_rules[1:]:
+        wts = np.multiply.outer(wts, q.wts).ravel()
+    assert wts.shape[0] == total
+    return QuadratureRule(ref_el, np.hstack(cols), wts)
+
+
+_RULE_BY_SHAPE = {
+    cl.TRIANGLE: CollapsedQuadratureTriangleRule,
+    cl.TETRAHEDRON: CollapsedQuadratureTetrahedronRule,
+}
+
+
 def make_quadrature(ref_el, m):
     """Collapsed-quadrature rule with m points per direction."""
     min_m = min(m) if isinstance(m, tuple) else m
@@ -173,26 +216,13 @@ def make_quadrature(ref_el, m):
         raise ValueError("Need at least one quadrature point per direction")
     shape = ref_el.get_shape()
     if shape == cl.POINT:
-        return QuadratureRule(ref_el, [()], [1])
+        return QuadratureRule(ref_el, np.zeros((1, 0)), np.ones(1))
     if shape == cl.LINE:
         return GaussJacobiQuadratureLineRule(ref_el, m)
-    if shape == cl.TRIANGLE:
-        return CollapsedQuadratureTriangleRule(ref_el, m)
-    if shape == cl.TETRAHEDRON:
-        return CollapsedQuadratureTetrahedronRule(ref_el, m)
-    if shape == cl.QUADRILATERAL:
+    if shape in _RULE_BY_SHAPE:
+        return _RULE_BY_SHAPE[shape](ref_el, m)
+    if shape in (cl.QUADRILATERAL, cl.HEXAHEDRON):
+        dim = ref_el.get_spatial_dimension()
         line = GaussJacobiQuadratureLineRule(ref_el.construct_subelement(1), m)
-        return make_tensor_product_quadrature(line, line)
-    if shape == cl.HEXAHEDRON:
-        line = GaussJacobiQuadratureLineRule(ref_el.construct_subelement(1), m)
-        return make_tensor_product_quadrature(line, line, line)
+        return make_tensor_product_quadrature(*([line] * dim))
     raise ValueError(f"Unable to make quadrature for cell {ref_el}")
-
-
-def make_tensor_product_quadrature(*quad_rules):
-    """Product rule on the TensorProductCell of the factors."""
-    ref_el = cl.TensorProductCell(*[q.ref_el for q in quad_rules])
-    pts = [tuple(itertools.chain(*pt)) for pt in
-           itertools.product(*[q.pts for q in quad_rules])]
-    wts = [float(np.prod(w)) for w in itertools.product(*[q.wts for q in quad_rules])]
-    return QuadratureRule(ref_el, pts, wts)

@@ -1,8 +1,12 @@
 """Mixed, Vector, and Tensor element descriptions.
 
-Equivalent of /root/reference/finat/ufl/mixedelement.py: MixedElement
-(flat concatenation of subelement values), VectorElement (dim repeated
-copies), TensorElement (shaped copies with optional symmetry)."""
+Covers /root/reference/finat/ufl/mixedelement.py: MixedElement (flat
+concatenation of subelement values), VectorElement (dim repeated copies),
+TensorElement (shaped copies with optional symmetry).  Component
+bookkeeping is table-driven: cumulative component offsets and canonical
+symmetry slots are precomputed numpy index arrays, and component lookups
+are searchsorted / ravel operations on them.
+"""
 
 import numpy as np
 
@@ -13,12 +17,7 @@ from .finiteelementbase import FiniteElementBase, product
 
 def shape_to_strides(sh):
     """Row-major strides of a shape."""
-    if not sh:
-        return ()
-    strides = [1]
-    for d in reversed(sh[1:]):
-        strides.insert(0, strides[0] * d)
-    return tuple(strides)
+    return tuple(int(np.prod(sh[i + 1:], dtype=int)) for i in range(len(sh)))
 
 
 def flatten_multiindex(ii, strides):
@@ -28,12 +27,9 @@ def flatten_multiindex(ii, strides):
 def unflatten_index(i, strides):
     out = []
     for s in strides:
-        out.append(i // s)
-        i %= s
+        out.append(int(i) // s)
+        i = int(i) % s
     return tuple(out)
-
-
-_unflatten = unflatten_index
 
 
 def _max_degree(degrees):
@@ -45,79 +41,46 @@ def _max_degree(degrees):
 
 
 class MixedElement(FiniteElementBase):
-    """A flat concatenation of subelement value components."""
+    """A flat concatenation of subelement value components.
+
+    Flat-component queries run against precomputed offset tables:
+    ``_ref_offsets[k]`` is the first reference component of subelement k
+    (and analogously per-domain physical offsets on demand)."""
 
     def __init__(self, *elements, **kwargs):
         if type(self) is MixedElement and kwargs:
-            raise ValueError(
-                "Not expecting keyword arguments to MixedElement.")
+            raise ValueError("Not expecting keyword arguments to MixedElement.")
         if len(elements) == 1 and isinstance(elements[0], (tuple, list)):
             elements = elements[0]
         elements = [MixedElement(e) if isinstance(e, (tuple, list)) else e
                     for e in elements]
         self._sub_elements = elements
 
-        if len(elements) == 0:
-            quad_scheme = None
-        else:
-            quad_scheme = elements[0].quadrature_scheme()
-            if not all(e.quadrature_scheme() == quad_scheme
-                       for e in elements):
-                raise ValueError("Quadrature scheme mismatch.")
+        schemes = {e.quadrature_scheme() for e in elements}
+        if len(schemes) > 1:
+            raise ValueError("Quadrature scheme mismatch.")
+        quad_scheme = schemes.pop() if schemes else None
 
-        rvs_sum = sum(product(e.reference_value_shape)
-                      for e in self._sub_elements)
+        self._ref_offsets = np.cumsum(
+            [0] + [product(e.reference_value_shape) for e in elements])
         reference_value_shape = kwargs.get("reference_value_shape",
-                                           (rvs_sum,))
+                                           (int(self._ref_offsets[-1]),))
 
-        degrees = {e.degree() for e in self._sub_elements} - {None}
+        degrees = {e.degree() for e in elements} - {None}
         degree = _max_degree(degrees) if degrees else None
         FiniteElementBase.__init__(self, "Mixed", self._make_cell(), degree,
                                    quad_scheme, reference_value_shape)
 
     def _make_cell(self):
-        if self.num_sub_elements == 0:
+        if not self._sub_elements:
             return None
-        return CellSequence(tuple(e.cell for e in self.sub_elements))
+        return CellSequence(tuple(e.cell for e in self._sub_elements))
 
-    def __repr__(self):
-        return ("MixedElement("
-                + ", ".join(map(repr, self._sub_elements)) + ")")
+    def _phys_offsets(self, domain=None):
+        return np.cumsum(
+            [0] + [e.value_size(domain) for e in self._sub_elements])
 
-    def _is_linear(self):
-        return all(e._is_linear() for e in self._sub_elements)
-
-    def reconstruct_from_elements(self, *elements):
-        if all(a == b for a, b in zip(elements, self._sub_elements)):
-            return self
-        return MixedElement(*elements)
-
-    def value_shape(self, domain=None):
-        # flat concatenation of physical value sizes
-        return (sum(e.value_size(domain) for e in self._sub_elements),)
-
-    def symmetry(self, domain=None):
-        sm = {}
-        j = 0
-        for e in self._sub_elements:
-            sh = e.value_shape(domain)
-            st = shape_to_strides(sh)
-            for c0, c1 in e.symmetry(domain).items():
-                sm[(flatten_multiindex(c0, st) + j,)] = \
-                    (flatten_multiindex(c1, st) + j,)
-            j += product(sh)
-        if j != product(self.value_shape(domain)):
-            raise ValueError("Size mismatch in symmetry algorithm.")
-        return sm
-
-    @property
-    def sobolev_space(self):
-        return max(e.sobolev_space for e in self._sub_elements)
-
-    def mapping(self):
-        if all(e.mapping() == "identity" for e in self._sub_elements):
-            return "identity"
-        return "undefined"
+    # -- structure -------------------------------------------------------------
 
     @property
     def num_sub_elements(self):
@@ -127,28 +90,46 @@ class MixedElement(FiniteElementBase):
     def sub_elements(self):
         return self._sub_elements
 
+    def value_shape(self, domain=None):
+        return (int(self._phys_offsets(domain)[-1]),)
+
+    def reconstruct_from_elements(self, *elements):
+        if all(a == b for a, b in zip(elements, self._sub_elements)):
+            return self
+        return MixedElement(*elements)
+
+    def reconstruct(self, **kwargs):
+        cell = kwargs.pop("cell", None)
+        if cell is None:
+            cells = self.cell.cells
+        elif isinstance(cell, CellSequence):
+            cells = cell.cells
+        else:
+            cells = [cell] * self.num_sub_elements
+        return type(self)(*[e.reconstruct(cell=c, **kwargs)
+                            for c, e in zip(cells, self._sub_elements)])
+
+    # -- component extraction ---------------------------------------------------
+
+    def _locate(self, j, offsets):
+        """(subelement index, local flat component) for flat component j."""
+        k = int(np.searchsorted(offsets, j, side="right")) - 1
+        if not 0 <= k < self.num_sub_elements:
+            raise ValueError(f"Component {j} out of range.")
+        return k, int(j) - int(offsets[k])
+
     def extract_subelement_component(self, i, domain=None):
         if isinstance(i, int):
             i = (i,)
         self._check_component(i, domain)
         if len(self.value_shape(domain)) == 1:
-            j, = i
-            j = int(j)
-            for k, e in enumerate(self._sub_elements):
-                sh = e.value_shape(domain)
-                si = product(sh)
-                if j < si:
-                    break
-                j -= si
-            if j < 0:
-                raise ValueError("Moved past last value component!")
-            st = shape_to_strides(sh)
-            return (k, _unflatten(j, st))
-        else:
-            k = i[0]
-            if k >= len(self._sub_elements):
-                raise ValueError(f"Illegal component index {i}.")
-            return (k, i[1:])
+            k, j = self._locate(i[0], self._phys_offsets(domain))
+            sh = self._sub_elements[k].value_shape(domain)
+            return (k, unflatten_index(j, shape_to_strides(sh)))
+        k = i[0]
+        if k >= self.num_sub_elements:
+            raise ValueError(f"Illegal component index {i}.")
+        return (k, i[1:])
 
     def extract_component(self, i, domain=None):
         k, component = self.extract_subelement_component(i, domain)
@@ -159,25 +140,44 @@ class MixedElement(FiniteElementBase):
             i = (i,)
         self._check_reference_component(i)
         assert len(self.reference_value_shape) == 1
-        j, = i
-        j = int(j)
-        for k, e in enumerate(self._sub_elements):
-            sh = e.reference_value_shape
-            si = product(sh)
-            if j < si:
-                break
-            j -= si
-        if j < 0:
-            raise ValueError("Moved past last reference component!")
-        return (k, _unflatten(j, shape_to_strides(sh)))
+        k, j = self._locate(i[0], self._ref_offsets)
+        sh = self._sub_elements[k].reference_value_shape
+        return (k, unflatten_index(j, shape_to_strides(sh)))
 
     def extract_reference_component(self, i):
         k, comp = self.extract_subelement_reference_component(i)
         return self._sub_elements[k].extract_reference_component(comp)
 
+    def symmetry(self, domain=None):
+        """Flat-component symmetry map, each subelement's shifted by its
+        offset."""
+        sm = {}
+        offsets = self._phys_offsets(domain)
+        for off, e in zip(offsets, self._sub_elements):
+            st = shape_to_strides(e.value_shape(domain))
+            sm.update(
+                {(flatten_multiindex(c0, st) + int(off),):
+                 (flatten_multiindex(c1, st) + int(off),)
+                 for c0, c1 in e.symmetry(domain).items()})
+        return sm
+
+    # -- scalar metadata --------------------------------------------------------
+
+    def _is_linear(self):
+        return all(e._is_linear() for e in self._sub_elements)
+
+    @property
+    def sobolev_space(self):
+        return max(e.sobolev_space for e in self._sub_elements)
+
+    def mapping(self):
+        if all(e.mapping() == "identity" for e in self._sub_elements):
+            return "identity"
+        return "undefined"
+
     def is_cellwise_constant(self, component=None):
         if component is None:
-            return all(e.is_cellwise_constant() for e in self.sub_elements)
+            return all(e.is_cellwise_constant() for e in self._sub_elements)
         i, e = self.extract_component(component)
         return e.is_cellwise_constant()
 
@@ -189,29 +189,23 @@ class MixedElement(FiniteElementBase):
 
     @property
     def embedded_subdegree(self):
-        return min(e.embedded_subdegree for e in self.sub_elements)
+        return min(e.embedded_subdegree for e in self._sub_elements)
 
     @property
     def embedded_superdegree(self):
-        return max(e.embedded_superdegree for e in self.sub_elements)
-
-    def reconstruct(self, **kwargs):
-        cell = kwargs.pop("cell", None)
-        if cell is None:
-            cells = self.cell.cells
-        elif isinstance(cell, CellSequence):
-            cells = cell.cells
-        else:
-            cells = [cell] * len(self.sub_elements)
-        return type(self)(*[e.reconstruct(cell=c, **kwargs)
-                            for c, e in zip(cells, self.sub_elements)])
+        return max(e.embedded_superdegree for e in self._sub_elements)
 
     def variant(self):
-        try:
-            variant, = {e.variant() for e in self.sub_elements}
-            return variant
-        except ValueError:
-            return None
+        variants = {e.variant() for e in self._sub_elements}
+        return variants.pop() if len(variants) == 1 else None
+
+    @property
+    def pullback(self):
+        from .pullback import MixedPullback
+        return MixedPullback(self)
+
+    def __repr__(self):
+        return "MixedElement(" + ", ".join(map(repr, self._sub_elements)) + ")"
 
     def __str__(self):
         return ("<Mixed element: ("
@@ -219,40 +213,54 @@ class MixedElement(FiniteElementBase):
 
     def shortstr(self):
         return ("Mixed<"
-                + ", ".join(e.shortstr() for e in self._sub_elements)
-                + ">")
-
-    @property
-    def pullback(self):
-        from .pullback import MixedPullback
-        return MixedPullback(self)
+                + ", ".join(e.shortstr() for e in self._sub_elements) + ">")
 
 
-class VectorElement(MixedElement):
+class _ReplicatedElement(MixedElement):
+    """Shared machinery of Vector/Tensor elements: copies of one
+    subelement, the copy structure carried by shape tables."""
+
+    def _make_cell(self):
+        if not self._sub_elements:
+            return None
+        cell, = set(e.cell for e in self._sub_elements)
+        return cell
+
+    def variant(self):
+        return self._sub_element.variant()
+
+    def mapping(self):
+        return self._mapping
+
+    def __repr__(self):
+        return self._repr
+
+
+def _resolve_sub_element(family, cell, degree, **kwargs):
+    """Accept either a ready element or (family, cell, degree) specs."""
+    if isinstance(family, FiniteElementBase):
+        return family, family.cell
+    if cell is not None:
+        cell = as_cell(cell)
+    return FiniteElement(family, cell, degree, **kwargs), cell
+
+
+class VectorElement(_ReplicatedElement):
     """dim copies of one subelement, vector-valued."""
 
     def __init__(self, family, cell=None, degree=None, dim=None,
                  form_degree=None, quad_scheme=None, variant=None):
-        if isinstance(family, FiniteElementBase):
-            sub_element = family
-            cell = sub_element.cell
-        else:
-            if cell is not None:
-                cell = as_cell(cell)
-            sub_element = FiniteElement(family, cell, degree,
-                                        form_degree=form_degree,
-                                        quad_scheme=quad_scheme,
-                                        variant=variant)
+        sub_element, cell = _resolve_sub_element(
+            family, cell, degree, form_degree=form_degree,
+            quad_scheme=quad_scheme, variant=variant)
         if dim is None:
             if cell is None:
-                raise ValueError(
-                    "Cannot infer vector dimension without a cell.")
+                raise ValueError("Cannot infer vector dimension without a cell.")
             dim = cell.topological_dimension
 
         self._mapping = sub_element.mapping()
-        sub_elements = [sub_element] * dim
         reference_value_shape = (dim,) + sub_element.reference_value_shape
-        MixedElement.__init__(self, sub_elements,
+        MixedElement.__init__(self, [sub_element] * dim,
                               reference_value_shape=reference_value_shape)
         FiniteElementBase.__init__(self, sub_element.family(),
                                    sub_element.cell, sub_element.degree(),
@@ -261,63 +269,53 @@ class VectorElement(MixedElement):
         self._sub_element = sub_element
         self._repr = f"VectorElement({sub_element!r}, dim={dim})"
 
-    def _make_cell(self):
-        if self.num_sub_elements == 0:
-            return None
-        cell, = set(e.cell for e in self.sub_elements)
-        return cell
-
-    def __repr__(self):
-        return self._repr
-
     def value_shape(self, domain=None):
-        return ((len(self._sub_elements),)
-                + self._sub_element.value_shape(domain))
+        return (self.num_sub_elements,) + self._sub_element.value_shape(domain)
 
     def reconstruct(self, sub_element=None, **kwargs):
         if sub_element is None:
             sub_element = self._sub_element.reconstruct(**kwargs)
-        return VectorElement(sub_element, dim=len(self.sub_elements))
-
-    def variant(self):
-        return self._sub_element.variant()
-
-    def mapping(self):
-        return self._mapping
-
-    def __str__(self):
-        return (f"<vector element with {len(self._sub_elements)} "
-                f"components of {self._sub_element}>")
-
-    def shortstr(self):
-        return (f"Vector<{len(self._sub_elements)} x "
-                f"{self._sub_element.shortstr()}>")
+        return VectorElement(sub_element, dim=self.num_sub_elements)
 
     @property
     def pullback(self):
         return self._sub_element.pullback
 
+    def __str__(self):
+        return (f"<vector element with {self.num_sub_elements} "
+                f"components of {self._sub_element}>")
 
-class TensorElement(MixedElement):
+    def shortstr(self):
+        return (f"Vector<{self.num_sub_elements} x "
+                f"{self._sub_element.shortstr()}>")
+
+
+def _canonical_slots(shape, symmetry):
+    """Slot table of a symmetric tensor: component index -> slot id, with
+    symmetric partners sharing the slot of their canonical component.
+    Returns ({index: slot}, num_slots)."""
+    slots = {}
+    free = 0
+    for index in (np.ndindex(*shape) if shape else [()]):
+        if index not in symmetry:
+            slots[index] = free
+            free += 1
+    for index, canon in symmetry.items():
+        slots[index] = slots[canon]
+    return slots, free
+
+
+class TensorElement(_ReplicatedElement):
     """Shaped copies of one subelement, with optional symmetry."""
 
     def __init__(self, family, cell=None, degree=None, shape=None,
                  symmetry=None, quad_scheme=None, variant=None):
-        if isinstance(family, FiniteElementBase):
-            sub_element = family
-            cell = sub_element.cell
-        else:
-            if cell is not None:
-                cell = as_cell(cell)
-            sub_element = FiniteElement(family, cell, degree,
-                                        quad_scheme=quad_scheme,
-                                        variant=variant)
+        sub_element, cell = _resolve_sub_element(
+            family, cell, degree, quad_scheme=quad_scheme, variant=variant)
         if shape is None:
             if cell is None:
-                raise ValueError(
-                    "Cannot infer tensor shape without a cell.")
-            dim = cell.topological_dimension
-            shape = (dim, dim)
+                raise ValueError("Cannot infer tensor shape without a cell.")
+            shape = (cell.topological_dimension,) * 2
 
         if symmetry is None:
             symmetry = {}
@@ -325,69 +323,45 @@ class TensorElement(MixedElement):
             if not (len(shape) == 2 and shape[0] == shape[1]):
                 raise ValueError(
                     "Cannot set automatic symmetry for non-square tensor.")
-            symmetry = {(i, j): (j, i) for i in range(shape[0])
-                        for j in range(shape[1]) if i > j}
+            symmetry = {(i, j): (j, i)
+                        for i, j in np.ndindex(shape) if i > j}
         elif not isinstance(symmetry, dict):
             raise ValueError("symmetry must be None, True, or a dict.")
 
         for i, j in symmetry.items():
             if len(i) != len(j):
                 raise ValueError("Non-matching symmetry index lengths.")
-            for k in range(len(i)):
-                if not (0 <= i[k] < shape[k] and 0 <= j[k] < shape[k]):
-                    raise ValueError("Symmetry dimensions out of bounds.")
+            if not all(0 <= a < n and 0 <= b < n
+                       for a, b, n in zip(i, j, shape)):
+                raise ValueError("Symmetry dimensions out of bounds.")
 
-        indices = list(np.ndindex(*shape)) if shape else [()]
-        sub_elements = []
-        sub_element_mapping = {}
-        for index in indices:
-            if index in symmetry:
-                continue
-            sub_element_mapping[index] = len(sub_elements)
-            sub_elements.append(sub_element)
-        for index in indices:
-            if index in symmetry:
-                sub_element_mapping[index] = \
-                    sub_element_mapping[symmetry[index]]
-        flattened = [sub_element_mapping[index] for index in indices]
+        slots, num_slots = _canonical_slots(shape, symmetry)
 
         if symmetry:
-            reference_value_shape = (product(shape) - len(symmetry),)
+            reference_value_shape = (num_slots,)
             self._mapping = "symmetries"
         else:
             reference_value_shape = shape
             self._mapping = sub_element.mapping()
-        reference_value_shape = (reference_value_shape
-                                 + sub_element.reference_value_shape)
-        MixedElement.__init__(self, sub_elements,
+        reference_value_shape += sub_element.reference_value_shape
+        MixedElement.__init__(self, [sub_element] * num_slots,
                               reference_value_shape=reference_value_shape)
         self._family = sub_element.family()
         self._degree = sub_element.degree()
         self._sub_element = sub_element
         self._shape = shape
         self._symmetry = symmetry
-        self._sub_element_mapping = sub_element_mapping
-        self._flattened_sub_element_mapping = flattened
+        self._sub_element_mapping = slots
+        self._flattened_sub_element_mapping = [
+            slots[index] for index in (np.ndindex(*shape) if shape else [()])]
         self._repr = (f"TensorElement({sub_element!r}, shape={shape}, "
                       f"symmetry={symmetry})")
-
-    def _make_cell(self):
-        if self.num_sub_elements == 0:
-            return None
-        cell, = set(e.cell for e in self.sub_elements)
-        return cell
-
-    def __repr__(self):
-        return self._repr
 
     def value_shape(self, domain=None):
         return self._shape + self._sub_element.value_shape(domain)
 
-    def variant(self):
-        return self._sub_element.variant()
-
-    def mapping(self):
-        return self._mapping
+    def symmetry(self, domain=None):
+        return self._symmetry
 
     def flattened_sub_element_mapping(self):
         return self._flattened_sub_element_mapping
@@ -403,45 +377,34 @@ class TensorElement(MixedElement):
             raise ValueError(f"Illegal component index {i}.")
         return (self._sub_element_mapping[ii], jj)
 
-    def symmetry(self, domain=None):
-        return self._symmetry
-
     def reconstruct(self, sub_element=None, **kwargs):
         if sub_element is None:
             sub_element = self._sub_element.reconstruct(**kwargs)
         return TensorElement(sub_element, shape=self._shape,
                              symmetry=self._symmetry)
 
-    def __str__(self):
-        sym = ""
-        if self._symmetry:
-            tmp = ", ".join(f"{a} -> {b}"
-                            for a, b in self._symmetry.items())
-            sym = f" with symmetries ({tmp})"
-        return (f"<tensor element with shape {self.reference_value_shape} "
-                f"of {self._sub_element}{sym}>")
-
-    def shortstr(self):
-        sym = ""
-        if self._symmetry:
-            tmp = ", ".join(f"{a} -> {b}"
-                            for a, b in self._symmetry.items())
-            sym = f" with symmetries ({tmp})"
-        return (f"Tensor<{self.reference_value_shape} x "
-                f"{self._sub_element.shortstr()}{sym}>")
-
     @property
     def pullback(self):
         if self._symmetry:
             from .pullback import SymmetricPullback
-            import numpy as _np
-            symmetry = {}
-            n = 0
-            for i in _np.ndindex(self._shape):
-                if i in self._symmetry and self._symmetry[i] in symmetry:
-                    symmetry[i] = symmetry[self._symmetry[i]]
-                else:
-                    symmetry[i] = n
-                    n += 1
-            return SymmetricPullback(self, symmetry)
+            slots, _ = _canonical_slots(self._shape, self._symmetry)
+            return SymmetricPullback(self, slots)
         return self._sub_element.pullback
+
+    def _symmetry_str(self):
+        if not self._symmetry:
+            return ""
+        tmp = ", ".join(f"{a} -> {b}" for a, b in self._symmetry.items())
+        return f" with symmetries ({tmp})"
+
+    def __str__(self):
+        return (f"<tensor element with shape {self.reference_value_shape} "
+                f"of {self._sub_element}{self._symmetry_str()}>")
+
+    def shortstr(self):
+        return (f"Tensor<{self.reference_value_shape} x "
+                f"{self._sub_element.shortstr()}{self._symmetry_str()}>")
+
+
+# reference-compat alias
+_unflatten = unflatten_index
