@@ -55,9 +55,12 @@ def create_quadrature(ref_el, degree, scheme="default", entity=None):
         # Xiao-Gimbutas tables, quadrature_schemes.py:46; GM is the
         # generated-at-runtime substitute -- it wins on tets everywhere
         # and on triangles at low degree).
+        # GM weights alternate in sign and grow with degree; past degree
+        # ~25 the evaluation-time cancellation exceeds ~3e-12 relative
+        # (regression-tested), so fall back to collapsed Gauss there
         from math import comb
         sd = ref_el.get_spatial_dimension()
-        if sd >= 2 and degree <= 30:
+        if sd >= 2 and degree <= 25:
             s = degree // 2
             if 2 * s + 1 < degree:
                 s += 1
@@ -80,9 +83,12 @@ def _grundmann_moller_scheme(ref_el, degree):
     requested exactness: degree 2s+1 with binom(s+dim, dim) points on
     the s-th member.  Points are barycentric lattice nodes; weights have
     alternating signs (fine for assembly; use scheme='canonical' when
-    positivity matters, e.g. lumping)."""
-    from math import comb, factorial
+    positivity matters, e.g. lumping).
 
+    Layer weights and their normalisation are accumulated in exact
+    rational arithmetic (the alternating sum cancels catastrophically in
+    floats past s ~ 12) and rounded once at the end."""
+    from fractions import Fraction
     from math import factorial
 
     d = ref_el.get_spatial_dimension()
@@ -91,22 +97,23 @@ def _grundmann_moller_scheme(ref_el, degree):
         s += 1
 
     verts = np.asarray(ref_el.get_vertices(), dtype=np.float64)
-    vol = ref_el.volume()
-    pts, wts = [], []
+    pts, wts, counts = [], [], []
     for i in range(s + 1):
         # i-th layer weight (Grundmann & Moller 1978, Theorem 4): the
         # global constant is fixed afterwards by matching the volume
-        w = ((-1.0) ** i * float(d + 2 * s + 1 - 2 * i) ** (2 * s + 1)
-             / (factorial(i) * factorial(d + 2 * s + 1 - i)))
+        w = Fraction((-1) ** i * (d + 2 * s + 1 - 2 * i) ** (2 * s + 1),
+                     factorial(i) * factorial(d + 2 * s + 1 - i))
         denom = float(d + 2 * s + 1 - 2 * i)
-        for kk in _compositions(d + 1, s - i):
-            bary = np.array([(2 * k + 1) / denom for k in kk])
-            pts.append(bary @ verts)
-            wts.append(w)
-    pts = np.asarray(pts)
-    wts = np.asarray(wts)
-    wts = wts * (vol / wts.sum())
-    return QuadratureRule(ref_el, pts, wts)
+        layer = [np.array([(2 * k + 1) / denom for k in kk]) @ verts
+                 for kk in _compositions(d + 1, s - i)]
+        pts.extend(layer)
+        wts.append(w)
+        counts.append(len(layer))
+    total = sum(w * c for w, c in zip(wts, counts))
+    vol = ref_el.volume()
+    wts = np.concatenate([np.full(c, float(w / total) * vol)
+                          for w, c in zip(wts, counts)])
+    return QuadratureRule(ref_el, np.asarray(pts), wts)
 
 
 def _compositions(parts, total):

@@ -71,7 +71,7 @@ def prepare_B(B, nslices=DEFAULT_SLICES):
 
 
 def matmul_f64_ozaki(A_slices, sA, B, nslices=DEFAULT_SLICES,
-                     order=DEFAULT_ORDER, B_prepared=None):
+                     order=DEFAULT_ORDER, B_prepared=None, share=True):
     """A @ B in near-f64 accuracy with A pre-split host-side.
 
     :arg A_slices: bf16 slices [R, K] of the row-scaled A
@@ -82,13 +82,35 @@ def matmul_f64_ozaki(A_slices, sA, B, nslices=DEFAULT_SLICES,
     if B_prepared is None:
         B_prepared = prepare_B(B, nslices)
     B_slices, sB = B_prepared
+
+    # group-0 accumulation is exact only while 14-bit slice products fit
+    # the 24-bit f32 accumulator, and the shared t>=1 batches accumulate
+    # mixed-scale products whose rounding grows with K (measured: K=500
+    # holds ~4e-13, K=1000 degrades to ~2e-9): split longer contractions
+    # into 512-chunks and sum the partials in f64
+    K = A_slices[0].shape[1]
+    if K > 512:
+        # long contractions also de-share the order groups (share=False):
+        # backends that accumulate sequentially (CPU oracle) round the
+        # mixed-scale shared batches at every step
+        total = 0.0
+        for k0 in range(0, K, 512):
+            ksl = slice(k0, k0 + 512)
+            total = total + matmul_f64_ozaki(
+                [a[:, ksl] for a in A_slices], 1.0, None, nslices, order,
+                B_prepared=([b[ksl] for b in B_slices], 1.0), share=False)
+        return total * (jnp.asarray(sA) * sB)
+
     # adjacent groups t >= 1 share one f32 accumulation: a (t+1)-product
     # rounds at 2^-24 of the t-group's scale 2^{-7(t+2)}, i.e. below
     # 2^-45 of the result -- inside budget.  Group 0 stays alone (its
     # accumulation must remain exact).  Fewer dots AND fewer f64 adds
     # in the combine.
-    batches = [(0,)] + [tuple(t for t in pair if t <= order)
-                        for pair in ((1, 2), (3, 4), (5, 6), (7, 8))]
+    if share:
+        batches = [(0,)] + [tuple(t for t in pair if t <= order)
+                            for pair in ((1, 2), (3, 4), (5, 6), (7, 8))]
+    else:
+        batches = [(t,) for t in range(order + 1)]
     groups = []
     for ts in batches:
         idx = [(i, t - i) for t in ts for i in range(t + 1)
@@ -99,9 +121,18 @@ def matmul_f64_ozaki(A_slices, sA, B, nslices=DEFAULT_SLICES,
         Bcat = jnp.concatenate([B_slices[j] for _, j in idx], axis=0)
         groups.append(jax.lax.dot(Acat, Bcat,
                                   preferred_element_type=jnp.float32))
-    total = groups[-1].astype(jnp.float64)
-    for g in reversed(groups[:-1]):     # small groups first
-        total = total + g.astype(jnp.float64)
+    # two-float (TwoSum) accumulation of the group results on the f32
+    # VPU: the running error term carries the bits below the f32 sum, so
+    # only ONE emulated-f64 add (hi+lo) and one f64 multiply (unscale)
+    # remain per element -- the f64 combine was ~40% of the whole pass
+    s = groups[0]                        # largest group first
+    e = jnp.zeros_like(s)
+    for g in groups[1:]:
+        t = s + g
+        bp = t - s
+        e = e + ((s - (t - bp)) + (g - bp))   # Knuth TwoSum error
+        s = t
+    total = s.astype(jnp.float64) + e.astype(jnp.float64)
     return total * (jnp.asarray(sA) * sB)
 
 

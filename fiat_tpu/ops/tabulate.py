@@ -220,6 +220,14 @@ class BatchedTabulator:
                         for _ in range(ak):
                             M = M @ np.transpose(D[k])
                     self.alpha_mats[alpha] = M
+            # all derivative tables come from the SAME expansion values;
+            # the row-stacked form feeds the fused Pallas kernels
+            # (measured: one tall GEMM on the XLA path is output-bandwidth
+            # bound and ~35% SLOWER than per-alpha matmuls, so the XLA
+            # path keeps per-alpha multiword matmuls sharing one B split)
+            self._alpha_order = list(self.alpha_mats)
+            self._alpha_stacked = np.vstack(
+                [self.alpha_mats[a] for a in self._alpha_order])
 
         if self.matmul == "ozaki":
             from .multiword import MultiwordMatmul
@@ -253,17 +261,17 @@ class BatchedTabulator:
                     phi = base[(0,) * self.sd]
                     return {alpha: M @ phi for alpha, M in mats.items()}
         else:
+            # jets mode (or order 0): ONE change-of-basis matrix applied
+            # to every derivative table of the recurrence
             if use_ozaki:
                 from .multiword import prepare_B
-                mw = self._mw[None] if None in getattr(self, "_mw", {}) \
-                    else None
+                mw = self._mw[None]
 
-            if use_ozaki and mw is not None and self.order == 0:
                 def body(pts):
                     base = self.target_es._tabulate_on_cell(
-                        self.max_degree, pts, order=0)
-                    phi_p = prepare_B(base[(0,) * self.sd])
-                    return {(0,) * self.sd: mw.apply(phi_p)}
+                        self.max_degree, pts, order=self.order)
+                    return {alpha: mw.apply(prepare_B(tab))
+                            for alpha, tab in base.items()}
             else:
                 stacked = jnp.asarray(self.stacked, dtype=points.dtype)
 

@@ -42,11 +42,30 @@ def sharded_tabulate(tabulator, points, mesh, axis="points"):
     return tabulator(points)
 
 
+def _moment_rows(tabulator, points, wf):
+    """sum-factorised moments over every basis row of the fused zoo
+    (plain block + macro side programs, in the tabulator's row layout):
+    contract the (small) expansion table against the points FIRST
+    (2*nexp*npts flops + a psum of one nexp vector), then apply the nodal
+    change of basis (2*rows*nexp) -- instead of materialising the
+    (rows, npts) nodal table.  Associativity = gem's sum_factorise."""
+    base = tabulator._expansion_tables(points)
+    sd = points.shape[-1]
+    phi = base[(0,) * sd]                       # (nexp, npts) point-sharded
+    stacked = jnp.asarray(tabulator.stacked, dtype=points.dtype)
+    parts = [stacked @ (phi @ wf)]
+    for es, deg, flat in tabulator.special_progs:
+        phi_s = es._tabulate(deg, points, order=0)[(0,) * sd]
+        parts.append(jnp.asarray(flat, dtype=points.dtype) @ (phi_s @ wf))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def make_moment_step(tabulator, mesh, axis="points"):
     """A jitted 'assembly step': given sharded points, weights, and a field
     f at the points, compute all moments  M[i] = sum_q w_q phi_i(x_q) f(x_q)
-    for every basis function of the fused zoo.  The contraction reduces over
-    the sharded axis, so XLA emits an all-reduce (psum) across the mesh."""
+    for every basis function of the fused zoo (macro elements included via
+    their side programs).  The contraction reduces over the sharded axis,
+    so XLA emits an all-reduce (psum) across the mesh."""
     pspec = NamedSharding(mesh, P(axis, None))
     wspec = NamedSharding(mesh, P(axis))
 
@@ -54,17 +73,7 @@ def make_moment_step(tabulator, mesh, axis="points"):
              in_shardings=(pspec, wspec, wspec),
              out_shardings=NamedSharding(mesh, P()))
     def step(points, weights, f_at_pts):
-        # sum-factorised: contract the (small) expansion table against
-        # the points FIRST (2*nexp*npts flops + a psum of one nexp
-        # vector), then apply the nodal change of basis (2*rows*nexp) --
-        # instead of materialising the (rows, npts) nodal table
-        # (2*rows*nexp*npts flops).  Associativity = gem's sum_factorise.
-        base = tabulator._expansion_tables(points)
-        sd = points.shape[-1]
-        phi = base[(0,) * sd]                   # (nexp, npts) point-sharded
-        vec = phi @ (weights * f_at_pts)        # psum over the mesh
-        stacked = jnp.asarray(tabulator.stacked, dtype=points.dtype)
-        return stacked @ vec
+        return _moment_rows(tabulator, points, weights * f_at_pts)
     return step
 
 
@@ -93,6 +102,12 @@ def make_moment_step_2d(tabulator, mesh, axes=("points", "rows")):
     wspec = NamedSharding(mesh, P(paxis))
     out_spec = NamedSharding(mesh, P(raxis))
 
+    if tabulator.special_progs:
+        raise NotImplementedError(
+            "make_moment_step_2d row-shards the fused plain block only; "
+            "build the tabulator without macro elements (or use "
+            "make_moment_step, which includes macro side programs)")
+
     # zero-pad the stacked rows to a multiple of the row-axis size so
     # the output shards evenly; the step returns the padded moments
     # (first tabulator.stacked.shape[0] entries are the real ones)
@@ -117,10 +132,12 @@ def make_moment_step_2d(tabulator, mesh, axes=("points", "rows")):
 
 
 def make_interpolation_step(tabulator, mesh, axis="points"):
-    """The transpose direction: given coefficients per basis function,
-    evaluate the field at a sharded point batch (no communication; the
-    result stays point-sharded)."""
+    """The transpose direction: given coefficients per basis row of the
+    fused zoo (macro side programs included), evaluate the field at a
+    sharded point batch (no communication; the result stays
+    point-sharded)."""
     pspec = NamedSharding(mesh, P(axis, None))
+    plain_rows = tabulator.stacked.shape[0]
 
     @partial(jax.jit, in_shardings=(pspec, None),
              out_shardings=NamedSharding(mesh, P(axis)))
@@ -132,5 +149,12 @@ def make_interpolation_step(tabulator, mesh, axis="points"):
         sd = points.shape[-1]
         phi = base[(0,) * sd]                   # (nexp, npts)
         stacked = jnp.asarray(tabulator.stacked, dtype=points.dtype)
-        return (coefficients @ stacked) @ phi
+        out = (coefficients[:plain_rows] @ stacked) @ phi
+        cursor = plain_rows
+        for es, deg, flat in tabulator.special_progs:
+            phi_s = es._tabulate(deg, points, order=0)[(0,) * sd]
+            C = jnp.asarray(flat, dtype=points.dtype)
+            out = out + (coefficients[cursor:cursor + flat.shape[0]] @ C) @ phi_s
+            cursor += flat.shape[0]
+        return out
     return step

@@ -242,3 +242,69 @@ def test_macro_elements_in_batched_zoo():
             err = np.abs(np.asarray(tab[a]).reshape(host[a].shape)
                          - host[a]).max()
             assert err < 1e-10, (el, a, err)
+
+
+def test_moment_step_includes_macro_elements():
+    """ADVICE r1: moment/interpolation steps must cover macro side
+    programs, not just the fused plain block."""
+    els = [fe.Lagrange(T, 2), fe.HsiehCloughTocher(T, 3), fe.Lagrange(T, 1)]
+    bt = BatchedTabulator(els, order=0)
+    total_rows = max(hi for (lo, hi, shape) in bt.slices)
+    assert total_rows == sum(e.space_dimension() for e in els)
+
+    mesh = points_mesh()
+    pts = RNG.random((64, 2)) / 2
+    wts = RNG.random(64)
+    fvals = RNG.random(64)
+    step = make_moment_step(bt, mesh)
+    M = np.asarray(step(jnp.asarray(pts), jnp.asarray(wts), jnp.asarray(fvals)))
+    assert M.shape == (total_rows,)
+    # host oracle per element
+    for el, (lo, hi, shape) in zip(els, bt.slices):
+        host = el.tabulate(0, pts)[(0, 0)] @ (wts * fvals)
+        assert np.allclose(M[lo:hi], host, atol=1e-11), type(el).__name__
+
+    # transpose direction
+    coeffs = RNG.random(total_rows)
+    interp = make_interpolation_step(bt, mesh)
+    vals = np.asarray(interp(jnp.asarray(pts), jnp.asarray(coeffs)))
+    host = np.zeros(64)
+    for el, (lo, hi, shape) in zip(els, bt.slices):
+        host += coeffs[lo:hi] @ el.tabulate(0, pts)[(0, 0)]
+    assert np.allclose(vals, host, atol=1e-11)
+
+
+def test_moment_step_2d_rejects_macro():
+    from fiat_tpu.parallel.sharding import make_moment_step_2d, zoo_mesh
+    els = [fe.Lagrange(T, 2), fe.HsiehCloughTocher(T, 3)]
+    bt = BatchedTabulator(els, order=0)
+    mesh = zoo_mesh(n_points=4, n_rows=2)
+    with pytest.raises(NotImplementedError):
+        make_moment_step_2d(bt, mesh)
+
+
+def test_multiword_ozaki_long_contraction():
+    """ADVICE r1: K > 1024 contractions must keep group-0 exactness by
+    splitting the contraction axis."""
+    from fiat_tpu.ops.multiword import MultiwordMatmul
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((16, 3000))
+    B = rng.standard_normal((3000, 24))
+    mm = MultiwordMatmul(A)
+    C = np.asarray(mm(jnp.asarray(B)))
+    rel = np.abs(C - A @ B).max() / np.abs(A @ B).max()
+    assert rel < 1e-12, rel
+
+
+def test_batched_ozaki_jets_path():
+    """ADVICE r1: matmul='ozaki' with derivs='jets' and order>0 must run
+    the multiword path (previously silently fell back to native f64)."""
+    els = [fe.Lagrange(T, 3), fe.Lagrange(T, 5)]
+    bt = BatchedTabulator(els, order=1, derivs="jets", matmul="ozaki")
+    pts = RNG.random((40, 2)) / 2
+    tabs = bt.unpack(bt(jnp.asarray(pts)))
+    for el, tab in zip(els, tabs):
+        host = el.tabulate(1, pts)
+        for alpha in host:
+            assert np.allclose(np.asarray(tab[alpha]), host[alpha],
+                               atol=1e-10), alpha

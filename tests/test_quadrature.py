@@ -113,3 +113,32 @@ def test_grundmann_moller_exactness(dim, degree):
     Qd = create_quadrature(T, degree, scheme="default")
     Qc = create_quadrature(T, degree, scheme="canonical")
     assert len(Qd.get_points()) <= len(Qc.get_points())
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("degree", [21, 25])
+def test_grundmann_moller_high_degree_accuracy(dim, degree):
+    """Regression: with exact rational weight accumulation the GM rule
+    stays within the default-scheme gate's error budget (~3e-12 relative)
+    up to the degree-25 gate."""
+    from itertools import islice, product as iproduct
+    from math import factorial, prod
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+    T = cl.ufc_simplex(dim)
+    Q = create_quadrature(T, degree, scheme="gm")
+    pts, wts = np.asarray(Q.get_points()), np.asarray(Q.get_weights())
+    tops = (a for a in iproduct(range(degree + 1), repeat=dim)
+            if sum(a) == degree)
+    for alpha in islice(tops, 8):
+        exact = prod(factorial(a) for a in alpha) / factorial(degree + dim)
+        val = wts @ np.prod(pts ** np.array(alpha), axis=1)
+        assert abs(val - exact) / exact < 5e-12, alpha
+
+
+def test_default_scheme_gm_gate():
+    """The default scheme must not select GM past the documented gate."""
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+    T = cl.ufc_simplex(2)
+    Q26 = create_quadrature(T, 26, scheme="default")
+    Qc26 = create_quadrature(T, 26, scheme="canonical")
+    assert len(Q26.get_points()) == len(Qc26.get_points())
