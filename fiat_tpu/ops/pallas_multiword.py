@@ -1,0 +1,223 @@
+"""Fused multiword (Ozaki) change-of-basis kernel: the f64 accuracy path
+on the bf16 MXU, without HBM round-trips.
+
+The XLA f64 path (ops/tabulate.py + ops/multiword.py) materialises every
+Ozaki group product (rows, npts) f32 in HBM before the TwoSum combine --
+for the full zoo that is ~12 GB of intermediate traffic per pass.  This
+kernel performs, per (row-block, point-tile) grid cell, entirely in VMEM:
+
+  * the 4 batched group dots over the bf16 slices (MXU),
+  * the TwoSum two-float combine (VPU, f32),
+  * the exact power-of-two unscale,
+
+and writes ONLY the two-float result (hi, lo) with hi + lo == the f64
+Ozaki product exactly.  ``combine=True`` adds the one emulated-f64
+hi + lo promotion in XLA; downstream pair-aware consumers can skip it.
+
+Grid layout: (row_blocks, point_tiles) with the A-slice blocks constant
+over the inner point sweep, so A streams exactly once and B streams once
+per row block.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .multiword import (DEFAULT_ORDER, DEFAULT_SLICES, prepare_B,
+                        split_scaled_host)
+
+
+def _batch_index_sets(order, nslices):
+    """The shared-accumulation batches of the XLA path (multiword.py):
+    group 0 alone, then adjacent-order pairs."""
+    batches = [(0,)] + [tuple(t for t in pair if t <= order)
+                        for pair in ((1, 2), (3, 4), (5, 6), (7, 8))]
+    out = []
+    for ts in batches:
+        idx = [(i, t - i) for t in ts for i in range(t + 1)
+               if i < nslices and t - i < nslices]
+        if idx:
+            out.append(idx)
+    return out
+
+
+class FusedMultiwordMatmul:
+    """``fm = FusedMultiwordMatmul(A); hi, lo = fm.apply_pair(B_prepared)``
+    computes A @ B to f64 accuracy as an exact two-float pair, fusing the
+    whole group-dot + combine pipeline in one Pallas kernel."""
+
+    def __init__(self, A, nslices=DEFAULT_SLICES, order=DEFAULT_ORDER,
+                 row_block=512, point_tile=512, interpret=False):
+        self.shape = A.shape
+        self.nslices = nslices
+        self.order = order
+        self.interpret = interpret
+        rows, self.K = A.shape
+        self.row_block = min(row_block, max(256, rows))
+        self.point_tile = point_tile
+        self.rows = rows
+        self.rpad = -(-rows // self.row_block) * self.row_block
+
+        slices, sA = split_scaled_host(A, nslices)
+        pad = self.rpad - rows
+        self.A_slices = [jnp.asarray(np.pad(np.asarray(s, np.float32),
+                                            ((0, pad), (0, 0))
+                                            ).astype(s.dtype))
+                         for s in slices]
+        self.sA = jnp.asarray(np.pad(sA.astype(np.float32),
+                                     ((0, pad), (0, 0)), constant_values=1.0))
+        self.batches = _batch_index_sets(order, nslices)
+
+    def _kernel(self, *refs):
+        n = self.nslices
+        a_refs = refs[:n]
+        b_refs = refs[n:2 * n]
+        sa_ref, sb_ref = refs[2 * n], refs[2 * n + 1]
+        hi_ref, lo_ref = refs[2 * n + 2], refs[2 * n + 3]
+
+        # interleave each batched group dot with the TwoSum accumulation
+        # so only (s, e) stay live between dots
+        s = e = None
+        for idx in self.batches:
+            Acat = jnp.concatenate([a_refs[i][:] for i, _ in idx], axis=1)
+            Bcat = jnp.concatenate([b_refs[j][:] for _, j in idx], axis=0)
+            g = jnp.dot(Acat, Bcat, preferred_element_type=jnp.float32)
+            if s is None:
+                s, e = g, jnp.zeros_like(g)
+            else:
+                t = s + g
+                bp = t - s
+                e = e + ((s - (t - bp)) + (g - bp))   # Knuth TwoSum error
+                s = t
+        scale = sa_ref[:] * sb_ref[:]             # pow2 * pow2: exact in f32
+        hi_ref[:] = s * scale
+        lo_ref[:] = e * scale
+
+    def apply_pair(self, B_prepared):
+        """(hi, lo) f32 pair with hi + lo == (A @ B) in the multiword
+        scheme's accuracy; B_prepared from multiword.prepare_B."""
+        B_slices, sB = B_prepared
+        npts = B_slices[0].shape[1]
+        T = self.point_tile
+        tpad = -(-npts // T) * T
+        pad = tpad - npts
+        Bp = [jnp.pad(b, ((0, 0), (0, pad))) for b in B_slices]
+        sBp = jnp.pad(sB.astype(jnp.float32), ((0, 0), (0, pad)),
+                      constant_values=1.0)
+
+        Rb = self.row_block
+        grid = (self.rpad // Rb, tpad // T)
+        K = self.K
+
+        # A blocks move with the OUTER grid axis only: streamed once;
+        # B tiles move with the inner axis: streamed once per row block
+        a_spec = pl.BlockSpec((Rb, K), lambda r, t: (r, t * 0),
+                              memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((K, T), lambda r, t: (r * 0, t),
+                              memory_space=pltpu.VMEM)
+        sa_spec = pl.BlockSpec((Rb, 1), lambda r, t: (r, t * 0),
+                               memory_space=pltpu.VMEM)
+        sb_spec = pl.BlockSpec((1, T), lambda r, t: (r * 0, t),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((Rb, T), lambda r, t: (r, t),
+                                memory_space=pltpu.VMEM)
+
+        npairs = sum(len(idx) for idx in self.batches)
+        hi, lo = pl.pallas_call(
+            self._kernel,
+            grid=grid,
+            in_specs=[a_spec] * self.nslices + [b_spec] * self.nslices
+            + [sa_spec, sb_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32),
+                       jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32)),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * self.rpad * tpad * K * npairs,
+                bytes_accessed=2 * K * tpad * self.nslices * grid[0]
+                + 2 * self.rpad * K * self.nslices + 8 * self.rpad * tpad,
+                transcendentals=0,
+            ),
+        )(*self.A_slices, *Bp, self.sA, sBp)
+        return hi[:self.rows, :npts], lo[:self.rows, :npts]
+
+    def __call__(self, B):
+        hi, lo = self.apply_pair(prepare_B(jnp.asarray(B), self.nslices))
+        return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+    def apply(self, B_prepared):
+        """f64 result (combines the pair with one emulated-f64 add)."""
+        hi, lo = self.apply_pair(B_prepared)
+        return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+class FusedZooTabulator:
+    """The f64 accuracy path of a BatchedTabulator with the multiword
+    change of basis fused in Pallas.
+
+    ``fz = FusedZooTabulator(batched); tables = fz(points)`` matches
+    ``batched(points)`` (same {alpha: (rows, npts)} layout, f64) with the
+    Ozaki group dots + combine kept in VMEM.  ``fz.pair_tables(points)``
+    returns exact (hi, lo) f32 pairs instead, skipping the final
+    emulated-f64 promotion for pair-aware consumers.  Macro side programs
+    (split-complex expansions) stay on the XLA engine and are appended to
+    each table, as in BatchedTabulator."""
+
+    def __init__(self, batched, interpret=False, **kw):
+        self.batched = batched
+        self.sd = batched.sd
+        if batched.alpha_mats:
+            self.alphas = batched._alpha_order
+            tall = batched._alpha_stacked
+        else:
+            self.alphas = [(0,) * self.sd]
+            tall = batched.stacked
+        self.rows = batched.stacked.shape[0]
+        self.fm = FusedMultiwordMatmul(tall, interpret=interpret, **kw)
+        self._jit_pairs = jax.jit(self._pairs)
+        self._jit_f64 = jax.jit(self._f64)
+
+    def _phi(self, points):
+        from .tabulate import _tiled_apply
+        b = self.batched
+        base = _tiled_apply(
+            lambda t: b.target_es._tabulate_on_cell(b.max_degree, t, order=0),
+            points, b.tile)
+        return base[(0,) * self.sd]
+
+    def _split(self, hi, lo):
+        r = self.rows
+        return {a: (hi[k * r:(k + 1) * r], lo[k * r:(k + 1) * r])
+                for k, a in enumerate(self.alphas)}
+
+    def _specials(self, points):
+        """Macro side tables {alpha: [blocks]} via the XLA engine."""
+        b = self.batched
+        parts = {a: [] for a in self.alphas}
+        for es, deg, flat in b.special_progs:
+            base = es._tabulate(deg, points, order=b.order)
+            C = jnp.asarray(flat, dtype=points.dtype)
+            for alpha in parts:
+                parts[alpha].append(C @ base[alpha])
+        return parts
+
+    def _pairs(self, points):
+        hi, lo = self.fm.apply_pair(prepare_B(self._phi(points)))
+        return self._split(hi, lo)
+
+    def _f64(self, points):
+        out = {a: h.astype(jnp.float64) + l.astype(jnp.float64)
+               for a, (h, l) in self._pairs(points).items()}
+        if self.batched.special_progs:
+            specials = self._specials(points)
+            out = {a: jnp.concatenate([out[a]] + specials[a], axis=0)
+                   for a in out}
+        return out
+
+    def pair_tables(self, points):
+        return self._jit_pairs(jnp.asarray(points))
+
+    def __call__(self, points):
+        return self._jit_f64(jnp.asarray(points))

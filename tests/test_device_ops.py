@@ -308,3 +308,40 @@ def test_batched_ozaki_jets_path():
         for alpha in host:
             assert np.allclose(np.asarray(tab[alpha]), host[alpha],
                                atol=1e-10), alpha
+
+
+def test_fused_multiword_pallas_interpret():
+    """The fused Ozaki kernel (pallas_multiword) matches the XLA multiword
+    path and the exact product; pairs recombine exactly."""
+    from fiat_tpu.ops.pallas_multiword import FusedMultiwordMatmul, FusedZooTabulator
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((700, 66)) * np.exp(rng.standard_normal((700, 1)))
+    B = rng.standard_normal((66, 900))
+    fm = FusedMultiwordMatmul(A, interpret=True, row_block=256, point_tile=256)
+    C = np.asarray(fm(jnp.asarray(B)))
+    rel = np.abs(C - A @ B).max() / np.abs(A @ B).max()
+    assert rel < 1e-12, rel
+
+    els = [fe.Lagrange(T, p) for p in (2, 4)] + [fe.Nedelec(T, 1), fe.CubicHermite(T)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256, point_tile=256)
+    pts = RNG.random((150, 2)) / 2
+    fused = fz(jnp.asarray(pts))
+    xla = bt(jnp.asarray(pts))
+    for a in xla:
+        assert np.allclose(np.asarray(fused[a]), np.asarray(xla[a]),
+                           atol=1e-11), a
+
+
+def test_fused_zoo_macro_side_programs_interpret():
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    els = [fe.Lagrange(T, 3), fe.HsiehCloughTocher(T, 3)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256, point_tile=256)
+    pts = RNG.random((100, 2)) / 2
+    fused = fz(jnp.asarray(pts))
+    for el, tab in zip(els, bt.unpack(fused)):
+        host = el.tabulate(1, pts)
+        for a in host:
+            assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
+                               host[a], atol=1e-10), (type(el).__name__, a)
