@@ -1,14 +1,22 @@
-"""Benchmark: batched full-zoo tabulation throughput on TPU vs NumPy FIAT.
+"""Benchmark: the five BASELINE.json configs on TPU vs NumPy FIAT.
 
-Tabulates values + gradients of a zoo of triangle elements (Lagrange/DG
-p=1..10, RT/Nedelec/BDM k=1..6, Hermite, Morley, Argyris, Bell) at 1e5
-points in ONE fused jitted program (BatchedTabulator), in float64, and
-compares against the reference FIAT doing the same tabulations on CPU
-(imported from /root/reference via the bundled recursivenodes shim).
+Each config tabulates (values + gradients, float64 via the fused Ozaki
+multiword engine) on the TPU and runs the same tabulations with the
+reference FIAT on CPU (imported from /root/reference via the bundled
+recursivenodes shim):
 
-Prints one JSON line:
-  {"metric": ..., "value": points*basis-values/sec, "unit": ...,
-   "vs_baseline": speedup_over_reference, ...}
+  1. p2_tri      P2 Lagrange/triangle at the degree-4 Gauss-Jacobi rule,
+                 tiled to 1e5 points (assembly over ~11k cells)
+  2. tet8_hex    order-8 Lagrange/tet at 1e5 points + order-8 GLL/hex
+                 sum-factorised moments on a 46^3 factored grid
+  3. hdiv_hcurl  RT / Nedelec / BDM on triangles (k<=6) and tets (k<=3)
+  4. c1_macro    C1 zoo: Hermite, Morley, Argyris, Bell + HCT and
+                 Powell-Sabin 6/12 macro side programs
+  5. full_zoo    the full triangle sweep (Lagrange/DG p<=10, RT/Ned/BDM
+                 k<=6, Hermite, Morley, Argyris, Bell, HCT, PS6)
+
+Prints ONE JSON line: the headline metric is the full-zoo sweep; the
+other configs are recorded under "configs".
 """
 
 import json
@@ -25,18 +33,135 @@ if os.path.isdir("/root/reference"):
     sys.path.insert(0, "/root/reference")
 
 NPTS = 100_000
+NREF = 20_000   # reference CPU timing points (scaled linearly to NPTS)
 NCHECK = 2_000
+K = 4  # chained device iterations per timed fetch
 
 
-def build_zoo(cells_mod, lagrange, dg, rt, ned, bdm, hermite, morley, argyris, bell):
-    T = cells_mod(2)
-    zoo = [lagrange(T, p) for p in range(1, 11)]
-    zoo += [dg(T, p) for p in range(1, 9)]
-    zoo += [rt(T, k) for k in range(1, 7)]
-    zoo += [ned(T, k) for k in range(1, 7)]
-    zoo += [bdm(T, k) for k in range(1, 7)]
-    zoo += [hermite(T), morley(T), argyris(T, 5), bell(T)]
-    return zoo
+def chain_timer(jax, jnp, fn, arg, reps=3):
+    """min wall time of one fn(arg) execution: K chained executions inside
+    one jitted scan, synced by a scalar host fetch (async-dispatch safe)."""
+    @jax.jit
+    def chained(a):
+        def body(c, _):
+            out = fn(a)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(v) for v in leaves)
+            return c + 1e-300 * s, s
+        _, ss = jax.lax.scan(body, 0.0, None, length=K)
+        return ss
+    float(np.asarray(chained(arg))[0])          # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(chained(arg))[0])
+        times.append(time.perf_counter() - t0)
+    return min(times) / K
+
+
+def host_timer(fn, reps=1):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
+               nref=NREF):
+    """Time a fused f64 zoo pass on TPU vs the same tabulations on CPU.
+    The CPU reference is timed at ``nref`` points and scaled linearly
+    unless ``full_ref`` (tabulation cost is linear in the point count)."""
+    from fiat_tpu.ops.tabulate import BatchedTabulator
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    bt = BatchedTabulator(mine, order=order)
+    fz = FusedZooTabulator(bt)
+    dpts = jnp.asarray(pts)
+    sys.stderr.write(f"[bench] {name}: compiled+timing\n"); sys.stderr.flush()
+    tpu_time = chain_timer(jax, jnp, fz._f64, dpts, reps=2)
+    sys.stderr.write(f"[bench] {name}: tpu {tpu_time*1e3:.1f} ms\n"); sys.stderr.flush()
+    rows = max(hi for (lo, hi, shape) in bt.slices)
+    ntab = len(fz.alphas)
+    work = rows * len(pts) * ntab
+
+    max_err = ref_time = speedup = None
+    if ref is not None:
+        sub = pts[:NCHECK]
+        per = bt.unpack({a: np.asarray(v) for a, v in fz(jnp.asarray(sub)).items()})
+        max_err = 0.0
+        for e, tab in zip(ref, per):
+            theirs = e.tabulate(order, sub)
+            for a in theirs:
+                max_err = max(max_err, float(np.abs(
+                    np.asarray(theirs[a]) - tab[a].reshape(np.shape(theirs[a]))).max()))
+        sys.stderr.write(f"[bench] {name}: parity done, timing reference\n"); sys.stderr.flush()
+        rpts = pts if full_ref else pts[:nref]
+        ref_time = host_timer(lambda: [e.tabulate(order, rpts) for e in ref])
+        ref_time *= len(pts) / len(rpts)
+        speedup = ref_time / tpu_time
+    return {"name": name, "elements": len(mine), "rows": rows,
+            "tpu_ms": tpu_time * 1e3, "ref_s": ref_time, "speedup": speedup,
+            "max_abs_err": max_err, "work": work,
+            "values_per_s": work / tpu_time}
+
+
+def hex_gll_config(jax, jnp, FIAT):
+    """Order-8 GLL hex: sum-factorised moments on a 46^3 factored grid vs
+    the reference's dense tabulation + contraction."""
+    from fiat_tpu.core import cells as cl
+    from fiat_tpu.core.barycentric import (barycentric_interpolation,
+                                           get_lagrange_points)
+    from fiat_tpu import elements as fe
+    from fiat_tpu.core.quadrature import GaussJacobiQuadratureLineRule
+
+    I = cl.ufc_simplex(1)
+    gll = fe.GaussLobattoLegendre(I, 8)
+    m = 46
+    rule = GaussJacobiQuadratureLineRule(I, m)
+    x1, w1 = rule.get_points(), rule.get_weights()
+    phi1 = gll.tabulate(0, x1)[(0,)]                # (9, m) 1D factor table
+
+    P1 = jnp.asarray(phi1)
+    W1 = jnp.asarray(w1)
+    rng = np.random.default_rng(0)
+    F = jnp.asarray(rng.random((m, m, m)))
+
+    def moments(f):
+        # sum-factorised: contract one axis at a time, O(p*N) per axis
+        t = jnp.einsum("aq,qrs->ars", P1 * W1, f)
+        t = jnp.einsum("br,ars->abs", P1 * W1, t)
+        return jnp.einsum("cs,abs->abc", P1 * W1, t)
+
+    tpu_time = chain_timer(jax, jnp, moments, F)
+    M = np.asarray(moments(F)).reshape(-1)
+
+    ref_time = max_err = speedup = None
+    if FIAT is not None:
+        # the unfactorised reference: the FIAT hex element's dense
+        # (729, m^3) table + one contraction
+        ri = FIAT.ufc_simplex(1)
+        rgll = FIAT.GaussLobattoLegendre(ri, 8)
+        rphi = rgll.tabulate(0, np.asarray(x1))[(0,)]
+        max_err = float(np.abs(rphi - phi1).max())
+        tp = FIAT.tensor_product.TensorProductElement(
+            FIAT.tensor_product.TensorProductElement(rgll, rgll), rgll)
+        hexel = FIAT.tensor_product.FlattenedDimensions(tp)
+        xg = np.asarray(x1).ravel()
+        grid = np.stack(np.meshgrid(xg, xg, xg, indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+        w3f = (np.einsum("p,q,r->pqr", w1, w1, w1) * np.asarray(F)).ravel()
+
+        def ref_pass():
+            tab = hexel.tabulate(0, grid)[(0, 0, 0)]
+            return tab @ w3f
+        Mr = ref_pass()
+        max_err = max(max_err, float(np.abs(Mr - M).max() / np.abs(Mr).max()))
+        ref_time = host_timer(ref_pass)
+        speedup = ref_time / tpu_time
+    return {"name": "hex_gll_sumfact", "tpu_ms": tpu_time * 1e3,
+            "ref_s": ref_time, "speedup": speedup, "max_abs_err": max_err,
+            "npts": m ** 3}
 
 
 def main():
@@ -46,130 +171,106 @@ def main():
 
     import fiat_tpu  # noqa: F401
     from fiat_tpu.core import cells as cl
-    from fiat_tpu.elements.argyris import Argyris
-    from fiat_tpu.elements.bell import Bell
-    from fiat_tpu.elements.brezzi_douglas_marini import BrezziDouglasMarini
-    from fiat_tpu.elements.discontinuous_lagrange import DiscontinuousLagrange
-    from fiat_tpu.elements.hermite import CubicHermite
-    from fiat_tpu.elements.lagrange import Lagrange
-    from fiat_tpu.elements.morley import Morley
-    from fiat_tpu.elements.nedelec import Nedelec
-    from fiat_tpu.elements.raviart_thomas import RaviartThomas
-    from fiat_tpu.ops.tabulate import BatchedTabulator
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+    from fiat_tpu import elements as fe
 
-    zoo = build_zoo(cl.ufc_simplex, Lagrange, DiscontinuousLagrange,
-                    RaviartThomas, Nedelec, BrezziDouglasMarini,
-                    CubicHermite, Morley, Argyris, Bell)
-    tab = BatchedTabulator(zoo, order=1)
-
-    rng = np.random.default_rng(42)
-    pts = rng.random((NPTS, 2))
-    pts = pts / (pts.sum(axis=1)[:, None] + 1e-9) * rng.random((NPTS, 1))
-    dpts = jnp.asarray(pts)
-
-    # one output entry = one (basis row x point) value per derivative table
-    rows = tab.stacked.shape[0]
-    n_tables = 3  # value + 2 gradient components
-    work = rows * NPTS * n_tables
-
-    # Remote/async dispatch makes block_until_ready unreliable for timing
-    # through a device tunnel: run K chained iterations inside ONE program
-    # and fetch a scalar, so the wall time provably covers K executions.
-    K = 8
-
-    @jax.jit
-    def chained(points):
-        def body(p, _):
-            tables = tab._tabulate(p)
-            s = sum(jnp.sum(t) for t in tables.values())
-            return p + 1e-300 * s, s
-        _, ss = jax.lax.scan(body, points, None, length=K)
-        return ss
-
-    float(np.asarray(chained(dpts))[0])       # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(np.asarray(chained(dpts))[0])   # host fetch = hard sync
-        times.append(time.perf_counter() - t0)
-    tpu_time = min(times) / K
-    value = work / tpu_time
-
-    # ---- reference FIAT on CPU, same tabulations -------------------------
-    vs_baseline = None
-    max_err = None
     try:
         import FIAT
-        ref_zoo = build_zoo(FIAT.ufc_simplex, FIAT.Lagrange,
-                            FIAT.DiscontinuousLagrange, FIAT.RaviartThomas,
-                            FIAT.Nedelec, FIAT.BrezziDouglasMarini,
-                            FIAT.CubicHermite, FIAT.Morley, FIAT.Argyris,
-                            FIAT.Bell)
-        # accuracy check on a subset of points
-        sub = pts[:NCHECK]
-        fused = {a: np.asarray(v)[:, :NCHECK] for a, v in tab(jnp.asarray(sub)).items()}
-        per = tab.unpack(fused)
-        max_err = 0.0
-        for e, mine in zip(ref_zoo, per):
-            theirs = e.tabulate(1, sub)
-            for a in theirs:
-                max_err = max(max_err, float(abs(theirs[a]
-                                                 - mine[a].reshape(theirs[a].shape)).max()))
-        # timing: min of 2 passes (host timing is load-sensitive)
-        ref_time = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for e in ref_zoo:
-                e.tabulate(1, pts)
-            ref_time = min(ref_time, time.perf_counter() - t0)
-        vs_baseline = (work / tpu_time) / (work / ref_time)
-    except Exception as exc:  # reference unavailable: report absolute only
-        sys.stderr.write(f"reference comparison skipped: {exc}\n")
-
-    # ---- pallas fused f32 throughput path (values + gradients) -----------
-    pallas_vps = None
-    pallas_err = None
-    try:
-        from fiat_tpu.ops.pallas_tabulate import PallasZooTabulator
-        ptab = PallasZooTabulator(tab)   # fuses all 3 tables
-
-        @jax.jit
-        def pallas_chained(points):
-            def body(p, _):
-                out = ptab._apply(p)
-                s = jnp.sum(out)
-                return p + 1e-30 * s, s
-            _, ss = jax.lax.scan(body, points.astype(jnp.float32), None,
-                                 length=K)
-            return ss
-
-        float(np.asarray(pallas_chained(dpts))[0])
-        t0 = time.perf_counter()
-        float(np.asarray(pallas_chained(dpts))[0])
-        pallas_time = (time.perf_counter() - t0) / K
-        pallas_vps = ptab.rows * NPTS / pallas_time
-        sub = pts[:NCHECK]
-        fused32 = ptab.unpack(np.asarray(ptab(jnp.asarray(sub))))
-        ref64 = tab(jnp.asarray(sub))
-        pallas_err = max(
-            float(np.abs(fused32[a] - np.asarray(ref64[a])).max()
-                  / max(1.0, np.abs(np.asarray(ref64[a])).max()))
-            for a in ref64)
     except Exception as exc:
-        sys.stderr.write(f"pallas path skipped: {exc}\n")
+        sys.stderr.write(f"reference unavailable: {exc}\n")
+        FIAT = None
+
+    tri, tet = cl.ufc_simplex(2), cl.ufc_simplex(3)
+    rtri = FIAT.ufc_simplex(2) if FIAT else None
+    rtet = FIAT.ufc_simplex(3) if FIAT else None
+
+    rng = np.random.default_rng(42)
+    pts2 = rng.random((NPTS, 2))
+    pts2 = pts2 / (pts2.sum(axis=1)[:, None] + 1e-9) * rng.random((NPTS, 1))
+    pts3 = rng.random((NPTS, 3))
+    pts3 = pts3 / (pts3.sum(axis=1)[:, None] + 1e-9) * rng.random((NPTS, 1))
+
+    configs = []
+
+    # -- config 1: P2 on triangle at the degree-4 rule, tiled ----------------
+    q4 = create_quadrature(tri, 4).get_points()
+    tiled = np.tile(q4, (NPTS // len(q4) + 1, 1))[:NPTS]
+    configs.append(zoo_config(
+        jax, jnp, "p2_tri_deg4rule", [fe.Lagrange(tri, 2)],
+        [FIAT.Lagrange(rtri, 2)] if FIAT else None, tiled))
+
+    # -- config 2: order-8 tet + GLL hex sum-factorised ----------------------
+    configs.append(zoo_config(
+        jax, jnp, "tet_lagrange8", [fe.Lagrange(tet, 8)],
+        [FIAT.Lagrange(rtet, 8)] if FIAT else None, pts3, nref=2000))
+    configs.append(hex_gll_config(jax, jnp, FIAT))
+
+    # -- config 3: H(div)/H(curl) on tri + tet --------------------------------
+    tri_vec = [fe.RaviartThomas(tri, k) for k in range(1, 7)] \
+        + [fe.Nedelec(tri, k) for k in range(1, 7)] \
+        + [fe.BrezziDouglasMarini(tri, k) for k in range(1, 7)]
+    rtri_vec = ([FIAT.RaviartThomas(rtri, k) for k in range(1, 7)]
+                + [FIAT.Nedelec(rtri, k) for k in range(1, 7)]
+                + [FIAT.BrezziDouglasMarini(rtri, k) for k in range(1, 7)]
+                ) if FIAT else None
+    c3a = zoo_config(jax, jnp, "hdiv_hcurl_tri", tri_vec, rtri_vec, pts2)
+    tet_vec = [fe.RaviartThomas(tet, k) for k in range(1, 4)] \
+        + [fe.Nedelec(tet, k) for k in range(1, 4)] \
+        + [fe.BrezziDouglasMarini(tet, k) for k in range(1, 4)]
+    rtet_vec = ([FIAT.RaviartThomas(rtet, k) for k in range(1, 4)]
+                + [FIAT.Nedelec(rtet, k) for k in range(1, 4)]
+                + [FIAT.BrezziDouglasMarini(rtet, k) for k in range(1, 4)]
+                ) if FIAT else None
+    c3b = zoo_config(jax, jnp, "hdiv_hcurl_tet", tet_vec, rtet_vec, pts3,
+                     nref=2000)
+    configs.extend([c3a, c3b])
+
+    # -- config 4: C1 + macro zoo ---------------------------------------------
+    c1 = [fe.CubicHermite(tri), fe.Morley(tri), fe.Argyris(tri, 5),
+          fe.Bell(tri), fe.HsiehCloughTocher(tri, 3),
+          fe.QuadraticPowellSabin6(tri), fe.QuadraticPowellSabin12(tri)]
+    rc1 = ([FIAT.CubicHermite(rtri), FIAT.Morley(rtri), FIAT.Argyris(rtri, 5),
+            FIAT.Bell(rtri), FIAT.HsiehCloughTocher(rtri, 3),
+            FIAT.QuadraticPowellSabin6(rtri), FIAT.QuadraticPowellSabin12(rtri)]
+           if FIAT else None)
+    configs.append(zoo_config(jax, jnp, "c1_macro_zoo", c1, rc1, pts2))
+
+    # -- config 5: the full triangle sweep (headline) -------------------------
+    def full_zoo(mods):
+        cell, L, DG, RT, N, BDM, H, M, A, B, HCT, PS6 = mods
+        return ([L(cell, p) for p in range(1, 11)]
+                + [DG(cell, p) for p in range(1, 9)]
+                + [RT(cell, k) for k in range(1, 7)]
+                + [N(cell, k) for k in range(1, 7)]
+                + [BDM(cell, k) for k in range(1, 7)]
+                + [H(cell), M(cell), A(cell, 5), B(cell),
+                   HCT(cell, 3), PS6(cell)])
+
+    zoo = full_zoo((tri, fe.Lagrange, fe.DiscontinuousLagrange,
+                    fe.RaviartThomas, fe.Nedelec, fe.BrezziDouglasMarini,
+                    fe.CubicHermite, fe.Morley, fe.Argyris, fe.Bell,
+                    fe.HsiehCloughTocher, fe.QuadraticPowellSabin6))
+    rzoo = full_zoo((rtri, FIAT.Lagrange, FIAT.DiscontinuousLagrange,
+                     FIAT.RaviartThomas, FIAT.Nedelec,
+                     FIAT.BrezziDouglasMarini, FIAT.CubicHermite, FIAT.Morley,
+                     FIAT.Argyris, FIAT.Bell, FIAT.HsiehCloughTocher,
+                     FIAT.QuadraticPowellSabin6)) if FIAT else None
+    head = zoo_config(jax, jnp, "full_zoo", zoo, rzoo, pts2)
+    configs.append(head)
 
     result = {
-        "metric": "fused full-zoo tabulation (values+grads, 41 triangle "
-                  "elements, p<=10, 1e5 pts, f64)",
-        "value": value,
+        "metric": (f"fused full-zoo tabulation (values+grads, "
+                   f"{head['elements']} triangle elements incl. macro, "
+                   f"p<=10, 1e5 pts, f64 fused-ozaki)"),
+        "value": head["values_per_s"],
         "unit": "basis-values/s",
-        "vs_baseline": vs_baseline,
-        "tpu_time_s": tpu_time,
-        "max_abs_err_vs_reference": max_err,
+        "vs_baseline": head["speedup"],
+        "tpu_time_s": head["tpu_ms"] / 1e3,
+        "max_abs_err_vs_reference": head["max_abs_err"],
         "device": str(jax.devices()[0]),
-        "rows": rows,
-        "pallas_f32_values_per_s": pallas_vps,
-        "pallas_f32_rel_err": pallas_err,
+        "rows": head["rows"],
+        "configs": {c["name"]: {k: v for k, v in c.items() if k != "name"}
+                    for c in configs},
     }
     print(json.dumps(result))
 

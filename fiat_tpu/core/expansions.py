@@ -520,8 +520,11 @@ class ExpansionSet:
         facet_point_map = {}
         for facet in self.ref_el.get_interior_facets(sd - 1):
             cells_ = self.ref_el.connectivity[(sd - 1, sd)][facet]
-            ipts = list(set.intersection(*(set(np.atleast_1d(cell_point_map[c]))
-                                           for c in cells_ if c in cell_point_map)))
+            # a jump needs the point binned to BOTH adjacent cells; a cell
+            # with no points at all contributes the empty set
+            ipts = list(set.intersection(
+                *(set(np.atleast_1d(cell_point_map.get(c, ())))
+                  for c in cells_)))
             if ipts:
                 facet_point_map[facet] = ipts
                 num_jumps += len(ipts)

@@ -36,14 +36,16 @@ def nodal_coefficients(poly_set, dual):
     Bf = B.reshape(n, -1)
     V = R.reshape(n, -1) @ Bf.T
 
-    VT = V.T
-    lu, piv = lu_factor(VT)
+    # factorise V and solve the TRANSPOSED system V^T c = B: with LU(V)
+    # the nodality product V c^T stays ~eps-accurate even at large
+    # condition numbers (LU(V^T) loses ~cond(V)*eps on it)
+    lu, piv = lu_factor(V)
     gecon, = get_lapack_funcs(("gecon",), (lu,))
-    rcond, _ = gecon(lu, np.linalg.norm(VT, 1))
-    if rcond < np.finfo(VT.dtype).eps:
+    rcond, _ = gecon(lu, np.linalg.norm(V, 1))
+    if rcond < np.finfo(V.dtype).eps:
         raise np.linalg.LinAlgError(
             f"Singular Vandermonde matrix (rcond={rcond:.1e})")
-    coeffs = lu_solve((lu, piv), Bf).reshape((n,) + B.shape[1:])
+    coeffs = lu_solve((lu, piv), Bf, trans=1).reshape((n,) + B.shape[1:])
     return coeffs, V
 
 

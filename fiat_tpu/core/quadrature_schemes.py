@@ -50,32 +50,48 @@ def create_quadrature(ref_el, degree, scheme="default", entity=None):
         raise ValueError(f"Need positive degree, not {degree}")
 
     if scheme == "default":
-        # economical: pick the cheaper of Grundmann-Moller and collapsed
-        # Gauss (the reference's 'default' uses precomputed
-        # Xiao-Gimbutas tables, quadrature_schemes.py:46; GM is the
-        # generated-at-runtime substitute -- it wins on tets everywhere
-        # and on triangles at low degree).
-        # GM weights alternate in sign and grow with degree; past degree
-        # ~25 the evaluation-time cancellation exceeds ~3e-12 relative
-        # (regression-tested), so fall back to collapsed Gauss there
+        # economical dispatch (covers the reference's Xiao-Gimbutas /
+        # Keast tables, quadrature_schemes.py:46): the CHEAPEST of the
+        # generated fully symmetric rules (core/symquad.py, near-optimal
+        # counts), Grundmann-Moller (gated at degree 25: its alternating
+        # weights cancel past ~3e-12 relative, regression-tested), and
+        # collapsed Gauss.
         from math import comb
         sd = ref_el.get_spatial_dimension()
-        if sd >= 2 and degree <= 25:
-            s = degree // 2
-            if 2 * s + 1 < degree:
-                s += 1
-            n_gm = comb(s + sd + 1, sd + 1)
-            n_collapsed = ((degree + 2) // 2) ** sd
-            if n_gm < n_collapsed:
-                return _grundmann_moller_scheme(ref_el, degree)
+        if sd >= 2:
+            candidates = []
+            try:
+                from .symquad import rule_size
+                candidates.append((rule_size(sd, degree), _symmetric_scheme))
+            except KeyError:
+                pass
+            if degree <= 25:
+                s = degree // 2
+                if 2 * s + 1 < degree:
+                    s += 1
+                candidates.append((comb(s + sd + 1, sd + 1),
+                                   _grundmann_moller_scheme))
+            candidates.append((((degree + 2) // 2) ** sd, _collapsed_scheme))
+            # stable min: the symmetric rule wins ties (positive weights)
+            _, builder = min(candidates, key=lambda t: t[0])
+            return builder(ref_el, degree)
         return _collapsed_scheme(ref_el, degree)
     if scheme == "canonical":
         return _collapsed_scheme(ref_el, degree)
     if scheme in ("gm", "grundmann_moller"):
         return _grundmann_moller_scheme(ref_el, degree)
+    if scheme in ("symmetric", "xg"):
+        return _symmetric_scheme(ref_el, degree)
     if scheme == "KMV":
         return _kmv_lump_scheme(ref_el, degree)
     raise ValueError(f"Unknown quadrature scheme {scheme!r}")
+
+
+def _symmetric_scheme(ref_el, degree):
+    """Generated fully symmetric simplex rule (core/symquad.py); raises
+    KeyError when no generated rule covers the degree."""
+    from .symquad import symmetric_rule
+    return symmetric_rule(ref_el, degree)
 
 
 def _grundmann_moller_scheme(ref_el, degree):

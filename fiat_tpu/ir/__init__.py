@@ -87,3 +87,22 @@ def contract(subscripts, *operands, **kwargs):
     contractions."""
     kwargs.setdefault("optimize", "optimal")
     return jnp.einsum(subscripts, *operands, **kwargs)
+
+
+def unconcatenate(pairs):
+    """Split concatenation-valued assignments into per-chunk assignments
+    (gem/unconcatenate.py:225's mixed-space splitting, in array form).
+
+    ``pairs`` is a list of ((dest, slices), fused_array) where ``slices``
+    is a list of (start, stop[, shape]) chunk descriptors along the fused
+    array's leading axis.  Returns [((dest, k), chunk_array)] with chunks
+    reshaped to their block shape when one is given."""
+    out = []
+    for (dest, slices), fused in pairs:
+        for k, chunk in enumerate(slices):
+            start, stop, *rest = chunk
+            block = fused[start:stop]
+            if rest and rest[0]:
+                block = block.reshape(tuple(rest[0]) + block.shape[1:])
+            out.append(((dest, k), block))
+    return out

@@ -34,6 +34,19 @@ from ..core import expansions
 #: than 8192 and ~3x faster than 25k.
 DEFAULT_TILE = 2048
 
+#: recurrence working-set target (expansion members x points) behind the
+#: adaptive tile: DEFAULT_TILE at the full zoo's nexp=66; small bases get
+#: proportionally longer tiles (lax.map runs tiles SEQUENTIALLY, so tiny
+#: programs would otherwise pay ~50 kernel dispatches per pass)
+_WORKSET = DEFAULT_TILE * 66
+
+
+def adaptive_tile(nexp, tile=None):
+    """Tile size keeping nexp * tile ~ constant, 512-aligned."""
+    if tile is not None:
+        return tile
+    return max(DEFAULT_TILE, (_WORKSET // max(nexp, 1)) // 512 * 512)
+
 
 def _tiled_apply(body, points, tile):
     """Apply ``body: (t, sd) -> {alpha: (rows, t)}`` over a large point
@@ -61,16 +74,17 @@ class ElementTabulator:
     host API.
     """
 
-    def __init__(self, element, order=0, tile=DEFAULT_TILE,
+    def __init__(self, element, order=0, tile=None,
                  matmul="ozaki"):
         self.element = element
         self.order = order
-        self.tile = tile
         self.matmul = matmul
         poly_set = element.get_nodal_basis()
         self.coeffs = np.asarray(poly_set.get_coeffs())
         self.expansion_set = poly_set.get_expansion_set()
         self.embedded_degree = poly_set.get_embedded_degree()
+        self.tile = adaptive_tile(
+            self.expansion_set.get_num_members(self.embedded_degree), tile)
         self.sd = element.get_reference_element().get_spatial_dimension()
         if matmul == "ozaki":
             from .multiword import MultiwordMatmul
@@ -128,7 +142,7 @@ class BatchedTabulator:
     derivative multi-index.
     """
 
-    def __init__(self, elements, order=0, tile=DEFAULT_TILE,
+    def __init__(self, elements, order=0, tile=None,
                  derivs="dmats", matmul="ozaki"):
         """:arg derivs: 'dmats' (default) computes derivative tables as
         extra matmuls against the order-0 expansion (exact spectral
@@ -141,7 +155,7 @@ class BatchedTabulator:
         'native' uses the platform's f64 dot."""
         self.derivs = derivs
         self.matmul = matmul
-        self.tile = tile
+        self._tile_arg = tile
         cells = {e.get_reference_element() for e in elements}
         if len(cells) != 1:
             raise ValueError("BatchedTabulator needs a common reference cell")
@@ -164,6 +178,7 @@ class BatchedTabulator:
                               for e in plain)
         self.target_es = expansions.ExpansionSet(self.ref_el)
         nexp = self.target_es.get_num_members(self.max_degree)
+        self.tile = adaptive_tile(nexp, self._tile_arg)
 
         blocks = []
         plain_slices = {}      # element index -> (start, stop, shape)

@@ -97,3 +97,28 @@ class MixedSubElement(FiniteElementBase):
     @property
     def mapping(self):
         return self.element.mapping
+
+
+def split_mixed_evaluation(mixed, tables):
+    """The mixed-space ``unconcatenate``: split a MixedElement evaluation
+    {alpha: (dofs..., total_value, pts...)} back into per-subelement
+    evaluations with their own value shapes and dof blocks (inverse of the
+    MixedSubElement zero-padded embedding; gem/unconcatenate.py's role).
+    """
+    parts = []
+    dof_off = 0
+    for sub in mixed.elements:
+        if not isinstance(sub, MixedSubElement):
+            raise TypeError("split_mixed_evaluation expects a MixedElement")
+        core = sub.element
+        n_idx = int(np.prod(core.index_shape, dtype=int))
+        n_val = int(np.prod(core.value_shape, dtype=int))
+        block = {}
+        for alpha, table in tables.items():
+            sl = table[dof_off:dof_off + n_idx,
+                       sub.offset:sub.offset + n_val]
+            block[alpha] = sl.reshape(core.index_shape + core.value_shape
+                                      + table.shape[2:])
+        parts.append(block)
+        dof_off += n_idx
+    return parts

@@ -142,3 +142,51 @@ def test_default_scheme_gm_gate():
     Q26 = create_quadrature(T, 26, scheme="default")
     Qc26 = create_quadrature(T, 26, scheme="canonical")
     assert len(Q26.get_points()) == len(Qc26.get_points())
+
+
+def test_symmetric_rules_exact_and_economical():
+    """Generated fully symmetric rules (core/symquad.py): every stored
+    degree integrates its monomials to ~1e-14 relative and uses no more
+    points than the reference's Xiao-Gimbutas tables
+    (FIAT/quadrature_schemes.py:324)."""
+    from itertools import islice, product as iproduct
+    from math import factorial, prod
+    from fiat_tpu.core.symquad import available_degrees, symmetric_rule
+    ref_counts = {2: {}, 3: {}}
+    try:
+        from FIAT.xg_quad_data import triangle_table, tetrahedron_table
+        ref_counts[2] = {d: len(v["points"]) for d, v in triangle_table.items()}
+        ref_counts[3] = {d: len(v["points"]) for d, v in tetrahedron_table.items()}
+    except Exception:
+        pass
+    if not (available_degrees(2) or available_degrees(3)):
+        pytest.skip("symmetric tables not generated")
+    checked = 0
+    for dim in (2, 3):
+        T = cl.ufc_simplex(dim)
+        for degree in available_degrees(dim):
+            Q = symmetric_rule(T, degree)
+            pts, wts = Q.get_points(), Q.get_weights()
+            if degree in ref_counts[dim]:
+                assert len(wts) <= ref_counts[dim][degree], \
+                    (dim, degree, len(wts), ref_counts[dim][degree])
+            tops = (a for a in iproduct(range(degree + 1), repeat=dim)
+                    if sum(a) == degree)
+            for alpha in islice(tops, 5):
+                exact = prod(factorial(a) for a in alpha) / factorial(degree + dim)
+                val = wts @ np.prod(pts ** np.array(alpha), axis=1)
+                assert abs(val - exact) / exact < 5e-13, (dim, degree, alpha)
+            checked += 1
+    assert checked >= 8, checked   # tables must cover a real range
+
+
+def test_default_scheme_prefers_symmetric():
+    from fiat_tpu.core.symquad import available_degrees, symmetric_rule
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+    degs = available_degrees(2)
+    if not degs:
+        pytest.skip("no generated symmetric rules")
+    d = max(x for x in degs if x <= 10)
+    T = cl.ufc_simplex(2)
+    Q = create_quadrature(T, d, scheme="default")
+    assert len(Q.get_weights()) == len(symmetric_rule(T, d).get_weights())

@@ -313,3 +313,26 @@ def test_order8_lagrange_tet():
     for alpha in host:
         err = np.abs(np.asarray(dev[alpha]) - host[alpha]).max()
         assert err < 1e-10, (alpha, err)
+
+
+def test_unconcatenate_mixed_roundtrip():
+    """gem/unconcatenate.py analogue: a MixedElement evaluation splits
+    back into the per-subelement evaluations exactly."""
+    from fiat_tpu.symbolic.mixed import MixedElement, split_mixed_evaluation
+    from fiat_tpu import ir
+    tri = cl.ufc_simplex(2)
+    a = sym.Lagrange(tri, 2)
+    b = sym.RaviartThomas(tri, 1)
+    m = MixedElement([a, b])
+    ps = PointSet(np.random.default_rng(0).random((5, 2)) / 2)
+    tab = {k: np.asarray(v) for k, v in m.basis_evaluation(0, ps).items()}
+    parts = split_mixed_evaluation(m, tab)
+    for el, part in zip((a, b), parts):
+        exact = el.basis_evaluation(0, ps)
+        for k, v in exact.items():
+            v = np.asarray(v)
+            assert part[k].shape == v.shape and np.allclose(part[k], v), k
+    fused = np.arange(24.0).reshape(6, 4)
+    out = ir.unconcatenate([(("M", [(0, 2), (2, 6, (2, 2))]), fused)])
+    assert out[0][0] == ("M", 0) and out[0][1].shape == (2, 4)
+    assert out[1][1].shape == (2, 2, 4)
