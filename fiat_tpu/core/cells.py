@@ -424,6 +424,13 @@ class SimplicialComplex(Cell):
         if rescale:
             h = 1.0 / np.linalg.norm(A, axis=1)
             A, b = A * h[:, None], b * h
+        # keep reduced-precision float point batches in their own dtype
+        # (f64 constants would otherwise promote f32 device binning to
+        # emulated f64)
+        dt = getattr(points, "dtype", None)
+        if dt is not None and np.issubdtype(dt, np.floating) \
+                and np.dtype(dt).itemsize < 8:
+            A, b = A.astype(dt), b.astype(dt)
         return points @ A.T + b    # @ so traced jnp points dispatch
 
     def compute_bubble(self, points, entity=None):

@@ -193,9 +193,29 @@ class FusedZooTabulator:
                 for k, a in enumerate(self.alphas)}
 
     def _specials(self, points):
-        """Macro side tables {alpha: [blocks]} via the XLA engine."""
+        """Macro side tables {alpha: [blocks]} via the XLA engine (the
+        grouped dmats side programs when available), point-tiled so the
+        recurrences keep a bounded working set."""
+        from .tabulate import _tiled_apply
         b = self.batched
         parts = {a: [] for a in self.alphas}
+        if getattr(b, "macro_programs", None):
+            def body(pts):
+                out = {}
+                for g, prog in enumerate(b.macro_programs):
+                    for a, t in prog.tables(pts, b.order).items():
+                        out[(g,) + tuple(a)] = t
+                return out
+            tiled = _tiled_apply(body, points, b.tile)
+            per_elem = {}
+            for g, prog in enumerate(b.macro_programs):
+                for idx, lo, hi in prog.row_slices:
+                    per_elem[idx] = {a: tiled[(g,) + tuple(a)][lo:hi]
+                                     for a in self.alphas}
+            for i, e in b.special:
+                for alpha in parts:
+                    parts[alpha].append(per_elem[i][alpha])
+            return parts
         for es, deg, flat in b.special_progs:
             base = es._tabulate(deg, points, order=b.order)
             C = jnp.asarray(flat, dtype=points.dtype)

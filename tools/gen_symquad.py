@@ -82,9 +82,12 @@ def structures(dim, d, window=8):
         pts = sum(c * s for c, s in zip(counts, sizes))
         if target is not None and not (target - 6 <= pts <= target + window):
             continue
-        out.append((dof != m, pts, counts))
+        # prefer square systems at the reference's (near-optimal) size:
+        # cheaper-but-infeasible structures otherwise eat the try budget
+        gap = abs(pts - target) if target is not None else 0
+        out.append((dof != m, gap, pts, counts))
     out.sort()
-    return [(pts, counts) for _, pts, counts in out], m
+    return [(pts, counts) for _, _, pts, counts in out], m
 
 
 class RuleSolver:
@@ -179,7 +182,7 @@ class RuleSolver:
             sol = least_squares(fun, np.clip(theta0, lo, hi), jac=jac,
                                 bounds=(lo, hi), method="trf",
                                 xtol=3e-16, ftol=3e-16, gtol=1e-14,
-                                max_nfev=200)
+                                max_nfev=260)
         except Exception:
             return None
         r = fun(sol.x)
@@ -221,10 +224,12 @@ def seed_from(prev, structure, rng, solver, d):
         for kind, params, w in prev:
             pool.setdefault(kind, []).append(list(params))
     pvec = []
+    jitter = 0.0 if rng.integers(3) == 0 else 0.015
     for kind in kinds:
         avail = pool.get(kind, [])
         if avail:
-            pvec.extend(avail.pop(0))
+            base = avail.pop(0)
+            pvec.extend([p + jitter * rng.standard_normal() for p in base])
         else:
             while True:
                 fresh = [rng.uniform(lo + 0.02, hi - 0.02)
@@ -251,10 +256,11 @@ def generate(dim, max_degree, out_path, tries=40):
     for d in range(1, max_degree + 1):
         cands, m = structures(dim, d)
         got = fallback = None
+        tries_d = tries + 2 * d
         for pts, counts in cands[:4]:
             structure = [(k, c) for k, c in zip(TYPES[dim], counts) if c]
-            for t in range(tries):
-                theta0, nparams = seed_from(prev if t < tries // 2 else None,
+            for t in range(tries_d):
+                theta0, nparams = seed_from(prev if t % 3 != 2 else None,
                                             structure, rng, solver, d)
                 sol = solver.attempt(d, structure, theta0, nparams)
                 if sol is None:
@@ -272,6 +278,14 @@ def generate(dim, max_degree, out_path, tries=40):
                 break
         if got is None and fallback is not None:
             got = fallback
+        if got is None:
+            # node elimination from the GM rule: slower to reach the
+            # reference count but verified and always available
+            orbits = eliminate_degree(solver, dim, d, 
+                                      (XG_TRI if dim == 2 else XG_TET).get(d, 10**9))
+            ok, err = solver.verify(d, orbits)
+            if ok:
+                got = (sum(ORBIT_SIZE[k] for k, _, _ in orbits), orbits)
         if got:
             pts, orbits = got
             table[d] = orbits
@@ -326,12 +340,145 @@ def main():
     ap.add_argument("--dim", type=int, default=2)
     ap.add_argument("--max-degree", type=int, default=20)
     ap.add_argument("--tries", type=int, default=40)
+    ap.add_argument("--strategy", default="newton",
+                    choices=("newton", "eliminate"))
     args = ap.parse_args()
     out = os.path.join(REPO, "fiat_tpu", "core", "symquad_data.py")
-    table = generate(args.dim, args.max_degree, out, tries=args.tries)
+    if args.strategy == "eliminate":
+        table = generate_eliminate(args.dim, args.max_degree, out)
+    else:
+        table = generate(args.dim, args.max_degree, out, tries=args.tries)
     _save(args.dim, table, out)
     print("wrote", out)
 
+
+
+
+# =============================================================================
+# Elimination strategy: start from the exact Grundmann-Moller rule (itself
+# fully symmetric) in orbit form and remove orbits one at a time, re-solving
+# with Gauss-Newton seeded at the current rule -- every solve starts near a
+# solution, unlike random restarts whose basins vanish past degree ~11.
+# =============================================================================
+
+def gm_orbits(dim, d):
+    """The Grundmann-Moller rule of exactness >= d as symmetry orbits
+    [(kind, params, weight)], weights on the UFC simplex."""
+    from fiat_tpu.core.quadrature_schemes import _grundmann_moller_scheme
+    from fiat_tpu.core.macro import xy_to_bary
+    cell = cl.ufc_simplex(dim)
+    Q = _grundmann_moller_scheme(cell, d)
+    bary = xy_to_bary(cell.get_vertices(), Q.get_points())
+    wts = Q.get_weights()
+    groups = {}
+    for b, w in zip(bary, wts):
+        key = tuple(np.round(np.sort(b), 12))
+        groups.setdefault(key, []).append((b, w))
+    orbits = []
+    for key, pts in groups.items():
+        b, w = pts[0]
+        vals = np.sort(b)[::-1]
+        if np.isclose(vals[0], vals[-1]):
+            kind = "S4" if dim == 3 else "S3"
+            params = ()
+        elif dim == 2:
+            if np.isclose(vals[0], vals[1]) or np.isclose(vals[1], vals[2]):
+                a = vals[1]      # the repeated value (< 1/2)
+                kind, params = "S21", (float(a),)
+            else:
+                kind, params = "S111", (float(vals[0]), float(vals[1]))
+        else:
+            uniq = len(set(np.round(vals, 12)))
+            if uniq == 2 and np.isclose(vals[0], vals[1]) and np.isclose(vals[2], vals[3]):
+                kind, params = "S22", (float(vals[2]),)
+            elif uniq == 2:
+                # (a,a,a,b) pattern
+                a = vals[1] if np.isclose(vals[0], vals[1]) else vals[2]
+                kind, params = "S31", (float(a),)
+            elif uniq == 3:
+                # (a,a,b,c)
+                rep = [v for v in vals if np.isclose(vals, v).sum() == 2][0]
+                others = sorted(set(float(np.round(v, 14)) for v in vals
+                                    if not np.isclose(v, rep)))
+                kind, params = "S211", (float(rep), float(others[0]))
+            else:
+                kind, params = "S1111", tuple(float(v) for v in vals[:3])
+        # several GM layers can hit the same lattice orbit (the centroid
+        # does): the per-point weight is the group total / orbit size
+        assert len(pts) % ORBIT_SIZE[kind] == 0, (kind, len(pts), key)
+        total = sum(wi for _, wi in pts)
+        orbits.append((kind, params, float(total / ORBIT_SIZE[kind])))
+    return orbits
+
+
+def _theta_from_orbits(orbits):
+    """kind-major (structure, theta, nparams) from an orbit list."""
+    order = {k: i for i, k in enumerate(["S3", "S21", "S111", "S4", "S31",
+                                         "S22", "S211", "S1111"])}
+    orbits = sorted(orbits, key=lambda o: order[o[0]])
+    counts = {}
+    for kind, params, w in orbits:
+        counts[kind] = counts.get(kind, 0) + 1
+    structure = [(k, counts[k]) for k in order if k in counts]
+    pvec = [p for kind, params, w in orbits for p in params]
+    wvec = [w for kind, params, w in orbits]
+    return structure, np.array(pvec + wvec), len(pvec)
+
+
+def eliminate_degree(solver, dim, d, target, verbose=False):
+    """Node elimination from the GM rule down toward ``target`` points.
+    Returns the best verified orbit list found."""
+    orbits = gm_orbits(dim, d)
+    m = invariant_count(dim, d)
+    best = orbits
+
+    def npts(os):
+        return sum(ORBIT_SIZE[k] for k, _, _ in os)
+
+    while npts(best) > target:
+        # rank removal candidates by |w| * orbit size (least important)
+        ranked = sorted(range(len(best)),
+                        key=lambda i: abs(best[i][2]) * ORBIT_SIZE[best[i][0]])
+        improved = None
+        for i in ranked[:6]:
+            trial = [o for j, o in enumerate(best) if j != i]
+            dof = sum(1 + ORBIT_NPARAM[k] for k, _, _ in trial)
+            if dof < m:
+                continue
+            structure, theta0, nparams = _theta_from_orbits(trial)
+            sol = solver.attempt(d, structure, theta0, nparams)
+            if sol is None:
+                continue
+            orbs = pack(structure, sol)
+            ok, err = solver.verify(d, orbs)
+            if ok:
+                improved = orbs
+                break
+        if improved is None:
+            break
+        best = improved
+        if verbose:
+            print(f"    -> {npts(best)} pts", flush=True)
+    return best
+
+
+def generate_eliminate(dim, max_degree, out_path):
+    solver = RuleSolver(dim, max_degree)
+    targets = XG_TRI if dim == 2 else XG_TET
+    table = {}
+    for d in range(1, max_degree + 1):
+        target = targets.get(d, 10 ** 9)
+        best = eliminate_degree(solver, dim, d, target)
+        pts = sum(ORBIT_SIZE[k] for k, _, _ in best)
+        ok, err = solver.verify(d, best)
+        if ok:
+            table[d] = best
+            print(f"dim {dim} degree {d:3d}: {pts:4d} pts "
+                  f"(reference {target}) OK", flush=True)
+            _save(dim, table, out_path)
+        else:
+            print(f"dim {dim} degree {d:3d}: verify failed ({err})", flush=True)
+    return table
 
 if __name__ == "__main__":
     main()
