@@ -1,24 +1,36 @@
 #!/usr/bin/env python3
 """Generate the symmetric simplex quadrature tables (core/symquad_data.py).
 
-For each degree, pick an orbit structure (counts of each symmetry-orbit
-type) whose parameter count matches the dimension of the symmetric-
-invariant polynomial space, then solve the moment equations
+Strategy (Xiao & Gimbutas 2010 style, nothing copied from the reference's
+tables -- only the published point COUNTS are used as search targets):
 
-    sum_orbits w_o sum_{x in orbit(o)} phi_k(x) = int phi_k      (all k <= d)
+  per degree d:
+    1. a few square Gauss-Newton attempts at structures matching the
+       target count, seeded by degree continuation;
+    2. otherwise AUGMENT the previous degree's rule with fresh orbits
+       until the parameter count exceeds the invariant count (under-
+       determined systems converge from far seeds), then ELIMINATE:
+       repeatedly remove or degenerate (S111->S21->S3, S1111->S211->...)
+       the least important orbit and re-solve, weights re-seeded by
+       least squares, until the target count is reached or the time
+       budget runs out;
+    3. fall back to elimination from the (exact, fully symmetric)
+       Grundmann-Moller rule.
 
-with Gauss-Newton (scipy least_squares, analytic Jacobian) over the orbit
-generators AND weights, seeded by degree continuation (the previous
-degree's converged rule plus fresh orbits) and random restarts.
+  The best verified rule found is stored even when it is above the
+  target count -- it is still far below the GM/collapsed fallbacks.
 
-Usage: python tools/gen_symquad.py [--dim 2|3] [--max-degree N]
-Appends converged rules into fiat_tpu/core/symquad_data.py.
+Usage: python tools/gen_symquad.py --dim 2|3 --max-degree N
+       [--out PATH] [--budget SECONDS_PER_DEGREE]
+Writes {degree: [(orbit kind, params, weight)]} tables; merge part files
+with tools/merge_symquad.py.
 """
 
 import argparse
 import itertools
 import os
 import sys
+import time
 
 import numpy as np
 from scipy.optimize import least_squares
@@ -34,6 +46,8 @@ from fiat_tpu.core.symquad import (ORBIT_NPARAM, ORBIT_SIZE,  # noqa: E402
 
 TYPES = {2: ["S3", "S21", "S111"],
          3: ["S4", "S31", "S22", "S211", "S1111"]}
+KIND_ORDER = {k: i for i, k in enumerate(
+    ["S3", "S21", "S111", "S4", "S31", "S22", "S211", "S1111"])}
 # generator validity boxes (barycentric interior with margin)
 BOUNDS = {"S3": [], "S21": [(1e-4, 0.4999)], "S111": [(1e-4, 0.9999)] * 2,
           "S4": [], "S31": [(1e-4, 0.3333)], "S22": [(1e-4, 0.2499)],
@@ -64,28 +78,31 @@ def invariant_count(dim, d):
     return count
 
 
-def structures(dim, d, window=8):
-    """Candidate orbit-count tuples, square systems (dof == invariants)
-    first, ordered by point count, limited to a window around the
-    reference rule size."""
+def npts(orbits):
+    return sum(ORBIT_SIZE[k] for k, _, _ in orbits)
+
+
+def ndof(orbits):
+    return sum(1 + ORBIT_NPARAM[k] for k, _, _ in orbits)
+
+
+def structures(dim, d, target, window=6):
+    """Candidate orbit-count tuples for the square Newton phase: dof ==
+    invariants (+<=2), point count within a window of the target."""
     m = invariant_count(dim, d)
-    target = (XG_TRI if dim == 2 else XG_TET).get(d, None)
     types = TYPES[dim]
-    dofs = [1 + ORBIT_NPARAM[t] for t in types]   # weight + params
+    dofs = [1 + ORBIT_NPARAM[t] for t in types]
     sizes = [ORBIT_SIZE[t] for t in types]
     maxn = [1] + [m // df + 1 for df in dofs[1:]]
     out = []
     for counts in itertools.product(*[range(n + 1) for n in maxn]):
         dof = sum(c * df for c, df in zip(counts, dofs))
-        if dof < m or dof > m + 3:
+        if dof < m or dof > m + 2:
             continue
         pts = sum(c * s for c, s in zip(counts, sizes))
-        if target is not None and not (target - 6 <= pts <= target + window):
+        if not (target - 6 <= pts <= target + window):
             continue
-        # prefer square systems at the reference's (near-optimal) size:
-        # cheaper-but-infeasible structures otherwise eat the try budget
-        gap = abs(pts - target) if target is not None else 0
-        out.append((dof != m, gap, pts, counts))
+        out.append((dof != m, abs(pts - target), pts, counts))
     out.sort()
     return [(pts, counts) for _, _, pts, counts in out], m
 
@@ -98,7 +115,6 @@ class RuleSolver:
         self.es = ExpansionSet(self.cell)
         Q = make_quadrature(self.cell, max_degree // 2 + 3)
         qp, qw = Q.get_points(), Q.get_weights()
-        self.exact = {}
         phi = self.es.tabulate(max_degree, qp)
         self._phi_int_full = phi @ qw
 
@@ -167,7 +183,22 @@ class RuleSolver:
         J[:, nparams:] = V
         return r, J
 
-    def attempt(self, d, structure, theta0, nparams):
+    def vandermonde(self, d, structure, theta, nparams):
+        """Orbit-sum columns V (nexp, norb) at the seeded positions."""
+        _, J = self.residual_and_jac(d, structure, theta, True)
+        return J[:, nparams:]
+
+    def reseed_weights(self, d, structure, theta, nparams):
+        """Replace the weight block by the least-squares fit at the
+        current positions (variable-projection seeding)."""
+        th = np.array(theta, dtype=float)
+        V = self.vandermonde(d, structure, th, nparams)
+        w, *_ = np.linalg.lstsq(V, self.exact_moments(d), rcond=None)
+        th[nparams:] = w
+        return th
+
+    def attempt(self, d, structure, theta0, nparams, max_nfev=300,
+                method="trf"):
         lo, hi = [], []
         for kind, c in structure:
             for _ in range(c):
@@ -179,16 +210,24 @@ class RuleSolver:
         fun = lambda th: self.residual_and_jac(d, structure, th, False)[0]
         jac = lambda th: self.residual_and_jac(d, structure, th, True)[1]
         try:
-            sol = least_squares(fun, np.clip(theta0, lo, hi), jac=jac,
-                                bounds=(lo, hi), method="trf",
-                                xtol=3e-16, ftol=3e-16, gtol=1e-14,
-                                max_nfev=260)
+            if method == "lm":
+                sol = least_squares(fun, theta0, jac=jac, method="lm",
+                                    xtol=3e-16, ftol=3e-16, gtol=1e-14,
+                                    max_nfev=max_nfev)
+            else:
+                sol = least_squares(fun, np.clip(theta0, lo, hi), jac=jac,
+                                    bounds=(lo, hi), method="trf",
+                                    xtol=3e-16, ftol=3e-16, gtol=1e-14,
+                                    max_nfev=max_nfev)
         except Exception:
             return None
-        r = fun(sol.x)
-        if np.abs(r).max() < 2e-14:
+        if np.abs(fun(sol.x)).max() < self.tol(d):
             return sol.x
         return None
+
+    def tol(self, d):
+        # roundoff in the stacked tabulation grows mildly with degree
+        return 2e-14 * max(1.0, d / 10.0)
 
     def verify(self, d, orbits):
         """Exactness of the expanded rule on every Dubiner mode <= d."""
@@ -199,7 +238,7 @@ class RuleSolver:
         X = bary @ self.verts
         phi = self.es.tabulate(d, X)
         err = np.abs(phi @ wts - self.exact_moments(d)).max()
-        return err < 5e-14, err
+        return err < 2.5 * self.tol(d), err
 
 
 def pack(structure, theta):
@@ -215,151 +254,158 @@ def pack(structure, theta):
     return orbits
 
 
-def seed_from(prev, structure, rng, solver, d):
-    """Continuation seed: reuse the previous rule's generators where the
-    kinds match, fill the rest quasi-randomly, weights by lstsq."""
-    kinds = [k for k, c in structure for _ in range(c)]
-    pool = {}
-    if prev:
-        for kind, params, w in prev:
-            pool.setdefault(kind, []).append(list(params))
-    pvec = []
-    jitter = 0.0 if rng.integers(3) == 0 else 0.015
-    for kind in kinds:
-        avail = pool.get(kind, [])
-        if avail:
-            base = avail.pop(0)
-            pvec.extend([p + jitter * rng.standard_normal() for p in base])
-        else:
-            while True:
-                fresh = [rng.uniform(lo + 0.02, hi - 0.02)
-                         for (lo, hi) in BOUNDS[kind]]
-                if sum(fresh) < 0.95 or len(fresh) < 2:
-                    break
-            pvec.extend(fresh)
-    norb = len(kinds)
-    theta = np.array(pvec + [0.0] * norb)
-    # linear solve for the weights at the seeded positions
-    nparams = len(pvec)
-    _, J = solver.residual_and_jac(d, structure, theta, True)
-    V = J[:, nparams:]
-    w, *_ = np.linalg.lstsq(V, solver.exact_moments(d), rcond=None)
-    theta[nparams:] = w
-    return theta, nparams
+def theta_from_orbits(orbits):
+    """kind-major (structure, theta, nparams) from an orbit list."""
+    orbits = sorted(orbits, key=lambda o: KIND_ORDER[o[0]])
+    counts = {}
+    for kind, params, w in orbits:
+        counts[kind] = counts.get(kind, 0) + 1
+    structure = [(k, counts[k]) for k in KIND_ORDER if k in counts]
+    pvec = [p for kind, params, w in orbits for p in params]
+    wvec = [w for kind, params, w in orbits]
+    return structure, np.array(pvec + wvec), len(pvec)
 
 
-def generate(dim, max_degree, out_path, tries=40):
-    solver = RuleSolver(dim, max_degree)
-    rng = np.random.default_rng(2026)
-    table = {}
-    prev = None
-    for d in range(1, max_degree + 1):
-        cands, m = structures(dim, d)
-        got = fallback = None
-        tries_d = tries + 2 * d
-        for pts, counts in cands[:4]:
-            structure = [(k, c) for k, c in zip(TYPES[dim], counts) if c]
-            for t in range(tries_d):
-                theta0, nparams = seed_from(prev if t % 3 != 2 else None,
-                                            structure, rng, solver, d)
-                sol = solver.attempt(d, structure, theta0, nparams)
-                if sol is None:
-                    continue
-                orbits = pack(structure, sol)
-                ok, err = solver.verify(d, orbits)
-                if not ok:
-                    continue
-                if all(w > 0 for _, _, w in orbits):
-                    got = (pts, orbits)      # prefer positive weights
-                    break
-                if fallback is None:
-                    fallback = (pts, orbits)
-            if got:
-                break
-        if got is None and fallback is not None:
-            got = fallback
-        if got is None:
-            # node elimination from the GM rule: slower to reach the
-            # reference count but verified and always available
-            orbits = eliminate_degree(solver, dim, d, 
-                                      (XG_TRI if dim == 2 else XG_TET).get(d, 10**9))
-            ok, err = solver.verify(d, orbits)
+def random_orbit(dim, rng, kind=None):
+    """A fresh interior orbit of the requested (or a generic) kind."""
+    if kind is None:
+        kind = "S111" if dim == 2 else ("S1111" if rng.integers(2) else "S211")
+    while True:
+        params = tuple(rng.uniform(lo + 0.02, hi - 0.02)
+                       for (lo, hi) in BOUNDS[kind])
+        if orbit_bary(kind, params).min() > 0.01:
+            return (kind, params, 0.0)
+
+
+def degenerations(kind, params):
+    """Lower-orbit seeds obtained by merging the two closest barycentric
+    values of one generator (the moves that let elimination shrink a
+    rule by less than a full orbit)."""
+    out = []
+    if kind == "S21":
+        out.append(("S3", ()))
+    elif kind == "S111":
+        a, b = params
+        c = 1 - a - b
+        vals = sorted((a, b, c))
+        # merge each adjacent pair -> (x, x, rest)
+        for i in (0, 1):
+            x = 0.5 * (vals[i] + vals[i + 1])
+            if 1e-3 < x < 0.499:
+                out.append(("S21", (x,)))
+    elif kind == "S31":
+        out.append(("S4", ()))
+    elif kind == "S22":
+        out.append(("S4", ()))
+    elif kind == "S211":
+        a, b = params
+        c = 1 - 2 * a - b
+        # merge b into a -> S31(a'); or pair the singles -> S22
+        x = (2 * a + b) / 3
+        if 1e-3 < x < 0.333:
+            out.append(("S31", (x,)))
+        x = (2 * a + c) / 3
+        if 1e-3 < x < 0.333:
+            out.append(("S31", (x,)))
+        y = 0.5 * (b + c)
+        if 1e-3 < a < 0.249:
+            out.append(("S22", (a,)))
+        if 1e-3 < 0.5 * (1 - y) and 1e-3 < y * 0.5 < 0.249:
+            out.append(("S22", (min(0.5 * y, 0.249 - 1e-3),)))
+    elif kind == "S1111":
+        a, b, c = params
+        e = 1 - a - b - c
+        vals = sorted((a, b, c, e))
+        for i in range(3):
+            x = 0.5 * (vals[i] + vals[i + 1])
+            rest = [vals[j] for j in range(4) if j not in (i, i + 1)]
+            # (x, x, r0, r1) -> S211 with params (x, r0)
+            if 1e-3 < x < 0.499 and 1e-3 < rest[0]:
+                out.append(("S211", (x, rest[0])))
+    return out
+
+
+def eliminate(solver, dim, d, orbits, target, rng, deadline,
+              log=lambda s: None):
+    """Shrink a verified rule toward ``target`` points by orbit removal
+    and degeneration moves, re-solving after each move.  Returns the
+    best verified rule found."""
+    m = invariant_count(dim, d)
+    best = orbits
+
+    def try_rule(trial_orbits, extra_jitter=0.0, tries=2):
+        structure, theta0, nparams = theta_from_orbits(trial_orbits)
+        for t in range(tries):
+            th = theta0.copy()
+            if t or extra_jitter:
+                th[:nparams] += (0.008 * t + extra_jitter) * \
+                    rng.standard_normal(nparams)
+            th = solver.reseed_weights(d, structure, th, nparams)
+            sol = solver.attempt(d, structure, th, nparams,
+                                 method="trf" if t < tries - 1 else "lm")
+            if sol is None:
+                continue
+            orbs = pack(structure, sol)
+            ok, err = solver.verify(d, orbs)
             if ok:
-                got = (sum(ORBIT_SIZE[k] for k, _, _ in orbits), orbits)
-        if got:
-            pts, orbits = got
-            table[d] = orbits
-            prev = orbits
-            target = (XG_TRI if dim == 2 else XG_TET).get(d)
-            print(f"dim {dim} degree {d:3d}: {pts:4d} pts "
-                  f"(reference {target}) OK", flush=True)
-            _save(dim, table, out_path)      # survive interruption
-        else:
-            # keep the last converged rule as the continuation seed: its
-            # generators are still better-than-random starts
-            print(f"dim {dim} degree {d:3d}: FAILED", flush=True)
-    return table
+                return orbs
+        return None
 
+    def removal_rank(orbs):
+        """Leave-one-out least-squares residual prediction: cheaper and
+        far more informative than |w|-ranking."""
+        structure, theta, nparams = theta_from_orbits(orbs)
+        V = solver.vandermonde(d, structure, theta, nparams)
+        b = solver.exact_moments(d)
+        scores = []
+        for i in range(V.shape[1]):
+            Vi = np.delete(V, i, axis=1)
+            wi, *_ = np.linalg.lstsq(Vi, b, rcond=None)
+            scores.append(np.linalg.norm(Vi @ wi - b))
+        # map column order (kind-major) back to orbit list order
+        order = sorted(range(len(orbs)), key=lambda i: KIND_ORDER[orbs[i][0]])
+        out = [None] * len(orbs)
+        for col, orig in enumerate(order):
+            out[orig] = scores[col]
+        return out
 
-def _save(dim, table, out_path):
-    tables = {"TRIANGLE": {}, "TETRAHEDRON": {}}
-    try:
-        import importlib
-        from fiat_tpu.core import symquad_data
-        importlib.reload(symquad_data)
-        tables["TRIANGLE"].update(symquad_data.TRIANGLE)
-        tables["TETRAHEDRON"].update(symquad_data.TETRAHEDRON)
-    except Exception:
-        pass
-    tables["TRIANGLE" if dim == 2 else "TETRAHEDRON"].update(table)
-    emit(tables, out_path)
+    while npts(best) > target and time.time() < deadline:
+        scores = removal_rank(best)
+        ranked = sorted(range(len(best)), key=lambda i: scores[i])
+        improved = None
+        # 1) full removals
+        for i in ranked:
+            if time.time() > deadline:
+                break
+            trial = [o for j, o in enumerate(best) if j != i]
+            if ndof(trial) < m:
+                continue
+            improved = try_rule(trial)
+            if improved:
+                log(f"    rm {best[i][0]} -> {npts(improved)} pts")
+                break
+        # 2) degenerations (shrink an orbit instead of dropping it)
+        if improved is None:
+            for i in ranked:
+                if time.time() > deadline:
+                    break
+                kind, params, w = best[i]
+                for kind2, params2 in degenerations(kind, params):
+                    trial = ([o for j, o in enumerate(best) if j != i]
+                             + [(kind2, params2, w)])
+                    if ndof(trial) < m:
+                        continue
+                    improved = try_rule(trial)
+                    if improved:
+                        log(f"    {kind}->{kind2} -> {npts(improved)} pts")
+                        break
+                if improved:
+                    break
+        if improved is None:
+            break
+        best = improved
+    return best
 
-
-def emit(tables, out_path):
-    tmp_path = out_path + ".tmp"
-    with open(tmp_path, "w") as f:
-        f.write('"""Generated by tools/gen_symquad.py -- do not edit.\n\n'
-                "Symmetric simplex quadrature orbit tables: {degree:\n"
-                "[(orbit kind, generator params, orbit weight)]}, weights\n"
-                'normalised to unit cell measure."""\n\n')
-        for name, table in tables.items():
-            f.write(f"{name} = {{\n")
-            for d in sorted(table):
-                f.write(f"    {d}: [\n")
-                for kind, params, w in table[d]:
-                    ps = ", ".join(f"{float(p)!r}" for p in params)
-                    tail = f"({ps},)" if params else "()"
-                    f.write(f'        ("{kind}", {tail}, {float(w)!r}),\n')
-                f.write("    ],\n")
-            f.write("}\n\n")
-    os.replace(tmp_path, out_path)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dim", type=int, default=2)
-    ap.add_argument("--max-degree", type=int, default=20)
-    ap.add_argument("--tries", type=int, default=40)
-    ap.add_argument("--strategy", default="newton",
-                    choices=("newton", "eliminate"))
-    args = ap.parse_args()
-    out = os.path.join(REPO, "fiat_tpu", "core", "symquad_data.py")
-    if args.strategy == "eliminate":
-        table = generate_eliminate(args.dim, args.max_degree, out)
-    else:
-        table = generate(args.dim, args.max_degree, out, tries=args.tries)
-    _save(args.dim, table, out)
-    print("wrote", out)
-
-
-
-
-# =============================================================================
-# Elimination strategy: start from the exact Grundmann-Moller rule (itself
-# fully symmetric) in orbit form and remove orbits one at a time, re-solving
-# with Gauss-Newton seeded at the current rule -- every solve starts near a
-# solution, unlike random restarts whose basins vanish past degree ~11.
-# =============================================================================
 
 def gm_orbits(dim, d):
     """The Grundmann-Moller rule of exactness >= d as symmetry orbits
@@ -411,74 +457,169 @@ def gm_orbits(dim, d):
     return orbits
 
 
-def _theta_from_orbits(orbits):
-    """kind-major (structure, theta, nparams) from an orbit list."""
-    order = {k: i for i, k in enumerate(["S3", "S21", "S111", "S4", "S31",
-                                         "S22", "S211", "S1111"])}
-    orbits = sorted(orbits, key=lambda o: order[o[0]])
-    counts = {}
-    for kind, params, w in orbits:
-        counts[kind] = counts.get(kind, 0) + 1
-    structure = [(k, counts[k]) for k in order if k in counts]
-    pvec = [p for kind, params, w in orbits for p in params]
-    wvec = [w for kind, params, w in orbits]
-    return structure, np.array(pvec + wvec), len(pvec)
+def seed_from(prev, structure, rng, solver, d):
+    """Continuation seed: reuse the previous rule's generators where the
+    kinds match, fill the rest quasi-randomly, weights by lstsq."""
+    kinds = [k for k, c in structure for _ in range(c)]
+    pool = {}
+    if prev:
+        for kind, params, w in prev:
+            pool.setdefault(kind, []).append(list(params))
+    pvec = []
+    jitter = 0.0 if rng.integers(3) == 0 else 0.015
+    for kind in kinds:
+        avail = pool.get(kind, [])
+        if avail:
+            base = avail.pop(0)
+            pvec.extend([p + jitter * rng.standard_normal() for p in base])
+        else:
+            while True:
+                fresh = [rng.uniform(lo + 0.02, hi - 0.02)
+                         for (lo, hi) in BOUNDS[kind]]
+                if sum(fresh) < 0.95 or len(fresh) < 2:
+                    break
+            pvec.extend(fresh)
+    norb = len(kinds)
+    theta = np.array(pvec + [0.0] * norb)
+    nparams = len(pvec)
+    return solver.reseed_weights(d, structure, theta, nparams), nparams
 
 
-def eliminate_degree(solver, dim, d, target, verbose=False):
-    """Node elimination from the GM rule down toward ``target`` points.
-    Returns the best verified orbit list found."""
-    orbits = gm_orbits(dim, d)
+def solve_degree(solver, dim, d, prev, rng, budget, target, log):
+    """Best verified rule for one degree (or None)."""
+    deadline = time.time() + budget
     m = invariant_count(dim, d)
-    best = orbits
+    best = None
 
-    def npts(os):
-        return sum(ORBIT_SIZE[k] for k, _, _ in os)
-
-    while npts(best) > target:
-        # rank removal candidates by |w| * orbit size (least important)
-        ranked = sorted(range(len(best)),
-                        key=lambda i: abs(best[i][2]) * ORBIT_SIZE[best[i][0]])
-        improved = None
-        for i in ranked[:6]:
-            trial = [o for j, o in enumerate(best) if j != i]
-            dof = sum(1 + ORBIT_NPARAM[k] for k, _, _ in trial)
-            if dof < m:
-                continue
-            structure, theta0, nparams = _theta_from_orbits(trial)
+    # Phase 1: square Newton at near-target structures
+    cands, _ = structures(dim, d, target)
+    for pts, counts in cands[:3]:
+        structure = [(k, c) for k, c in zip(TYPES[dim], counts) if c]
+        for t in range(10 + d):
+            if time.time() > deadline - 0.7 * budget:
+                break
+            theta0, nparams = seed_from(prev if t % 3 != 2 else None,
+                                        structure, rng, solver, d)
             sol = solver.attempt(d, structure, theta0, nparams)
             if sol is None:
                 continue
-            orbs = pack(structure, sol)
-            ok, err = solver.verify(d, orbs)
+            orbits = pack(structure, sol)
+            ok, err = solver.verify(d, orbits)
             if ok:
-                improved = orbs
+                best = orbits
                 break
-        if improved is None:
+        if best:
             break
-        best = improved
-        if verbose:
-            print(f"    -> {npts(best)} pts", flush=True)
+    if best and npts(best) <= target:
+        return best
+
+    # Phase 2: continuation-augmented underdetermined solve + elimination
+    if prev:
+        for outer in range(6):
+            if time.time() > deadline:
+                break
+            aug = list(prev)
+            while ndof(aug) < m + 5 + rng.integers(5):
+                aug.append(random_orbit(dim, rng))
+            structure, theta0, nparams = theta_from_orbits(aug)
+            theta0 = solver.reseed_weights(d, structure, theta0, nparams)
+            sol = solver.attempt(d, structure, theta0, nparams)
+            if sol is None:
+                continue
+            orbits = pack(structure, sol)
+            ok, err = solver.verify(d, orbits)
+            if not ok:
+                continue
+            got = eliminate(solver, dim, d, orbits, target, rng, deadline,
+                            log)
+            if best is None or npts(got) < npts(best):
+                best = got
+            if npts(best) <= target:
+                return best
+
+    # Phase 3: eliminate from the GM rule
+    if best is None and time.time() < deadline:
+        orbits = gm_orbits(dim, d)
+        ok, err = solver.verify(d, orbits)
+        if ok:
+            got = eliminate(solver, dim, d, orbits, target, rng, deadline,
+                            log)
+            best = got
     return best
 
 
-def generate_eliminate(dim, max_degree, out_path):
+def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None):
     solver = RuleSolver(dim, max_degree)
+    rng = np.random.default_rng(2026 + dim)
     targets = XG_TRI if dim == 2 else XG_TET
-    table = {}
-    for d in range(1, max_degree + 1):
+    table = dict(table or {})
+    prev = table.get(start - 1)
+    for d in range(start, max_degree + 1):
         target = targets.get(d, 10 ** 9)
-        best = eliminate_degree(solver, dim, d, target)
-        pts = sum(ORBIT_SIZE[k] for k, _, _ in best)
-        ok, err = solver.verify(d, best)
-        if ok:
-            table[d] = best
-            print(f"dim {dim} degree {d:3d}: {pts:4d} pts "
-                  f"(reference {target}) OK", flush=True)
-            _save(dim, table, out_path)
+        t0 = time.time()
+        got = solve_degree(solver, dim, d, prev, rng, budget, target,
+                           log=lambda s: print(s, flush=True))
+        if got is not None:
+            table[d] = got
+            prev = got
+            flag = "OK" if npts(got) <= target else "over"
+            print(f"dim {dim} degree {d:3d}: {npts(got):4d} pts "
+                  f"(reference {target}) {flag} "
+                  f"[{time.time() - t0:.0f}s]", flush=True)
+            _save(dim, table, out_path)      # survive interruption
         else:
-            print(f"dim {dim} degree {d:3d}: verify failed ({err})", flush=True)
+            print(f"dim {dim} degree {d:3d}: FAILED "
+                  f"[{time.time() - t0:.0f}s]", flush=True)
     return table
+
+
+def _save(dim, table, out_path):
+    name = "TRIANGLE" if dim == 2 else "TETRAHEDRON"
+    emit({name: table}, out_path)
+
+
+def emit(tables, out_path):
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "w") as f:
+        f.write('"""Generated by tools/gen_symquad.py -- do not edit.\n\n'
+                "Symmetric simplex quadrature orbit tables: {degree:\n"
+                "[(orbit kind, generator params, orbit weight)]}, weights\n"
+                'normalised to unit cell measure."""\n\n')
+        for name, table in tables.items():
+            f.write(f"{name} = {{\n")
+            for d in sorted(table):
+                f.write(f"    {d}: [\n")
+                for kind, params, w in table[d]:
+                    ps = ", ".join(f"{float(p)!r}" for p in params)
+                    tail = f"({ps},)" if params else "()"
+                    f.write(f'        ("{kind}", {tail}, {float(w)!r}),\n')
+                f.write("    ],\n")
+            f.write("}\n\n")
+    os.replace(tmp_path, out_path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--max-degree", type=int, default=20)
+    ap.add_argument("--budget", type=float, default=240.0,
+                    help="seconds per degree")
+    ap.add_argument("--start", type=int, default=1)
+    ap.add_argument("--seed-existing", action="store_true",
+                    help="start from the shipped symquad_data tables")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or os.path.join(REPO, "fiat_tpu", "core",
+                                   "symquad_data.py")
+    table = {}
+    if args.seed_existing:
+        from fiat_tpu.core import symquad_data
+        table = dict(symquad_data.TRIANGLE if args.dim == 2
+                     else symquad_data.TETRAHEDRON)
+    generate(args.dim, args.max_degree, out, budget=args.budget,
+             start=args.start, table=table)
+    print("wrote", out)
+
 
 if __name__ == "__main__":
     main()
