@@ -404,9 +404,9 @@ class SimplicialComplex(Cell):
 
     # -- barycentric machinery ------------------------------------------------
 
-    def compute_barycentric_coordinates(self, points, entity=None, rescale=False):
-        if len(points) == 0:
-            return points
+    def barycentric_map(self, entity=None, rescale=False):
+        """The affine map (A, b) with barycentric coords = points @ A.T + b
+        for the given entity (host f64 numpy)."""
         sd = self.get_spatial_dimension()
         if entity is None:
             entity = (sd, 0)
@@ -424,6 +424,12 @@ class SimplicialComplex(Cell):
         if rescale:
             h = 1.0 / np.linalg.norm(A, axis=1)
             A, b = A * h[:, None], b * h
+        return A, b
+
+    def compute_barycentric_coordinates(self, points, entity=None, rescale=False):
+        if len(points) == 0:
+            return points
+        A, b = self.barycentric_map(entity=entity, rescale=rescale)
         # keep reduced-precision float point batches in their own dtype
         # (f64 constants would otherwise promote f32 device binning to
         # emulated f64)

@@ -685,18 +685,43 @@ def compute_cell_point_map(ref_el, pts, unique=True, tol=1e-12):
     return out
 
 
-def partition_of_unity_masks(ref_el, pts, unique=True, tol=1e-12):
+def partition_of_unity_masks(ref_el, pts, unique=True, tol=None):
     """Traceable analogue of the reference's symbolic partition-of-unity
     (expansions.py:732): per-subcell {0,1} masks over a point batch, for
-    shape-static macro tabulation on device."""
+    shape-static macro tabulation on device.
+
+    Distances run on the df32 path (ops/doublefloat.py) when the batch
+    is f64 and the backend preserves error-free transforms: native-f32
+    speed with ~1e-14 absolute accuracy at the facets, so the binning
+    tolerance stays at the host's 1e-12.  (A plain-f32 distance needs
+    tol ~1e-5 above its cancellation noise, and every point within that
+    band of an interior facet picks up O(|jump| * tol) error in
+    derivative tables.)"""
     top = ref_el.get_topology()
     sd = ref_el.get_spatial_dimension()
-    best = ref_el.get_parent().distance_to_point_l1(pts, rescale=True)
+    use_ff = False
+    if getattr(pts, "dtype", None) == jnp.float64:
+        from ..ops.doublefloat import eft_safe
+        use_ff = eft_safe()
+    if tol is None:
+        dt = getattr(pts, "dtype", None)
+        tol = 1e-12 if (use_ff or dt == jnp.float64) else 1e-5
+    if use_ff:
+        from ..ops.doublefloat import ff_l1_distance
+        parent = ref_el.get_parent()
+        best = ff_l1_distance(pts, *parent.barycentric_map(rescale=True))
+        dists = {c: ff_l1_distance(
+            pts, *ref_el.barycentric_map(entity=(sd, c), rescale=True))
+            for c in sorted(top[sd])}
+    else:
+        best = ref_el.get_parent().distance_to_point_l1(pts, rescale=True)
+        dists = {c: ref_el.distance_to_point_l1(pts, entity=(sd, c),
+                                                rescale=True)
+                 for c in sorted(top[sd])}
     masks = []
     taken = 0.0
     for c in sorted(top[sd]):
-        near = (ref_el.distance_to_point_l1(pts, entity=(sd, c), rescale=True)
-                <= best + tol)
+        near = dists[c] <= best + tol
         m = jnp.where(near, 1.0, 0.0)
         if unique:
             m = m * (1.0 - taken)

@@ -176,6 +176,10 @@ class FusedZooTabulator:
             tall = batched.stacked
         self.rows = batched.stacked.shape[0]
         self.fm = FusedMultiwordMatmul(tall, interpret=interpret, **kw)
+        # eager: the EFT-safety probe jit-compiles, so it cannot run
+        # while the fused pipeline itself is being traced
+        from .doublefloat import supports_ff
+        self._ff_ok = supports_ff(batched.target_es)
         self._jit_pairs = jax.jit(self._pairs)
         self._jit_f64 = jax.jit(self._f64)
 
@@ -186,6 +190,19 @@ class FusedZooTabulator:
             lambda t: b.target_es._tabulate_on_cell(b.max_degree, t, order=0),
             points, b.tile)
         return base[(0,) * self.sd]
+
+    def _phi_pair(self, points):
+        """The expansion tabulation as a df32 (hi, lo) pair: native-f32
+        recurrence (ops/doublefloat.py), no emulated f64 anywhere."""
+        from .tabulate import _tiled_apply
+        from .doublefloat import FF, tabulate_ff
+        b = self.batched
+
+        def body(t):
+            ff = tabulate_ff(b.target_es, b.max_degree, t)
+            return {"hi": ff.hi, "lo": ff.lo}
+        out = _tiled_apply(body, points, b.tile)
+        return FF(out["hi"], out["lo"])
 
     def _split(self, hi, lo):
         r = self.rows
@@ -224,7 +241,12 @@ class FusedZooTabulator:
         return parts
 
     def _pairs(self, points):
-        hi, lo = self.fm.apply_pair(prepare_B(self._phi(points)))
+        from .doublefloat import prepare_B_ff
+        if self._ff_ok and points.dtype == jnp.float64:
+            Bp = prepare_B_ff(self._phi_pair(points))
+        else:
+            Bp = prepare_B(self._phi(points))
+        hi, lo = self.fm.apply_pair(Bp)
         return self._split(hi, lo)
 
     def _f64(self, points):

@@ -88,8 +88,12 @@ class ElementTabulator:
         self.sd = element.get_reference_element().get_spatial_dimension()
         if matmul == "ozaki":
             from .multiword import MultiwordMatmul
+            from .doublefloat import supports_ff
             self._mw = MultiwordMatmul(
                 self.coeffs.reshape(-1, self.coeffs.shape[-1]))
+            # evaluated eagerly: the EFT-safety probe jit-compiles, so it
+            # cannot run while this tabulator itself is being traced
+            self._ff_ok = self.order == 0 and supports_ff(self.expansion_set)
         self._jitted = jax.jit(self._tabulate)
 
     def _tabulate(self, points):
@@ -98,7 +102,14 @@ class ElementTabulator:
         use_ozaki = (self.matmul == "ozaki"
                      and points.dtype == jnp.float64)
 
+        from .doublefloat import prepare_B_ff, tabulate_ff
+        ff_ok = self.matmul == "ozaki" and self._ff_ok
+
         def body(pts):
+            if use_ozaki and ff_ok:
+                phi_p = prepare_B_ff(tabulate_ff(
+                    self.expansion_set, self.embedded_degree, pts))
+                return {(0,) * self.sd: self._mw.apply(phi_p)}
             base = self.expansion_set._tabulate_on_cell(
                 self.embedded_degree, pts, order=self.order)
             if use_ozaki:
@@ -200,16 +211,12 @@ class MacroSideProgram:
         the mask convention follows the traced-macro engine (unique
         binning for order 0, averaged multiplicities otherwise).
 
-        The subcell binning runs in float32 (TPU f64 elementwise is
-        emulated; measured 28 ms -> ~1 ms for a 21-subcell zoo): masks
-        are {0,1}/multiplicity decisions, so only points within ~1e-6 of
-        an interior facet can flip cells, where C0 continuity makes
-        either side's value correct."""
+        The subcell binning runs on the df32 distance path when the
+        backend supports it (native-f32 speed, ~1e-14 facet accuracy;
+        see partition_of_unity_masks) and otherwise in the point dtype."""
         from ..core.expansions import partition_of_unity_masks
         unique = self.es.continuity is not None and order == 0
-        masks = partition_of_unity_masks(self.es.ref_el,
-                                         pts.astype(jnp.float32),
-                                         unique=unique, tol=1e-5)
+        masks = partition_of_unity_masks(self.es.ref_el, pts, unique=unique)
         phi = self.parent_es._tabulate_on_cell(self.degree, pts, order=0)
         phi = phi[(0,) * pts.shape[-1]]
         return jnp.concatenate([masks[pos].astype(pts.dtype) * phi
@@ -362,11 +369,15 @@ class BatchedTabulator:
 
         if self.matmul == "ozaki":
             from .multiword import MultiwordMatmul
+            from .doublefloat import supports_ff
             if self.alpha_mats:
                 self._mw = {a: MultiwordMatmul(M)
                             for a, M in self.alpha_mats.items()}
             else:
                 self._mw = {None: MultiwordMatmul(self.stacked)}
+            # eager: the EFT-safety probe jit-compiles, so it cannot run
+            # while this tabulator itself is being traced
+            self._ff_ok = supports_ff(self.target_es)
         self._jitted = jax.jit(self._tabulate)
 
     def _tabulate(self, points):
@@ -375,11 +386,21 @@ class BatchedTabulator:
         if self.alpha_mats:
             if use_ozaki:
                 from .multiword import prepare_B
+                from .doublefloat import prepare_B_ff, tabulate_ff
+                ff_ok = self._ff_ok
 
                 def body(pts):
-                    base = self.target_es._tabulate_on_cell(
-                        self.max_degree, pts, order=0)
-                    phi_p = prepare_B(base[(0,) * self.sd])
+                    if ff_ok:
+                        # native-f32 df32 recurrence + slicing: the
+                        # emulated-f64 recurrence costs more than the
+                        # bf16 MXU matmuls it feeds
+                        phi_p = prepare_B_ff(
+                            tabulate_ff(self.target_es, self.max_degree,
+                                        pts))
+                    else:
+                        base = self.target_es._tabulate_on_cell(
+                            self.max_degree, pts, order=0)
+                        phi_p = prepare_B(base[(0,) * self.sd])
                     return {alpha: mw.apply(phi_p)
                             for alpha, mw in self._mw.items()}
             else:
@@ -396,9 +417,15 @@ class BatchedTabulator:
             # to every derivative table of the recurrence
             if use_ozaki:
                 from .multiword import prepare_B
+                from .doublefloat import prepare_B_ff, tabulate_ff
                 mw = self._mw[None]
+                ff_ok = self.order == 0 and self._ff_ok
 
                 def body(pts):
+                    if ff_ok:
+                        return {(0,) * self.sd: mw.apply(prepare_B_ff(
+                            tabulate_ff(self.target_es, self.max_degree,
+                                        pts)))}
                     base = self.target_es._tabulate_on_cell(
                         self.max_degree, pts, order=self.order)
                     return {alpha: mw.apply(prepare_B(tab))
