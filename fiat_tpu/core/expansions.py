@@ -685,7 +685,7 @@ def compute_cell_point_map(ref_el, pts, unique=True, tol=1e-12):
     return out
 
 
-def partition_of_unity_masks(ref_el, pts, unique=True, tol=None):
+def partition_of_unity_masks(ref_el, pts, unique=True, tol=None, raw=False):
     """Traceable analogue of the reference's symbolic partition-of-unity
     (expansions.py:732): per-subcell {0,1} masks over a point batch, for
     shape-static macro tabulation on device.
@@ -727,6 +727,8 @@ def partition_of_unity_masks(ref_el, pts, unique=True, tol=None):
             m = m * (1.0 - taken)
             taken = jnp.maximum(taken, m)
         masks.append(m)
+    if raw:
+        return masks, (None if unique else sum(masks))
     if not unique:
         total = sum(masks)
         masks = [m / total for m in masks]

@@ -275,6 +275,19 @@ def supports_ff(es):
             and eft_safe())
 
 
+def ff_recip_int(n):
+    """FF reciprocal of a small positive integer-valued f32 array (the
+    multiplicity counts of non-unique macro point binning): r + r_lo ==
+    1/n to ~2^-48 relative.  One f32 divide plus an error-free residual
+    refinement (d = 1 - r*n computed via TwoProd is exact because r*n
+    is within one ulp of 1)."""
+    one = np.float32(1.0)
+    r = one / n
+    p, e = two_prod(r, n)
+    d = (one - p) - e
+    return FF(r, r * d)
+
+
 # ---------------------------------------------------------------------------
 # df32 simplex distances (macro-complex point binning)
 

@@ -162,8 +162,10 @@ class FusedZooTabulator:
     Ozaki group dots + combine kept in VMEM.  ``fz.pair_tables(points)``
     returns exact (hi, lo) f32 pairs instead, skipping the final
     emulated-f64 promotion for pair-aware consumers.  Macro side programs
-    (split-complex expansions) stay on the XLA engine and are appended to
-    each table, as in BatchedTabulator."""
+    (split-complex expansions) run through their own fused kernels too:
+    the masked parent tabulation is built on the df32 path
+    (MacroSideProgram.b_stack_ff) and their tall change-of-basis GEMM is
+    a second FusedMultiwordMatmul, so no emulated-f64 GEMM remains."""
 
     def __init__(self, batched, interpret=False, **kw):
         self.batched = batched
@@ -180,6 +182,13 @@ class FusedZooTabulator:
         # while the fused pipeline itself is being traced
         from .doublefloat import supports_ff
         self._ff_ok = supports_ff(batched.target_es)
+        # one fused kernel per macro side program (the tall GEMM there was
+        # the emulated-f64 bottleneck of the macro zoo: native dot by
+        # default, or the XLA multiword variant at +190 s compile)
+        self.macro_fms = [
+            (FusedMultiwordMatmul(prog.tall, interpret=interpret),
+             supports_ff(prog.parent_es))
+            for prog in getattr(batched, "macro_programs", None) or ()]
         self._jit_pairs = jax.jit(self._pairs)
         self._jit_f64 = jax.jit(self._f64)
 
@@ -209,25 +218,46 @@ class FusedZooTabulator:
         return {a: (hi[k * r:(k + 1) * r], lo[k * r:(k + 1) * r])
                 for k, a in enumerate(self.alphas)}
 
-    def _specials(self, points):
-        """Macro side tables {alpha: [blocks]} via the XLA engine (the
-        grouped dmats side programs when available), point-tiled so the
-        recurrences keep a bounded working set."""
+    def _macro_prepared_B(self, prog, ff_ok, points):
+        """Point-tiled Ozaki slice preparation of a macro program's
+        masked parent tabulation: the df32 pipeline when the backend
+        supports it, otherwise the emulated-f64 b_stack split on device."""
         from .tabulate import _tiled_apply
+        from .doublefloat import prepare_B_ff
+        b = self.batched
+        n = self.fm.nslices
+
+        def body(pts):
+            if ff_ok:
+                slices, sB = prepare_B_ff(prog.b_stack_ff(pts, b.order), n)
+            else:
+                slices, sB = prepare_B(prog.b_stack(pts, b.order), n)
+            out = {f"s{i:02d}": s for i, s in enumerate(slices)}
+            out["scale"] = sB
+            return out
+
+        prep = _tiled_apply(body, points, b.tile)
+        return [prep[f"s{i:02d}"] for i in range(n)], prep["scale"]
+
+    def _specials(self, points):
+        """Macro side tables {alpha: [blocks]}: each grouped dmats side
+        program runs through its own fused multiword kernel (B prepared
+        tile-by-tile so the parent recurrence keeps a bounded working
+        set); programs without the grouped form fall back to the traced
+        per-element engine."""
         b = self.batched
         parts = {a: [] for a in self.alphas}
         if getattr(b, "macro_programs", None):
-            def body(pts):
-                out = {}
-                for g, prog in enumerate(b.macro_programs):
-                    for a, t in prog.tables(pts, b.order).items():
-                        out[(g,) + tuple(a)] = t
-                return out
-            tiled = _tiled_apply(body, points, b.tile)
             per_elem = {}
-            for g, prog in enumerate(b.macro_programs):
-                for idx, lo, hi in prog.row_slices:
-                    per_elem[idx] = {a: tiled[(g,) + tuple(a)][lo:hi]
+            for (fm, ff_ok), prog in zip(self.macro_fms, b.macro_programs):
+                Bp = self._macro_prepared_B(prog, ff_ok, points)
+                hi, lo = fm.apply_pair(Bp)
+                out = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+                r = prog.rows
+                tabs = {a: out[k * r:(k + 1) * r]
+                        for k, a in enumerate(prog.alphas)}
+                for idx, lo_, hi_ in prog.row_slices:
+                    per_elem[idx] = {a: tabs[a][lo_:hi_]
                                      for a in self.alphas}
             for i, e in b.special:
                 for alpha in parts:

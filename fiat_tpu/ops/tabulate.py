@@ -222,6 +222,29 @@ class MacroSideProgram:
         return jnp.concatenate([masks[pos].astype(pts.dtype) * phi
                                 for pos, c in enumerate(self.cells)], axis=0)
 
+    def b_stack_ff(self, pts, order):
+        """The stacked masked parent tabulation as a df32 (hi, lo) pair
+        (ncells * nexp_parent, npts), entirely in native f32: the parent
+        recurrence runs on the two-float path (ops/doublefloat.py), the
+        {0,1} binning masks multiply both words exactly, and non-unique
+        multiplicity averaging divides through an error-free-refined FF
+        reciprocal.  Callers gate on ``supports_ff(self.parent_es)``."""
+        from ..core.expansions import partition_of_unity_masks
+        from .doublefloat import FF, ff_mul, ff_recip_int, tabulate_ff
+        unique = self.es.continuity is not None and order == 0
+        masks, total = partition_of_unity_masks(self.es.ref_el, pts,
+                                                unique=unique, raw=True)
+        ff = tabulate_ff(self.parent_es, self.degree, pts)
+        his, los = [], []
+        for pos, c in enumerate(self.cells):
+            m = masks[pos].astype(jnp.float32)
+            his.append(m * ff.hi)
+            los.append(m * ff.lo)
+        out = FF(jnp.concatenate(his, axis=0), jnp.concatenate(los, axis=0))
+        if total is not None:
+            out = ff_mul(out, ff_recip_int(total.astype(jnp.float32)))
+        return out
+
     #: route the f64 tall GEMM through the multiword bf16 scheme; measured
     #: ~11 ms faster steady-state on a 21-subcell zoo but ~190 s more
     #: XLA compile time, so the native dot is the default
