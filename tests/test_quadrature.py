@@ -136,12 +136,16 @@ def test_grundmann_moller_high_degree_accuracy(dim, degree):
 
 
 def test_default_scheme_gm_gate():
-    """The default scheme must not select GM past the documented gate."""
+    """The default scheme must not select GM past the documented gate
+    (degree 25): past it the choice is the generated symmetric rule or
+    collapsed Gauss, never the alternating-weight GM rule."""
     from fiat_tpu.core.quadrature_schemes import create_quadrature
     T = cl.ufc_simplex(2)
     Q26 = create_quadrature(T, 26, scheme="default")
+    Qgm26 = create_quadrature(T, 26, scheme="gm")
     Qc26 = create_quadrature(T, 26, scheme="canonical")
-    assert len(Q26.get_points()) == len(Qc26.get_points())
+    assert len(Q26.get_points()) != len(Qgm26.get_points())
+    assert len(Q26.get_points()) <= len(Qc26.get_points())
 
 
 def test_symmetric_rules_exact_and_economical():
