@@ -38,25 +38,39 @@ NCHECK = 2_000
 K = 4  # chained device iterations per timed fetch
 
 
-def chain_timer(jax, jnp, fn, arg, reps=3):
+def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
     """min wall time of one fn(arg) execution: K chained executions inside
-    one jitted scan, synced by a scalar host fetch (async-dispatch safe)."""
-    @jax.jit
-    def chained(a):
-        def body(c, _):
-            out = fn(a)
-            leaves = jax.tree_util.tree_leaves(out)
-            s = sum(jnp.sum(v) for v in leaves)
-            return c + 1e-300 * s, s
-        _, ss = jax.lax.scan(body, 0.0, None, length=K)
-        return ss
-    float(np.asarray(chained(arg))[0])          # compile + warm
+    one jitted scan, synced by a scalar host fetch (async-dispatch safe).
+
+    K auto-scales so the chained run dwarfs the device round-trip
+    latency (~30 ms through the axon tunnel, which at the fixed K=4
+    dominated every sub-10-ms config)."""
+    def make(length):
+        @jax.jit
+        def chained(a):
+            def body(c, _):
+                out = fn(a)
+                leaves = jax.tree_util.tree_leaves(out)
+                s = sum(jnp.sum(v) for v in leaves)
+                return c + 1e-300 * s, s
+            _, ss = jax.lax.scan(body, 0.0, None, length=length)
+            return ss
+        return chained
+    probe = make(K)
+    float(np.asarray(probe(arg))[0])            # compile + warm
+    t0 = time.perf_counter()
+    float(np.asarray(probe(arg))[0])
+    est = max((time.perf_counter() - t0) / K, 1e-6)
+    length = min(512, max(K, int(target_s / est + 0.5)))
+    chained = probe if length == K else make(length)
+    if length != K:
+        float(np.asarray(chained(arg))[0])      # re-warm (same body compile)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(np.asarray(chained(arg))[0])
         times.append(time.perf_counter() - t0)
-    return min(times) / K
+    return min(times) / length
 
 
 def host_timer(fn, reps=1):
