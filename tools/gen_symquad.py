@@ -48,11 +48,13 @@ TYPES = {2: ["S3", "S21", "S111"],
          3: ["S4", "S31", "S22", "S211", "S1111"]}
 KIND_ORDER = {k: i for i, k in enumerate(
     ["S3", "S21", "S111", "S4", "S31", "S22", "S211", "S1111"])}
-# generator validity boxes (barycentric interior with margin)
-BOUNDS = {"S3": [], "S21": [(1e-4, 0.4999)], "S111": [(1e-4, 0.9999)] * 2,
-          "S4": [], "S31": [(1e-4, 0.3333)], "S22": [(1e-4, 0.2499)],
-          "S211": [(1e-4, 0.4999), (1e-4, 0.9999)],
-          "S1111": [(1e-4, 0.9999)] * 3}
+# generator validity boxes (barycentric interior with margin; the lower
+# edge must admit the collapsed-rule seeds, whose corner points sit at
+# products of near-boundary Gauss nodes ~1e-5)
+BOUNDS = {"S3": [], "S21": [(2e-6, 0.4999)], "S111": [(2e-6, 0.9999)] * 2,
+          "S4": [], "S31": [(2e-6, 0.3333)], "S22": [(2e-6, 0.2499)],
+          "S211": [(2e-6, 0.4999), (2e-6, 0.9999)],
+          "S1111": [(2e-6, 0.9999)] * 3}
 # reference rule sizes (point counts only, as search targets):
 # FIAT/quadrature_schemes.py xg_scheme tables
 XG_TRI = {1: 1, 2: 3, 3: 6, 4: 6, 5: 7, 6: 12, 7: 15, 8: 16, 9: 19, 10: 25,
@@ -463,6 +465,72 @@ def gm_orbits(dim, d):
     return orbits
 
 
+def classify_bary(vals, dim, tol=1e-11):
+    """(kind, params) of the orbit through a barycentric point; vals
+    sorted descending."""
+    uniq = []
+    for v in vals:
+        if not uniq or abs(v - uniq[-1][0]) > tol:
+            uniq.append([v, 1])
+        else:
+            uniq[-1][1] += 1
+    if dim == 2:
+        if len(uniq) == 1:
+            return "S3", ()
+        if len(uniq) == 2:
+            a = [v for v, c in uniq if c == 2][0]
+            return "S21", (float(a),)
+        return "S111", (float(vals[0]), float(vals[1]))
+    counts = sorted(c for _, c in uniq)
+    if len(uniq) == 1:
+        return "S4", ()
+    if len(uniq) == 2 and counts == [2, 2]:
+        return "S22", (float(min(v for v, _ in uniq)),)
+    if len(uniq) == 2:
+        a = [v for v, c in uniq if c == 3][0]
+        return "S31", (float(a),)
+    if len(uniq) == 3:
+        rep = [v for v, c in uniq if c == 2][0]
+        single = [v for v, c in uniq if c == 1][0]
+        return "S211", (float(rep), float(single))
+    return "S1111", tuple(float(v) for v in vals[:3])
+
+
+def collapsed_orbits(dim, d):
+    """A fully symmetric EXACT seed at ANY degree: the collapsed Gauss
+    rule averaged over the simplex symmetry group, expressed as orbits.
+    (GM's alternating weights stop verifying past degree ~25; this seed
+    has no such limit, at ~|G| times the point count.)"""
+    from fiat_tpu.core.macro import xy_to_bary
+    cell = cl.ufc_simplex(dim)
+    Q = make_quadrature(cell, d // 2 + 1)
+    bary = xy_to_bary(cell.get_vertices(), Q.get_points())
+    orbits = []
+    for b, w in zip(bary, Q.get_weights()):
+        kind, params = classify_bary(np.sort(b)[::-1], dim)
+        orbits.append((kind, params, float(w) / ORBIT_SIZE[kind]))
+    return orbits
+
+
+def prune_exact(solver, dim, d, orbits, extra=3):
+    """RRQR column-subset pruning: keep an independent ~rank(V) orbit
+    subset and re-fit weights by least squares.  While the orbit count
+    stays >= the invariant count, exactness is preserved WITHOUT moving
+    any generator -- this collapses a |G|-fold symmetrized seed to near
+    the information-theoretic orbit count in one step."""
+    from scipy.linalg import qr
+    structure, theta, nparams = theta_from_orbits(orbits)
+    V = solver.vandermonde(d, structure, theta, nparams)
+    _, R, piv = qr(V, pivoting=True, mode="economic")
+    rank = int(np.sum(np.abs(np.diag(R)) > 1e-12 * abs(R[0, 0])))
+    order = sorted(range(len(orbits)), key=lambda i: KIND_ORDER[orbits[i][0]])
+    keep = sorted(order[c] for c in piv[:min(rank + extra, len(orbits))])
+    pruned = [orbits[i] for i in keep]
+    st, th, npar = theta_from_orbits(pruned)
+    th = solver.reseed_weights(d, st, th, npar)
+    return pack(st, th)
+
+
 def seed_from(prev, structure, rng, solver, d):
     """Continuation seed: reuse the previous rule's generators where the
     kinds match, fill the rest quasi-randomly, weights by lstsq."""
@@ -519,12 +587,18 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log):
     if best and npts(best) <= target:
         return best
 
-    # Phase 2: continuation-augmented underdetermined solve + elimination
+    # Phase 2: continuation-augmented underdetermined solve + elimination.
+    # High degrees (>25) stall in continuation basins (measured: residual
+    # plateaus at ~5e-3 regardless of augmentation), so there phase 2 is
+    # capped to leave the exact-seed elimination of phase 3 most of the
+    # budget.
+    deadline2 = deadline if d <= 25 else min(
+        deadline, time.time() + 0.25 * max(deadline - time.time(), 0.0))
     if prev:
         for outer in range(60):
             # use the WHOLE remaining budget (the old 6-attempt cap made
             # high degrees give up with most of their budget unspent)
-            if time.time() > deadline:
+            if time.time() > deadline2:
                 break
             aug = list(prev)
             while ndof(aug) < m + 5 + rng.integers(5):
@@ -538,21 +612,35 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log):
             ok, err = solver.verify(d, orbits)
             if not ok:
                 continue
-            got = eliminate(solver, dim, d, orbits, target, rng, deadline,
+            got = eliminate(solver, dim, d, orbits, target, rng, deadline2,
                             log)
             if best is None or npts(got) < npts(best):
                 best = got
             if npts(best) <= target:
                 return best
 
-    # Phase 3: eliminate from the GM rule
-    if best is None and time.time() < deadline:
-        orbits = gm_orbits(dim, d)
-        ok, err = solver.verify(d, orbits)
-        if ok:
+    # Phase 3: eliminate from an exact symmetric seed -- GM while its
+    # weights still verify (degree <= ~25), else the symmetrized
+    # collapsed rule RRQR-pruned to ~the invariant count
+    if npts(best or [("S111", (0, 0), 0)] * 10 ** 6) > target \
+            and time.time() < deadline:
+        for seed_fn in (gm_orbits, collapsed_orbits):
+            orbits = seed_fn(dim, d)
+            ok, err = solver.verify(d, orbits)
+            if not ok:
+                continue
+            if ndof(orbits) > 2 * m:
+                orbits = prune_exact(solver, dim, d, orbits)
+                ok, err = solver.verify(d, orbits)
+                if not ok:
+                    continue
+                log(f"    pruned exact seed -> {npts(orbits)} pts")
             got = eliminate(solver, dim, d, orbits, target, rng, deadline,
                             log)
-            best = got
+            if best is None or npts(got) < npts(best):
+                best = got
+            if npts(best) <= target:
+                break
     return best
 
 
