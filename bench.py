@@ -44,16 +44,25 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
 
     K auto-scales so the chained run dwarfs the device round-trip
     latency (~30 ms through the axon tunnel, which at the fixed K=4
-    dominated every sub-10-ms config)."""
+    dominated every sub-10-ms config).
+
+    The input is perturbed by the loop carry each iteration: XLA's
+    loop-invariant code motion otherwise hoists the whole body out of
+    the scan (measured: a full-array reduction times at exactly
+    latency/K for every K), which would time nothing at all."""
+    eps = jnp.asarray(1e-300 if arg.dtype == jnp.float64 else 1e-30,
+                      dtype=arg.dtype)
+
     def make(length):
         @jax.jit
         def chained(a):
             def body(c, _):
-                out = fn(a)
+                out = fn(a * (1.0 + c.astype(a.dtype) * eps))
                 leaves = jax.tree_util.tree_leaves(out)
                 s = sum(jnp.sum(v) for v in leaves)
-                return c + 1e-300 * s, s
-            _, ss = jax.lax.scan(body, 0.0, None, length=length)
+                return c + 1e-300 * s.astype(jnp.float64), s
+            _, ss = jax.lax.scan(body, jnp.asarray(0.0, jnp.float64),
+                                 None, length=length)
             return ss
         return chained
     probe = make(K)

@@ -95,9 +95,12 @@ class FusedMultiwordMatmul:
         hi_ref[:] = s * scale
         lo_ref[:] = e * scale
 
-    def apply_pair(self, B_prepared):
+    def apply_pair(self, B_prepared, trim=True):
         """(hi, lo) f32 pair with hi + lo == (A @ B) in the multiword
-        scheme's accuracy; B_prepared from multiword.prepare_B."""
+        scheme's accuracy; B_prepared from multiword.prepare_B.
+        ``trim=False`` returns the block-padded (rpad, tpad) arrays so
+        the caller can fuse its own (aligned) slicing into downstream
+        ops -- the eager trim here costs a full extra HBM round-trip."""
         B_slices, sB = B_prepared
         npts = B_slices[0].shape[1]
         T = self.point_tile
@@ -141,6 +144,8 @@ class FusedMultiwordMatmul:
                 transcendentals=0,
             ),
         )(*self.A_slices, *Bp, self.sA, sBp)
+        if not trim:
+            return hi, lo
         return hi[:self.rows, :npts], lo[:self.rows, :npts]
 
     def __call__(self, B):
@@ -167,16 +172,24 @@ class FusedZooTabulator:
     (MacroSideProgram.b_stack_ff) and their tall change-of-basis GEMM is
     a second FusedMultiwordMatmul, so no emulated-f64 GEMM remains."""
 
+    #: per-alpha row blocks are padded to this multiple so the _split
+    #: slices start sublane-aligned (an unaligned-offset row slice of
+    #: the kernel output costs a shifted copy on TPU)
+    ROW_ALIGN = 8
+
     def __init__(self, batched, interpret=False, **kw):
         self.batched = batched
         self.sd = batched.sd
+        self.rows = batched.stacked.shape[0]
+        self.block_rows = -(-self.rows // self.ROW_ALIGN) * self.ROW_ALIGN
+        pad = ((0, self.block_rows - self.rows), (0, 0))
         if batched.alpha_mats:
             self.alphas = batched._alpha_order
-            tall = batched._alpha_stacked
+            tall = np.vstack([np.pad(batched.alpha_mats[a], pad)
+                              for a in self.alphas])
         else:
             self.alphas = [(0,) * self.sd]
-            tall = batched.stacked
-        self.rows = batched.stacked.shape[0]
+            tall = np.pad(batched.stacked, pad)
         self.fm = FusedMultiwordMatmul(tall, interpret=interpret, **kw)
         # eager: the EFT-safety probe jit-compiles, so it cannot run
         # while the fused pipeline itself is being traced
@@ -214,7 +227,10 @@ class FusedZooTabulator:
         return FF(out["hi"], out["lo"])
 
     def _split(self, hi, lo):
-        r = self.rows
+        """Aligned per-alpha views of the PADDED kernel outputs; each
+        entry still carries the row/column padding (trim fuses into the
+        consumer's convert, avoiding an eager HBM round-trip)."""
+        r = self.block_rows
         return {a: (hi[k * r:(k + 1) * r], lo[k * r:(k + 1) * r])
                 for k, a in enumerate(self.alphas)}
 
@@ -270,18 +286,29 @@ class FusedZooTabulator:
                 parts[alpha].append(C @ base[alpha])
         return parts
 
-    def _pairs(self, points):
+    def _padded_pairs(self, points):
+        """{alpha: padded (hi, lo)} straight off the fused kernel."""
         from .doublefloat import prepare_B_ff
         if self._ff_ok and points.dtype == jnp.float64:
             Bp = prepare_B_ff(self._phi_pair(points))
         else:
             Bp = prepare_B(self._phi(points))
-        hi, lo = self.fm.apply_pair(Bp)
+        hi, lo = self.fm.apply_pair(Bp, trim=False)
         return self._split(hi, lo)
 
+    def _pairs(self, points):
+        npts = points.shape[0]
+        return {a: (h[:self.rows, :npts], l[:self.rows, :npts])
+                for a, (h, l) in self._padded_pairs(points).items()}
+
     def _f64(self, points):
-        out = {a: h.astype(jnp.float64) + l.astype(jnp.float64)
-               for a, (h, l) in self._pairs(points).items()}
+        npts = points.shape[0]
+        r = self.rows
+        # slice-then-convert: the trim fuses into the f32->f64 promote,
+        # so the padded kernel outputs cross HBM exactly once
+        out = {a: (h[:r, :npts].astype(jnp.float64)
+                   + l[:r, :npts].astype(jnp.float64))
+               for a, (h, l) in self._padded_pairs(points).items()}
         if self.batched.special_progs:
             specials = self._specials(points)
             out = {a: jnp.concatenate([out[a]] + specials[a], axis=0)
