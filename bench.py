@@ -102,7 +102,10 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     fz = FusedZooTabulator(bt)
     dpts = jnp.asarray(pts)
     sys.stderr.write(f"[bench] {name}: compiled+timing\n"); sys.stderr.flush()
-    tpu_time = chain_timer(jax, jnp, fz._f64, dpts, reps=2)
+    # block layout: per-source f64 tables (the reference likewise emits
+    # per-element arrays; a fused concatenation would cost every table
+    # an extra HBM round-trip)
+    tpu_time = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=2)
     sys.stderr.write(f"[bench] {name}: tpu {tpu_time*1e3:.1f} ms\n"); sys.stderr.flush()
     rows = max(hi for (lo, hi, shape) in bt.slices)
     ntab = len(fz.alphas)
@@ -111,7 +114,8 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     max_err = ref_time = speedup = None
     if ref is not None:
         sub = pts[:NCHECK]
-        per = bt.unpack({a: np.asarray(v) for a, v in fz(jnp.asarray(sub)).items()})
+        per = fz.unpack({a: [np.asarray(x) for x in blocks]
+                         for a, blocks in fz.block_tables(sub).items()})
         max_err = 0.0
         for e, tab in zip(ref, per):
             theirs = e.tabulate(order, sub)

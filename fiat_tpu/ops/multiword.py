@@ -27,11 +27,14 @@ import jax.numpy as jnp
 #: bits per slice window (<= 8 so slices are exact in bf16; 7 leaves
 #: headroom so f32 accumulation of ~1000-term groups stays exact)
 CHUNK = 7
-#: number of slices per operand (8 * 7 = 56 >= 53 bits)
-DEFAULT_SLICES = 8
 #: keep product groups with i + j <= DEFAULT_ORDER (~7 bits per order:
 #: order 6 measures ~3e-14 relative on random operands)
 DEFAULT_ORDER = 6
+#: slices per operand: slice i only ever multiplies slices j <= order-i,
+#: so indices past the order are dead weight in every group -- computing
+#: or streaming them changes nothing (order+1 slices carry 49 of an
+#: operand's bits; bits below that scale cannot reach any kept product)
+DEFAULT_SLICES = DEFAULT_ORDER + 1
 
 
 def _pow2_scale(x, axis, xp=jnp):

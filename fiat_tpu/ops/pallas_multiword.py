@@ -204,6 +204,7 @@ class FusedZooTabulator:
             for prog in getattr(batched, "macro_programs", None) or ()]
         self._jit_pairs = jax.jit(self._pairs)
         self._jit_f64 = jax.jit(self._f64)
+        self._jit_blocks = jax.jit(self._f64_blocks)
 
     def _phi(self, points):
         from .tabulate import _tiled_apply
@@ -313,6 +314,44 @@ class FusedZooTabulator:
             specials = self._specials(points)
             out = {a: jnp.concatenate([out[a]] + specials[a], axis=0)
                    for a in out}
+        return out
+
+    def _f64_blocks(self, points):
+        """{alpha: [plain_block, macro_block...]} f64 without the final
+        concatenate -- the concatenated layout costs a full extra HBM
+        round-trip of every table, and consumers (unpack, moments) are
+        block-agnostic; the reference likewise emits per-element arrays
+        (FIAT/finite_element.py:181), never a fused concatenation."""
+        npts = points.shape[0]
+        r = self.rows
+        out = {a: [h[:r, :npts].astype(jnp.float64)
+                   + l[:r, :npts].astype(jnp.float64)]
+               for a, (h, l) in self._padded_pairs(points).items()}
+        if self.batched.special_progs:
+            for a, blocks in self._specials(points).items():
+                out[a].extend(blocks)
+        return out
+
+    def block_tables(self, points):
+        """f64 tables in block layout; ``unpack`` maps them back to the
+        per-element dicts."""
+        return self._jit_blocks(jnp.asarray(points))
+
+    def unpack(self, block_tables):
+        """Per-element {alpha: array} views from ``block_tables`` output
+        (same result as ``batched.unpack(self(points))``)."""
+        b = self.batched
+        special_pos = {i: 1 + k for k, (i, e) in enumerate(b.special)}
+        out = []
+        for i, (lo, hi, shape) in enumerate(b.slices):
+            elem = {}
+            for alpha, blocks in block_tables.items():
+                if i in special_pos:
+                    tab = blocks[special_pos[i]]
+                else:
+                    tab = blocks[0][lo:hi]
+                elem[alpha] = tab.reshape(shape + tab.shape[-1:])
+            out.append(elem)
         return out
 
     def pair_tables(self, points):

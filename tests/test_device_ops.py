@@ -345,3 +345,20 @@ def test_fused_zoo_macro_side_programs_interpret():
         for a in host:
             assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
                                host[a], atol=1e-10), (type(el).__name__, a)
+
+
+def test_fused_zoo_block_tables_interpret():
+    """block_tables + FusedZooTabulator.unpack match the concatenated
+    layout and the host tabulation (incl. macro side programs)."""
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    els = [fe.Lagrange(T, 3), fe.Nedelec(T, 2), fe.HsiehCloughTocher(T, 3)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256, point_tile=256)
+    pts = RNG.random((120, 2)) / 2
+    blocks = {a: [np.asarray(x) for x in v]
+              for a, v in fz.block_tables(jnp.asarray(pts)).items()}
+    for el, tab in zip(els, fz.unpack(blocks)):
+        host = el.tabulate(1, pts)
+        for a in host:
+            assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
+                               host[a], atol=1e-10), (type(el).__name__, a)
