@@ -131,6 +131,27 @@ def make_moment_step_2d(tabulator, mesh, axes=("points", "rows")):
     return step
 
 
+def make_fused_tabulate_step(fused, mesh, axis="points"):
+    """Shard the fused-Ozaki f64 engine (ops/pallas_multiword.py)
+    over the point axis: shard_map runs the Pallas multiword kernels
+    per device on the local point shard -- embarrassingly parallel, no
+    collectives; the block tables come back sharded on their point
+    axis.  ``fused`` is a FusedZooTabulator."""
+    local = jax.shard_map(fused._f64_blocks, mesh=mesh,
+                          in_specs=P(axis, None),
+                          out_specs=P(None, axis),
+                          # pallas_call output shapes carry no
+                          # varying-mesh annotation; the engine is
+                          # per-device pure SPMD
+                          check_vma=False)
+
+    @partial(jax.jit, in_shardings=(NamedSharding(mesh, P(axis, None)),),
+             out_shardings=NamedSharding(mesh, P(None, axis)))
+    def step(points):
+        return local(points)
+    return step
+
+
 def make_interpolation_step(tabulator, mesh, axis="points"):
     """The transpose direction: given coefficients per basis row of the
     fused zoo (macro side programs included), evaluate the field at a

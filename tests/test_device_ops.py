@@ -362,3 +362,26 @@ def test_fused_zoo_block_tables_interpret():
         for a in host:
             assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
                                host[a], atol=1e-10), (type(el).__name__, a)
+
+
+def test_fused_engine_sharded_8_devices():
+    """The fused-Ozaki Pallas engine runs SPMD over the 8-device points
+    mesh via shard_map (interpret mode on the CPU mesh), matching the
+    host tabulation."""
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    from fiat_tpu.parallel.sharding import (make_fused_tabulate_step,
+                                            points_mesh, shard_points)
+    els = [fe.Lagrange(T, 3), fe.RaviartThomas(T, 2)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256, point_tile=128)
+    mesh = points_mesh()
+    step = make_fused_tabulate_step(fz, mesh)
+    pts = RNG.random((16 * 8, 2)) / 2
+    blocks = step(shard_points(jnp.asarray(pts), mesh))
+    per = fz.unpack({a: [np.asarray(x) for x in v]
+                     for a, v in blocks.items()})
+    for el, tab in zip(els, per):
+        host = el.tabulate(1, pts)
+        for a in host:
+            assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
+                               host[a], atol=1e-10), (type(el).__name__, a)
