@@ -30,9 +30,10 @@ from ..core import expansions
 #: Point-batch tile size: the expansion recurrence is evaluated tile by tile
 #: (jax.lax.map) so the unrolled recurrence's live intermediates stay inside
 #: a bounded working set instead of scaling with the full batch.  Swept on
-#: v5e for the full-zoo order-1 f64 path: 2048 and 4096 are ~20% faster
-#: than 8192 and ~3x faster than 25k.
-DEFAULT_TILE = 2048
+#: v5e for the full-zoo f64 block-table path (df32 recurrence + fused
+#: kernels): 8192-25600 are ~15% faster than 2048 (the old optimum for the
+#: emulated-f64 recurrence, whose live set per point was ~8x larger).
+DEFAULT_TILE = 8192
 
 #: recurrence working-set target (expansion members x points) behind the
 #: adaptive tile: DEFAULT_TILE at the full zoo's nexp=66; small bases get
