@@ -55,10 +55,16 @@ class FusedMultiwordMatmul:
         self.order = order
         self.interpret = interpret
         rows, self.K = A.shape
-        self.row_block = min(row_block, max(256, rows))
+        # even 128-aligned row blocks (the MXU's systolic tile; a
+        # non-128-multiple block measured 2.4x slower) with minimal
+        # padding: ceil(rows/row_block) blocks of ceil-even size, NOT
+        # ceil-to-row_block -- e.g. 672 rows at cap 512 used to pad to
+        # 1024 (52% dead MXU work); now 2 blocks of 384
+        nblocks = max(1, -(-rows // row_block))
+        self.row_block = max(128, -(-(-(-rows // nblocks)) // 128) * 128)
         self.point_tile = point_tile
         self.rows = rows
-        self.rpad = -(-rows // self.row_block) * self.row_block
+        self.rpad = nblocks * self.row_block
 
         slices, sA = split_scaled_host(A, nslices)
         pad = self.rpad - rows
