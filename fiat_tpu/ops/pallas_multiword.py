@@ -201,6 +201,18 @@ class FusedZooTabulator:
         # while the fused pipeline itself is being traced
         from .doublefloat import supports_ff
         self._ff_ok = supports_ff(batched.target_es)
+        # fused Pallas recurrence+slice kernel for the B operand (the
+        # XLA df32 recurrence graph runs ~5x below VPU speed; the
+        # in-VMEM kernel also keeps the (hi, lo) pair out of HBM)
+        self._slice_rec = None
+        if self._ff_ok and not interpret:
+            from .pallas_recurrence import PallasSliceRecurrence
+            try:
+                self._slice_rec = PallasSliceRecurrence(
+                    batched.target_es, batched.max_degree,
+                    nslices=self.fm.nslices)
+            except NotImplementedError:
+                pass
         # one fused kernel per macro side program (the tall GEMM there was
         # the emulated-f64 bottleneck of the macro zoo: native dot by
         # default, or the XLA multiword variant at +190 s compile)
@@ -296,7 +308,9 @@ class FusedZooTabulator:
     def _padded_pairs(self, points):
         """{alpha: padded (hi, lo)} straight off the fused kernel."""
         from .doublefloat import prepare_B_ff
-        if self._ff_ok and points.dtype == jnp.float64:
+        if self._slice_rec is not None and points.dtype == jnp.float64:
+            Bp = self._slice_rec._apply(points)
+        elif self._ff_ok and points.dtype == jnp.float64:
             Bp = prepare_B_ff(self._phi_pair(points))
         else:
             Bp = prepare_B(self._phi(points))

@@ -1,0 +1,227 @@
+"""Fused df32 recurrence + Ozaki slice preparation in Pallas.
+
+The XLA df32 path (ops/doublefloat.py) is arithmetic-cheap but
+graph-shaped badly for XLA:TPU -- the per-level chains of small
+elementwise ops run ~5x below VPU speed (measured: the tet degree-8
+value recurrence costs 7.7 ms/1e5 pts on v5e; the plain f32 XLA
+recurrence is no faster).  This kernel runs, per point tile, entirely
+in VMEM:
+
+  * the two-float (hi, lo) Dubiner value recurrence
+    (doublefloat.dubiner_tabulate_ff -- the SAME ff_* arithmetic
+    helpers trace inside the kernel),
+  * the morton gather + normalisation as an EXACT {0,1} selection
+    matmul (exact because each row has a single unit coefficient)
+    followed by an error-free constant multiply,
+  * the fixed 7-bit-window bf16 slice split (prepare_B_ff), with the
+    power-of-two column scale computed by integer exponent extraction
+    (no transcendentals),
+
+and writes only the bf16 slices + the f32 column scale: the B-operand
+pipeline of the fused multiword kernel (ops/pallas_multiword.py) with
+no f64 and no pair array ever touching HBM.
+
+Plain Dubiner variant, single-cell simplices (the callers gate on
+``supports_ff``); ``interpret=True`` runs on CPU for tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.expansions import _stage_constants
+from .multiword import CHUNK, DEFAULT_SLICES
+from .doublefloat import (FF, ff_add, ff_mul, ff_scale_pow2, ff_sub,
+                          two_sum)
+
+
+def _pack_stage_ff(dim, n, codim):
+    """Host-packed ff recurrence data of one codim stage:
+    (coeff columns [hi|lo interleaved], selection matrix P {0,1},
+    norms (m_out, 2) [hi, lo])."""
+    a1, b1, general, perm, norms = _stage_constants(dim, n, codim, None)
+    m_in = a1.shape[0]
+
+    def hilo(x):
+        x = np.asarray(x, dtype=np.float64)
+        hi = x.astype(np.float32)
+        lo = (x - hi.astype(np.float64)).astype(np.float32)
+        return hi, lo
+
+    cols = list(hilo(a1)) + list(hilo(b1))
+    for i in range(2, n + 1):
+        for arr in general[i]:
+            cols.extend(hilo(arr))
+    packed = np.concatenate(cols, axis=1)
+    ncand = (n + 1) * m_in if n >= 1 else m_in
+    P = np.zeros((len(perm), ncand), dtype=np.float32)
+    P[np.arange(len(perm)), perm] = 1.0
+    nh, nl = hilo(norms[:, 0])
+    return packed, P, np.stack([nh, nl], axis=1)
+
+
+def _ff_mul_c(ch, cl, x):
+    """_ConstFF-style multiply with per-row constant columns (the
+    split of the hi word is recomputed in-kernel by integer masking)."""
+    return ff_mul(FF(ch, cl), x)
+
+
+class PallasSliceRecurrence:
+    """``rec = PallasSliceRecurrence(es, degree); slices, sB = rec(pts)``
+    matching ``prepare_B_ff(tabulate_ff(es, degree, pts))`` to pair
+    accuracy, with the whole pipeline fused per point tile."""
+
+    def __init__(self, es, degree, nslices=DEFAULT_SLICES, tile=None,
+                 interpret=False):
+        if es.variant is not None or len(es.affine_mappings) != 1:
+            raise NotImplementedError(
+                "Pallas slice recurrence: plain single-cell variant only")
+        self.es = es
+        self.degree = degree
+        self.nslices = nslices
+        self.interpret = interpret
+        self.sd = es.ref_el.get_spatial_dimension()
+        A, b = es.affine_mappings[0]
+        self.A = np.asarray(A, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+        self.scale = float(np.asarray(es.get_scale(degree, cell=0)))
+        self.nexp = es.get_num_members(degree)
+        self.stages = [_pack_stage_ff(self.sd, degree, c)
+                       for c in range(self.sd)]
+        self._tile = tile
+        self._jitted = jax.jit(self._apply)
+
+    # ------------------------------------------------------------------
+    def _kernel(self, hi_ref, lo_ref, *rest):
+        stage_refs, out_refs = rest[:-self.nslices - 1], rest[-self.nslices - 1:]
+        slice_refs, sB_ref = out_refs[:-1], out_refs[-1]
+        sd, n = self.sd, self.degree
+        T = hi_ref.shape[1]
+
+        zero = jnp.zeros((1, T), dtype=jnp.float32)
+        R = FF(jnp.full((1, T), np.float32(self.scale)),
+               jnp.full((1, T), np.float32(
+                   self.scale - np.float64(np.float32(self.scale)))))
+        neg1 = FF(jnp.full((1, T), np.float32(-1.0)), zero)
+        X = [FF(hi_ref[i, :].reshape(1, T), lo_ref[i, :].reshape(1, T))
+             for i in range(sd)] + [neg1, neg1]
+        half = np.float32(0.5)
+        one = FF(np.float32(1.0), np.float32(0.0))
+        for codim in range(sd):
+            x, y, z = X[codim], X[codim + 1], X[codim + 2]
+            # identical ff arithmetic to dubiner_tabulate_ff
+            fb = ff_scale_pow2(ff_add(y, z), half)
+            fa = ff_add(ff_add(x, fb), one)
+            fc = ff_mul(fb, fb)
+
+            pk = stage_refs[3 * codim][:]
+            P = stage_refs[3 * codim + 1][:]
+            norms = stage_refs[3 * codim + 2][:]
+            a1 = FF(pk[:, 0:1], pk[:, 1:2])
+            b1 = FF(pk[:, 2:3], pk[:, 3:4])
+            levels = [R]
+            if n >= 1:
+                u = ff_sub(ff_mul(a1, fa), ff_mul(b1, fb))
+                levels.append(ff_mul(u, R))
+            for i in range(2, n + 1):
+                o = 4 + 6 * (i - 2)
+                a = FF(pk[:, o:o + 1], pk[:, o + 1:o + 2])
+                b = FF(pk[:, o + 2:o + 3], pk[:, o + 3:o + 4])
+                c = FF(pk[:, o + 4:o + 5], pk[:, o + 5:o + 6])
+                u = ff_sub(ff_mul(a, fa), ff_mul(b, fb))
+                levels.append(ff_sub(ff_mul(u, levels[-1]),
+                                     ff_mul(ff_mul(c, fc), levels[-2])))
+            big_hi = jnp.concatenate([L.hi for L in levels], axis=0)
+            big_lo = jnp.concatenate([L.lo for L in levels], axis=0)
+            # exact permutation: each P row has ONE unit entry, so the
+            # f32 matmul copies values exactly (no rounding)
+            sel_hi = jnp.dot(P, big_hi, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            sel_lo = jnp.dot(P, big_lo, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            R = _ff_mul_c(norms[:, 0:1], norms[:, 1:2], FF(sel_hi, sel_lo))
+
+        # ---- prepare_B_ff: pow2 column scale by exponent extraction ----
+        hi, lo = R
+        m = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
+        bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+        exp = bits >> np.uint32(23)
+        frac = bits & np.uint32(0x007FFFFF)
+        e_ceil = exp + jnp.where(frac == 0, np.uint32(0), np.uint32(1))
+        sB = jax.lax.bitcast_convert_type(e_ceil << np.uint32(23),
+                                          jnp.float32)
+        sB = jnp.where(m == 0, np.float32(1.0), sB)
+        inv = np.float32(1.0) / sB                  # pow2: exact
+        rh, rl = hi * inv, lo * inv
+        for i in range(self.nslices):
+            sc = np.float32(2.0 ** (CHUNK * (i + 1)))
+            s = jnp.round(rh * sc) / sc
+            slice_refs[i][:] = s.astype(jnp.bfloat16)
+            rh, rl = two_sum(rh - s, rl)
+        sB_ref[:] = sB
+
+    # ------------------------------------------------------------------
+    def _vmem_tile(self):
+        """Lane-multiple tile under a VMEM budget: the ff candidate
+        stacks double the f32 engine's live set, and the slice outputs
+        add nslices bf16 rows."""
+        budget = 6 * 1024 * 1024
+        ncand = max((self.degree + 1) * pk.shape[0]
+                    for pk, _, _ in self.stages)
+        per_point = 4 * (2 * 3 * ncand              # ff levels + big
+                         + 2 * self.nexp            # selected pair
+                         + 2 * self.sd * 2) \
+            + 2 * self.nslices * self.nexp          # bf16 slice blocks
+        T = budget // max(per_point, 1)
+        return max(256, min(self._tile or 4096, (T // 128) * 128))
+
+    def _apply(self, points):
+        npts = points.shape[0]
+        T = min(self._vmem_tile(), max(128, npts))
+        ntiles = -(-npts // T)
+        pad = ntiles * T - npts
+        # exact f64 affine map to the (-1,1) cell OUTSIDE the kernel
+        # (tiny: npts x sd), then pair-split for the f32-only kernel
+        ref = points @ jnp.asarray(self.A.T) + jnp.asarray(self.b)
+        ref = jnp.pad(ref, ((0, pad), (0, 0))).T      # (sd, ntiles*T)
+        hi = ref.astype(jnp.float32)
+        lo = (ref - hi.astype(jnp.float64)).astype(jnp.float32)
+
+        full = lambda arr: pl.BlockSpec(arr.shape, lambda i: tuple(
+            i * 0 for _ in arr.shape), memory_space=pltpu.VMEM)
+        pts_spec = pl.BlockSpec((self.sd, T), lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+        in_specs = [pts_spec, pts_spec]
+        operands = [hi, lo]
+        for pk, P, norms in self.stages:
+            for arr in (pk, P, norms):
+                in_specs.append(full(arr))
+                operands.append(jnp.asarray(arr))
+
+        out_spec = pl.BlockSpec((self.nexp, T), lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+        sB_spec = pl.BlockSpec((1, T), lambda i: (i * 0, i),
+                               memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            self._kernel,
+            grid=(ntiles,),
+            in_specs=in_specs,
+            out_specs=tuple([out_spec] * self.nslices + [sB_spec]),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((self.nexp, ntiles * T), jnp.bfloat16)]
+                * self.nslices
+                + [jax.ShapeDtypeStruct((1, ntiles * T), jnp.float32)]),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=150 * self.nexp * ntiles * T,
+                bytes_accessed=8 * self.sd * ntiles * T
+                + (2 * self.nslices * self.nexp + 4) * ntiles * T,
+                transcendentals=0,
+            ),
+        )(*operands)
+        slices = [o[:, :npts] for o in outs[:-1]]
+        return slices, outs[-1][:, :npts]
+
+    def __call__(self, points):
+        return self._jitted(jnp.asarray(points))

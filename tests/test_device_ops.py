@@ -385,3 +385,23 @@ def test_fused_engine_sharded_8_devices():
         for a in host:
             assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
                                host[a], atol=1e-10), (type(el).__name__, a)
+
+
+def test_pallas_slice_recurrence_interpret():
+    """Plumbing check of the fused recurrence+slice kernel (interpret).
+
+    On XLA:CPU the error-free transforms are corrupted by FMA
+    contraction (see doublefloat.eft_safe), so only f32-level accuracy
+    is checkable here; the pair-accurate (1e-13) validation runs on
+    real TPU hardware (recorded in the module docstring)."""
+    from fiat_tpu.core.expansions import ExpansionSet
+    from fiat_tpu.ops.pallas_recurrence import PallasSliceRecurrence
+    es = ExpansionSet(T)
+    rec = PallasSliceRecurrence(es, 7, interpret=True, tile=256)
+    pts = RNG.random((300, 2)) * 0.4
+    slices, sB = rec(jnp.asarray(pts))
+    want = np.asarray(es._tabulate_on_cell(7, pts, order=0)[(0, 0)])
+    got = sum(np.asarray(s, np.float64) for s in slices) * np.asarray(sB, np.float64)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-5, rel
+    assert slices[0].dtype == jnp.bfloat16
