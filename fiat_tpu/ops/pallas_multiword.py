@@ -216,10 +216,19 @@ class FusedZooTabulator:
         # one fused kernel per macro side program (the tall GEMM there was
         # the emulated-f64 bottleneck of the macro zoo: native dot by
         # default, or the XLA multiword variant at +190 s compile)
-        self.macro_fms = [
-            (FusedMultiwordMatmul(prog.tall, interpret=interpret),
-             supports_ff(prog.parent_es))
-            for prog in getattr(batched, "macro_programs", None) or ()]
+        self.macro_fms = []
+        for prog in getattr(batched, "macro_programs", None) or ():
+            fm = FusedMultiwordMatmul(prog.tall, interpret=interpret)
+            ff_ok = supports_ff(prog.parent_es)
+            rec = None
+            if ff_ok and not interpret:
+                from .pallas_recurrence import PallasSliceRecurrence
+                try:
+                    rec = PallasSliceRecurrence(prog.parent_es, prog.degree,
+                                                nslices=fm.nslices)
+                except NotImplementedError:
+                    pass
+            self.macro_fms.append((fm, ff_ok, rec))
         self._jit_pairs = jax.jit(self._pairs)
         self._jit_f64 = jax.jit(self._f64)
         self._jit_blocks = jax.jit(self._f64_blocks)
@@ -253,14 +262,37 @@ class FusedZooTabulator:
         return {a: (hi[k * r:(k + 1) * r], lo[k * r:(k + 1) * r])
                 for k, a in enumerate(self.alphas)}
 
-    def _macro_prepared_B(self, prog, ff_ok, points):
-        """Point-tiled Ozaki slice preparation of a macro program's
-        masked parent tabulation: the df32 pipeline when the backend
-        supports it, otherwise the emulated-f64 b_stack split on device."""
+    def _macro_prepared_B(self, prog, ff_ok, rec, points):
+        """Ozaki slice preparation of a macro program's masked parent
+        tabulation, plus the per-point multiplicity reciprocal to fold
+        into the result (or None).
+
+        Preferred path: the fused Pallas recurrence+slice kernel on the
+        PARENT basis, then exact {0,1} mask multiplies in bf16 slice
+        space -- valid because the binning mask is constant down each
+        point column, so mask * slice_k(phi) == slice_k(mask * phi) at
+        the unmasked column scale.  Multiplicity averaging (non-unique
+        binning) becomes an exact f64 multiply AFTER the kernel instead
+        of an in-pair division.  Fallbacks: the XLA df32 pipeline, then
+        the emulated-f64 b_stack split."""
+        from ..core.expansions import partition_of_unity_masks
         from .tabulate import _tiled_apply
         from .doublefloat import prepare_B_ff
         b = self.batched
         n = self.fm.nslices
+
+        if rec is not None and points.dtype == jnp.float64:
+            unique = prog.es.continuity is not None and b.order == 0
+            masks, total = partition_of_unity_masks(
+                prog.es.ref_el, points, unique=unique, raw=True)
+            slices, sB = rec._apply(points)
+            Bs = [jnp.concatenate(
+                [masks[pos].astype(jnp.bfloat16) * s
+                 for pos, c in enumerate(prog.cells)], axis=0)
+                for s in slices]
+            recip = (None if total is None
+                     else 1.0 / total.astype(jnp.float64))
+            return (Bs, sB), recip
 
         def body(pts):
             if ff_ok:
@@ -272,7 +304,7 @@ class FusedZooTabulator:
             return out
 
         prep = _tiled_apply(body, points, b.tile)
-        return [prep[f"s{i:02d}"] for i in range(n)], prep["scale"]
+        return ([prep[f"s{i:02d}"] for i in range(n)], prep["scale"]), None
 
     def _specials(self, points):
         """Macro side tables {alpha: [blocks]}: each grouped dmats side
@@ -284,10 +316,14 @@ class FusedZooTabulator:
         parts = {a: [] for a in self.alphas}
         if getattr(b, "macro_programs", None):
             per_elem = {}
-            for (fm, ff_ok), prog in zip(self.macro_fms, b.macro_programs):
-                Bp = self._macro_prepared_B(prog, ff_ok, points)
+            for (fm, ff_ok, rec), prog in zip(self.macro_fms,
+                                              b.macro_programs):
+                Bp, recip = self._macro_prepared_B(prog, ff_ok, rec, points)
                 hi, lo = fm.apply_pair(Bp)
                 out = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+                if recip is not None:
+                    # exact rational multiplicity averaging in f64
+                    out = out * recip
                 r = prog.rows
                 tabs = {a: out[k * r:(k + 1) * r]
                         for k, a in enumerate(prog.alphas)}
