@@ -67,6 +67,79 @@ def _ff_mul_c(ch, cl, x):
     return ff_mul(FF(ch, cl), x)
 
 
+def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs):
+    """Trace the df32 Dubiner recurrence + fixed-window slice split
+    inside a Pallas kernel body: returns (list of bf16 slice VALUES
+    (nexp, T), f32 column scale (1, T)).
+
+    (A fully-fused one-shot variant -- recurrence + group dots +
+    combine in one kernel with A resident -- measured NO faster than
+    the two-kernel split on v5e and compiled ~10x slower, so the split
+    stays.)"""
+    T = hi_ref.shape[1]
+    zero = jnp.zeros((1, T), dtype=jnp.float32)
+    R = FF(jnp.full((1, T), np.float32(scale)),
+           jnp.full((1, T), np.float32(
+               scale - np.float64(np.float32(scale)))))
+    neg1 = FF(jnp.full((1, T), np.float32(-1.0)), zero)
+    X = [FF(hi_ref[i, :].reshape(1, T), lo_ref[i, :].reshape(1, T))
+         for i in range(sd)] + [neg1, neg1]
+    half = np.float32(0.5)
+    one = FF(np.float32(1.0), np.float32(0.0))
+    for codim in range(sd):
+        x, y, z = X[codim], X[codim + 1], X[codim + 2]
+        # identical ff arithmetic to dubiner_tabulate_ff
+        fb = ff_scale_pow2(ff_add(y, z), half)
+        fa = ff_add(ff_add(x, fb), one)
+        fc = ff_mul(fb, fb)
+
+        pk = stage_refs[3 * codim][:]
+        P = stage_refs[3 * codim + 1][:]
+        norms = stage_refs[3 * codim + 2][:]
+        a1 = FF(pk[:, 0:1], pk[:, 1:2])
+        b1 = FF(pk[:, 2:3], pk[:, 3:4])
+        levels = [R]
+        if n >= 1:
+            u = ff_sub(ff_mul(a1, fa), ff_mul(b1, fb))
+            levels.append(ff_mul(u, R))
+        for i in range(2, n + 1):
+            o = 4 + 6 * (i - 2)
+            a = FF(pk[:, o:o + 1], pk[:, o + 1:o + 2])
+            b = FF(pk[:, o + 2:o + 3], pk[:, o + 3:o + 4])
+            c = FF(pk[:, o + 4:o + 5], pk[:, o + 5:o + 6])
+            u = ff_sub(ff_mul(a, fa), ff_mul(b, fb))
+            levels.append(ff_sub(ff_mul(u, levels[-1]),
+                                 ff_mul(ff_mul(c, fc), levels[-2])))
+        big_hi = jnp.concatenate([L.hi for L in levels], axis=0)
+        big_lo = jnp.concatenate([L.lo for L in levels], axis=0)
+        # exact permutation: each P row has ONE unit entry, so the
+        # f32 matmul copies values exactly (no rounding)
+        sel_hi = jnp.dot(P, big_hi, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        sel_lo = jnp.dot(P, big_lo, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        R = _ff_mul_c(norms[:, 0:1], norms[:, 1:2], FF(sel_hi, sel_lo))
+
+    # ---- prepare_B_ff: pow2 column scale by exponent extraction ----
+    hi, lo = R
+    m = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
+    bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+    exp = bits >> np.uint32(23)
+    frac = bits & np.uint32(0x007FFFFF)
+    e_ceil = exp + jnp.where(frac == 0, np.uint32(0), np.uint32(1))
+    sB = jax.lax.bitcast_convert_type(e_ceil << np.uint32(23), jnp.float32)
+    sB = jnp.where(m == 0, np.float32(1.0), sB)
+    inv = np.float32(1.0) / sB                  # pow2: exact
+    rh, rl = hi * inv, lo * inv
+    out = []
+    for i in range(nslices):
+        sc = np.float32(2.0 ** (CHUNK * (i + 1)))
+        s = jnp.round(rh * sc) / sc
+        out.append(s.astype(jnp.bfloat16))
+        rh, rl = two_sum(rh - s, rl)
+    return out, sB
+
+
 class PallasSliceRecurrence:
     """``rec = PallasSliceRecurrence(es, degree); slices, sB = rec(pts)``
     matching ``prepare_B_ff(tabulate_ff(es, degree, pts))`` to pair
@@ -96,69 +169,10 @@ class PallasSliceRecurrence:
     def _kernel(self, hi_ref, lo_ref, *rest):
         stage_refs, out_refs = rest[:-self.nslices - 1], rest[-self.nslices - 1:]
         slice_refs, sB_ref = out_refs[:-1], out_refs[-1]
-        sd, n = self.sd, self.degree
-        T = hi_ref.shape[1]
-
-        zero = jnp.zeros((1, T), dtype=jnp.float32)
-        R = FF(jnp.full((1, T), np.float32(self.scale)),
-               jnp.full((1, T), np.float32(
-                   self.scale - np.float64(np.float32(self.scale)))))
-        neg1 = FF(jnp.full((1, T), np.float32(-1.0)), zero)
-        X = [FF(hi_ref[i, :].reshape(1, T), lo_ref[i, :].reshape(1, T))
-             for i in range(sd)] + [neg1, neg1]
-        half = np.float32(0.5)
-        one = FF(np.float32(1.0), np.float32(0.0))
-        for codim in range(sd):
-            x, y, z = X[codim], X[codim + 1], X[codim + 2]
-            # identical ff arithmetic to dubiner_tabulate_ff
-            fb = ff_scale_pow2(ff_add(y, z), half)
-            fa = ff_add(ff_add(x, fb), one)
-            fc = ff_mul(fb, fb)
-
-            pk = stage_refs[3 * codim][:]
-            P = stage_refs[3 * codim + 1][:]
-            norms = stage_refs[3 * codim + 2][:]
-            a1 = FF(pk[:, 0:1], pk[:, 1:2])
-            b1 = FF(pk[:, 2:3], pk[:, 3:4])
-            levels = [R]
-            if n >= 1:
-                u = ff_sub(ff_mul(a1, fa), ff_mul(b1, fb))
-                levels.append(ff_mul(u, R))
-            for i in range(2, n + 1):
-                o = 4 + 6 * (i - 2)
-                a = FF(pk[:, o:o + 1], pk[:, o + 1:o + 2])
-                b = FF(pk[:, o + 2:o + 3], pk[:, o + 3:o + 4])
-                c = FF(pk[:, o + 4:o + 5], pk[:, o + 5:o + 6])
-                u = ff_sub(ff_mul(a, fa), ff_mul(b, fb))
-                levels.append(ff_sub(ff_mul(u, levels[-1]),
-                                     ff_mul(ff_mul(c, fc), levels[-2])))
-            big_hi = jnp.concatenate([L.hi for L in levels], axis=0)
-            big_lo = jnp.concatenate([L.lo for L in levels], axis=0)
-            # exact permutation: each P row has ONE unit entry, so the
-            # f32 matmul copies values exactly (no rounding)
-            sel_hi = jnp.dot(P, big_hi, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-            sel_lo = jnp.dot(P, big_lo, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-            R = _ff_mul_c(norms[:, 0:1], norms[:, 1:2], FF(sel_hi, sel_lo))
-
-        # ---- prepare_B_ff: pow2 column scale by exponent extraction ----
-        hi, lo = R
-        m = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
-        bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
-        exp = bits >> np.uint32(23)
-        frac = bits & np.uint32(0x007FFFFF)
-        e_ceil = exp + jnp.where(frac == 0, np.uint32(0), np.uint32(1))
-        sB = jax.lax.bitcast_convert_type(e_ceil << np.uint32(23),
-                                          jnp.float32)
-        sB = jnp.where(m == 0, np.float32(1.0), sB)
-        inv = np.float32(1.0) / sB                  # pow2: exact
-        rh, rl = hi * inv, lo * inv
+        slices, sB = emit_slices(self.sd, self.degree, self.scale,
+                                 self.nslices, hi_ref, lo_ref, stage_refs)
         for i in range(self.nslices):
-            sc = np.float32(2.0 ** (CHUNK * (i + 1)))
-            s = jnp.round(rh * sc) / sc
-            slice_refs[i][:] = s.astype(jnp.bfloat16)
-            rh, rl = two_sum(rh - s, rl)
+            slice_refs[i][:] = slices[i]
         sB_ref[:] = sB
 
     # ------------------------------------------------------------------
