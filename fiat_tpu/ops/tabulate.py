@@ -324,9 +324,16 @@ class BatchedTabulator:
             coeffs = np.asarray(ps.get_coeffs())
             if (type(es) is type(self.target_es) and es.variant is None
                     and es.ref_el == self.ref_el):
-                # plain Dubiner: prefix embedding, just zero-pad
+                # plain Dubiner: prefix embedding, just zero-pad -- up
+                # to the normalisation scale, which is DEGREE-dependent
+                # (1 at degree 0, sqrt(1/|K|) past it, mirroring the
+                # reference's convention), so a degree-0 member (P0/DG0)
+                # embeds with the scale ratio
+                ratio = float(np.asarray(es.get_scale(deg))
+                              / np.asarray(self.target_es.get_scale(
+                                  self.max_degree)))
                 T = np.zeros((coeffs.shape[-1], nexp))
-                T[:, :coeffs.shape[-1]] = np.eye(coeffs.shape[-1])
+                T[:, :coeffs.shape[-1]] = ratio * np.eye(coeffs.shape[-1])
             else:
                 T = change_of_basis(es, deg, self.target_es, self.max_degree)
             flat = coeffs.reshape(-1, coeffs.shape[-1]) @ T

@@ -405,3 +405,29 @@ def test_pallas_slice_recurrence_interpret():
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-5, rel
     assert slices[0].dtype == jnp.bfloat16
+
+
+def test_batched_zoo_degree0_embedding():
+    """P0/DG0 embed into a higher-degree fused zoo with the correct
+    scale ratio (the expansion normalisation is degree-dependent:
+    1 at degree 0, sqrt(1/|K|) past it)."""
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    els = [fe.P0(T), fe.DiscontinuousLagrange(T, 0), fe.Lagrange(T, 2)]
+    bt = BatchedTabulator(els, order=1)
+    pts = RNG.random((40, 2)) / 2
+    for engine in (lambda p: bt.unpack({a: np.asarray(v)
+                                        for a, v in bt(p).items()}),):
+        per = engine(jnp.asarray(pts))
+        for el, tab in zip(els, per):
+            host = el.tabulate(1, pts)
+            for a in host:
+                assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
+                                   host[a], atol=1e-10), (type(el).__name__, a)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256, point_tile=128)
+    per = fz.unpack({a: [np.asarray(x) for x in v]
+                     for a, v in fz.block_tables(jnp.asarray(pts)).items()})
+    for el, tab in zip(els, per):
+        host = el.tabulate(1, pts)
+        for a in host:
+            assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
+                               host[a], atol=1e-6), (type(el).__name__, a)
