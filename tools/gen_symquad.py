@@ -565,8 +565,15 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log):
     m = invariant_count(dim, d)
     best = None
 
+    # Past degree ~36 the square-Newton and continuation phases never
+    # converge (measured), and every elimination step is expensive --
+    # give the exact-seed elimination the WHOLE budget there.
+    skip_newton = d > 36
+
     # Phase 1: square Newton at near-target structures
     cands, _ = structures(dim, d, target)
+    if skip_newton:
+        cands = []
     for pts, counts in cands[:3]:
         structure = [(k, c) for k, c in zip(TYPES[dim], counts) if c]
         for t in range(10 + d):
@@ -594,7 +601,7 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log):
     # budget.
     deadline2 = deadline if d <= 25 else min(
         deadline, time.time() + 0.25 * max(deadline - time.time(), 0.0))
-    if prev:
+    if prev and not skip_newton:
         for outer in range(60):
             # use the WHOLE remaining budget (the old 6-attempt cap made
             # high degrees give up with most of their budget unspent)

@@ -35,7 +35,13 @@ def main():
     for part in sys.argv[1:]:
         tabs = load_tables(part)
         for name, table in tabs.items():
+            dim = 2 if name == "TRIANGLE" else 3
             for d, orbits in table.items():
+                # a stored rule must beat the collapsed fallback by a
+                # margin (else create_quadrature never picks it and the
+                # table just carries dead weight)
+                if npts(orbits) >= 0.95 * ((d + 2) // 2) ** dim:
+                    continue
                 cur = merged[name].get(d)
                 if cur is None or npts(orbits) < npts(cur):
                     merged[name][d] = orbits
