@@ -1,0 +1,36 @@
+"""Device tabulation engines (the TPU-native hot path).
+
+``device_tabulator`` is the front door: it fuses a whole element zoo
+into one compiled program and picks the fastest engine the platform
+supports.
+"""
+
+
+def device_tabulator(elements, order=0, f64=True, **kw):
+    """The recommended device engine for a zoo of elements sharing a
+    reference cell.
+
+    Returns an object with ``tab(points) -> {alpha: tables}`` and
+    ``tab.unpack(tables) -> [per-element {alpha: array}]``.
+
+    * ``f64=True`` (default): the fused multiword pipeline
+      (ops/pallas_multiword.py) -- f64-accurate tabulation on the bf16
+      MXU; on backends without Pallas/EFT support it degrades to the
+      XLA Ozaki engine transparently.
+    * ``f64=False``: the f32 throughput engine where available
+      (ops/pallas_tabulate.py), else the XLA engine in f32.
+    """
+    import jax
+    from .tabulate import BatchedTabulator
+    bt = BatchedTabulator(elements, order=order,
+                          **{k: v for k, v in kw.items()
+                             if k in ("tile", "derivs", "matmul")})
+    interpret = kw.get("interpret", jax.default_backend() == "cpu")
+    if not f64:
+        try:
+            from .pallas_tabulate import PallasZooTabulator
+            return PallasZooTabulator(bt, interpret=interpret)
+        except NotImplementedError:
+            return bt
+    from .pallas_multiword import FusedZooTabulator
+    return FusedZooTabulator(bt, interpret=interpret)

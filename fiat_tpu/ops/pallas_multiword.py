@@ -395,8 +395,12 @@ class FusedZooTabulator:
 
     def unpack(self, block_tables):
         """Per-element {alpha: array} views from ``block_tables`` output
-        (same result as ``batched.unpack(self(points))``)."""
+        (same result as ``batched.unpack(self(points))``); concatenated
+        tables (the ``__call__`` layout) are accepted too."""
         b = self.batched
+        if block_tables and not isinstance(
+                next(iter(block_tables.values())), (list, tuple)):
+            return b.unpack(block_tables)
         special_pos = {i: 1 + k for k, (i, e) in enumerate(b.special)}
         out = []
         for i, (lo, hi, shape) in enumerate(b.slices):
