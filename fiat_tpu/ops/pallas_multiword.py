@@ -168,14 +168,17 @@ class FusedZooTabulator:
     """The f64 accuracy path of a BatchedTabulator with the multiword
     change of basis fused in Pallas.
 
-    ``fz = FusedZooTabulator(batched); tables = fz(points)`` matches
-    ``batched(points)`` (same {alpha: (rows, npts)} layout, f64) with the
-    Ozaki group dots + combine kept in VMEM.  ``fz.pair_tables(points)``
-    returns exact (hi, lo) f32 pairs instead, skipping the final
-    emulated-f64 promotion for pair-aware consumers.  Macro side programs
-    (split-complex expansions) run through their own fused kernels too:
-    the masked parent tabulation is built on the df32 path
-    (MacroSideProgram.b_stack_ff) and their tall change-of-basis GEMM is
+    Preferred surface: ``blocks = fz.block_tables(points)`` +
+    ``fz.unpack(blocks)`` -- per-source f64 tables (plain block + one
+    block per macro element) with no fused concatenation.
+    ``fz(points)`` matches ``batched(points)`` (one concatenated
+    {alpha: (rows, npts)} array, f64) at the cost of an extra HBM
+    round-trip per table; ``fz.pair_tables(points)`` returns exact
+    (hi, lo) f32 pairs, skipping the final f64 promotion for
+    pair-aware consumers.  Macro side programs (split-complex
+    expansions) run through their own fused kernels: the masked parent
+    tabulation rides the slice-recurrence kernel with {0,1} masks
+    applied in bf16 slice space, and their tall change-of-basis GEMM is
     a second FusedMultiwordMatmul, so no emulated-f64 GEMM remains."""
 
     #: per-alpha row blocks are padded to this multiple so the _split
