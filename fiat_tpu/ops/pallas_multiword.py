@@ -49,7 +49,7 @@ class FusedMultiwordMatmul:
     whole group-dot + combine pipeline in one Pallas kernel."""
 
     def __init__(self, A, nslices=DEFAULT_SLICES, order=DEFAULT_ORDER,
-                 row_block=512, point_tile=512, interpret=False):
+                 row_block=512, point_tile=None, interpret=False):
         self.shape = A.shape
         self.nslices = nslices
         self.order = order
@@ -62,9 +62,12 @@ class FusedMultiwordMatmul:
         # 1024 (52% dead MXU work); now 2 blocks of 384
         nblocks = max(1, -(-rows // row_block))
         self.row_block = max(128, -(-(-(-rows // nblocks)) // 128) * 128)
-        self.point_tile = point_tile
         self.rows = rows
         self.rpad = nblocks * self.row_block
+        # fixed 512-point tiles: a VMEM-adaptive tile (long tiles for
+        # small zoos) measured NO faster anywhere and slightly slower
+        # on the latency-bound configs
+        self.point_tile = 512 if point_tile is None else point_tile
 
         slices, sA = split_scaled_host(A, nslices)
         pad = self.rpad - rows
