@@ -80,16 +80,23 @@ def available_degrees(dim):
     return sorted(table)
 
 
+def _best_covering_degree(table, degree):
+    """The stored degree >= ``degree`` with the FEWEST points (a
+    higher-degree rule is a valid -- and occasionally cheaper -- rule
+    for a lower request, e.g. when elimination converged better there)."""
+    cands = [d for d in table if d >= max(degree, 1)]
+    if not cands:
+        raise KeyError(degree)
+    return min(cands, key=lambda d: sum(ORBIT_SIZE[k]
+                                        for k, _, _ in table[d]))
+
+
 def rule_size(dim, degree):
-    """Point count of the symmetric rule serving ``degree`` (the rule of
-    the next stored degree >= degree); raises KeyError when uncovered."""
+    """Point count of the symmetric rule serving ``degree``; raises
+    KeyError when uncovered."""
     from . import symquad_data
     table = symquad_data.TRIANGLE if dim == 2 else symquad_data.TETRAHEDRON
-    d = max(degree, 1)
-    if not table or d > max(table):
-        raise KeyError(degree)
-    while d not in table:
-        d += 1
+    d = _best_covering_degree(table, degree)
     return sum(ORBIT_SIZE[kind] for kind, _, _ in table[d])
 
 
@@ -101,12 +108,7 @@ def symmetric_rule(ref_el, degree):
     from .quadrature import QuadratureRule
     sd = ref_el.get_spatial_dimension()
     table = symquad_data.TRIANGLE if sd == 2 else symquad_data.TETRAHEDRON
-    if not table or max(degree, 1) > max(table):
-        raise KeyError(degree)
-    d = max(degree, 1)
-    while d not in table:
-        d += 1
-    orbits = table[d]
+    orbits = table[_best_covering_degree(table, degree)]
     bary, wts = expand_rule(orbits)
     verts = np.asarray(ref_el.get_vertices(), dtype=float)
     from math import factorial
