@@ -1,0 +1,138 @@
+"""Macro-layer properties beyond the parity/continuity suite in
+test_macro.py (behavioral coverage of test/FIAT/unit/test_macro.py):
+child-to-parent point containment, macro bubbles, is-macro flags,
+Alfeld/iso dual-point placement, and split entity transforms."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fiat_tpu.core.cells import ufc_simplex
+from fiat_tpu.core.macro import AlfeldSplit, IsoSplit, PowellSabinSplit
+from fiat_tpu.core.polyset import PolynomialSet, make_bubbles
+from fiat_tpu import elements as fe
+
+T, S = ufc_simplex(2), ufc_simplex(3)
+
+
+@pytest.mark.parametrize("cell", (T, S), ids=("tri", "tet"))
+def test_split_cache(cell):
+    """Alfeld splits are cached on the cell (reference contract:
+    FIAT/macro.py __new__ + _split_cache), and variant elements share
+    the cached complex."""
+    A = AlfeldSplit(cell)
+    assert AlfeldSplit(cell) is A
+    el = fe.Lagrange(cell, 1, variant="alfeld")
+    assert el.get_reference_complex() is A
+
+
+@pytest.mark.parametrize("split", (AlfeldSplit, IsoSplit, PowellSabinSplit))
+@pytest.mark.parametrize("cell", (T, S), ids=("tri", "tet"))
+def test_split_entity_transforms(split, cell):
+    """Entity transforms on the split push sub-entity points into the
+    closure of the right parent entity (distance zero)."""
+    sc = split(cell)
+    top = sc.get_topology()
+    c2p = sc.get_child_to_parent()
+    for dim in top:
+        if dim == 0:
+            continue
+        for e in top[dim]:
+            pts = np.asarray(sc.make_points(dim, e, dim + 1))
+            if not len(pts):
+                continue
+            pdim, pent = c2p[dim][e]
+            d = cell.distance_to_point_l1(pts, entity=(pdim, pent),
+                                          rescale=True) \
+                if pdim < cell.get_spatial_dimension() else \
+                cell.distance_to_point_l1(pts, rescale=True)
+            assert np.all(np.asarray(d) < 1e-12), (dim, e)
+
+
+@pytest.mark.parametrize("cell", (T, S), ids=("tri", "tet"))
+def test_split_child_to_parent_points(cell):
+    """Child lattice points live inside the mapped parent lattice."""
+    sc = IsoSplit(cell)
+    dim_ = cell.get_spatial_dimension()
+    degree = 2 if dim_ == 3 else 4
+    top = cell.get_topology()
+    parent_pts = {d: {e: set(map(tuple, np.round(
+        cell.make_points(d, e, 2 * degree), 12)))
+        for e in top[d]} for d in top}
+    stop = sc.get_topology()
+    c2p = sc.get_child_to_parent()
+    for d in stop:
+        for e in stop[d]:
+            pts = set(map(tuple, np.round(sc.make_points(d, e, degree), 12)))
+            pd, pe = c2p[d][e]
+            assert pts <= parent_pts[pd][pe], (d, e)
+
+
+@pytest.mark.parametrize("codim", (0, 1))
+@pytest.mark.parametrize("split", (None, AlfeldSplit, IsoSplit))
+@pytest.mark.parametrize("cell", (T, S), ids=("tri", "tet"))
+def test_make_bubbles(cell, split, codim):
+    sd = cell.get_spatial_dimension()
+    degree = 5
+    K = split(cell) if split else cell
+    B = make_bubbles(K, degree, codim=codim)
+    assert isinstance(B, PolynomialSet)
+    top = K.get_topology()
+    num_members = B.get_num_members()
+    assert num_members == (math.comb(degree - 1, sd - codim)
+                           * len(top[sd - codim]))
+    points = []
+    for dim in range(sd + 1 - codim):
+        for e in sorted(top[dim]):
+            points.extend(K.make_points(dim, e, degree))
+    values = np.asarray(B.tabulate(np.asarray(points))[(0,) * sd])
+    n_facet = len(points) - num_members
+    assert np.allclose(values[:, :n_facet], 0, atol=1e-12)
+    assert np.linalg.matrix_rank(values[:, n_facet:].T,
+                                 tol=1e-12) == num_members
+
+
+def test_is_macro_flags():
+    assert not fe.Lagrange(T, 2).is_macroelement()
+    assert fe.Lagrange(T, 2, variant="alfeld").is_macroelement()
+    assert fe.Lagrange(T, 1, variant="iso").is_macroelement()
+    assert fe.HsiehCloughTocher(T, 3).is_macroelement()
+    assert not fe.DiscontinuousLagrange(T, 1).is_macroelement()
+    assert fe.DiscontinuousLagrange(T, 1,
+                                    variant="alfeld").is_macroelement()
+
+
+@pytest.mark.parametrize("cell", (T, S), ids=("tri", "tet"))
+@pytest.mark.parametrize("degree", (1, 2))
+def test_alfeld_lagrange_duals_on_lattice(cell, degree):
+    """Alfeld-variant Lagrange dofs sit on the SPLIT's lattice and the
+    element remains nodal there."""
+    el = fe.Lagrange(cell, degree, variant="alfeld")
+    ref_complex = el.get_reference_complex()
+    pts = np.asarray([list(n.get_point_dict())[0]
+                      for n in el.get_dual_set().get_nodes()])
+    d = np.asarray(ref_complex.get_parent().distance_to_point_l1(
+        pts, rescale=True))
+    assert np.all(d < 1e-12)
+    tab = np.asarray(el.tabulate(0, pts)[
+        (0,) * cell.get_spatial_dimension()])
+    assert np.allclose(tab, np.eye(len(pts)), atol=1e-10)
+
+
+def test_iso_lagrange_matches_p1_refinement():
+    """Lagrange(1, iso) nodes = P2 lattice; tabulation is piecewise
+    linear (exact midpoint interpolation of linears)."""
+    el = fe.Lagrange(T, 1, variant="iso")
+    p2 = fe.Lagrange(T, 2)
+    pts_el = np.asarray([list(n.get_point_dict())[0]
+                         for n in el.get_dual_set().get_nodes()])
+    pts_p2 = np.asarray([list(n.get_point_dict())[0]
+                         for n in p2.get_dual_set().get_nodes()])
+    assert set(map(tuple, np.round(pts_el, 12))) == \
+        set(map(tuple, np.round(pts_p2, 12)))
+    x = np.asarray([[0.2, 0.1], [0.6, 0.3], [0.05, 0.9]])
+    f = 2.0 * x[:, 0] - 0.5 * x[:, 1] + 0.25
+    coefs = 2.0 * pts_el[:, 0] - 0.5 * pts_el[:, 1] + 0.25
+    vals = coefs @ np.asarray(el.tabulate(0, x)[(0, 0)])
+    assert np.allclose(vals, f, atol=1e-12)
