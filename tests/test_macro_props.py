@@ -136,3 +136,50 @@ def test_iso_lagrange_matches_p1_refinement():
     coefs = 2.0 * pts_el[:, 0] - 0.5 * pts_el[:, 1] + 0.25
     vals = coefs @ np.asarray(el.tabulate(0, x)[(0, 0)])
     assert np.allclose(vals, f, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# HDivTrace facet-integration properties (test/FIAT/unit/test_hdivtrace.py)
+
+@pytest.mark.parametrize("dim", (2, 3))
+@pytest.mark.parametrize("degree", (1, 3))
+def test_hdiv_trace_facet_integration(dim, degree):
+    """Trace tabulation integrates facet monomials exactly, both via
+    point location and via the explicit entity-pair API."""
+    from fiat_tpu.core.quadrature import make_quadrature
+    ref_el = ufc_simplex(dim)
+    q = make_quadrature(ufc_simplex(dim - 1), degree + 1)
+    el = fe.HDivTrace(ref_el, degree)
+    facet_el = el.dg_elements[dim - 1]
+    nf = facet_el.space_dimension()
+    qpts = np.asarray(q.get_points())
+    qwts = np.asarray(q.get_weights())
+    for f in range(dim + 1):
+        cell_pts = np.asarray(ref_el.get_entity_transform(dim - 1, f)(qpts))
+        ctab = np.asarray(el.tabulate(0, cell_pts)[(0,) * dim]
+                          )[nf * f:nf * (f + 1)]
+        etab = np.asarray(el.tabulate(0, qpts, entity=(dim - 1, f))
+                          [(0,) * dim])[nf * f:nf * (f + 1)]
+        for td in range(degree + 1):
+            fn = (lambda x: 1.0) if td == 0 else (lambda x: x[0] ** td)
+            coeffs = [float(n(fn)) for n in facet_el.get_dual_set().get_nodes()]
+            want = np.dot([fn(x) for x in qpts], qwts)
+            assert np.allclose(coeffs @ (ctab @ qwts), want, rtol=1e-13)
+            assert np.allclose(coeffs @ (etab @ qwts), want, rtol=1e-13)
+
+
+@pytest.mark.parametrize("dim", (2, 3))
+def test_hdiv_trace_errors(dim):
+    """Derivative tables of the trace element carry TraceError failure
+    objects (the gem.Failure-style contract; the reference's own
+    NaN-fill path crashes on this input, FIAT/hdiv_trace.py)."""
+    from fiat_tpu.elements.hdiv_trace import TraceError
+    ref_el = ufc_simplex(dim)
+    el = fe.HDivTrace(ref_el, 1)
+    interior = np.asarray(ref_el.make_points(dim, 0, dim + 1))
+    tab = el.tabulate(1, interior)
+    for a, t in tab.items():
+        if sum(a) > 0:
+            arr = np.asarray(t)
+            assert arr.dtype == object and isinstance(arr.item(),
+                                                      TraceError), a
