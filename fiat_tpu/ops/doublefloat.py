@@ -13,8 +13,8 @@ B-side pipeline in native f32:
   recurrence (core/expansions.py:dubiner_tabulate) on FF pairs, with
   the static recurrence constants pre-split host-side so each
   const-times-point product costs one TwoProd with cached splits;
-* :func:`prepare_B_ff` slices the FF tabulation into the fixed 7-bit
-  bf16 windows of the Ozaki scheme (ops/multiword.py) directly from the
+* :func:`prepare_B_ff` slices the FF tabulation into the fixed
+  CHUNK-bit bf16 windows of the Ozaki scheme (ops/multiword.py) directly from the
   pair -- no f64 value ever materialises.
 
 Accuracy: |hi + lo - exact| <~ 2^-48 relative through the recurrence
@@ -322,7 +322,7 @@ def ff_l1_distance(pts, A, b):
 # Ozaki slice preparation straight from the pair
 
 def prepare_B_ff(phi_ff, nslices=None):
-    """Fixed 7-bit-window bf16 slices + pow2 column scales of an FF
+    """Fixed CHUNK-bit-window bf16 slices + pow2 column scales of an FF
     tabulation -- drop-in for ops/multiword.py:prepare_B(phi_f64), with
     every step in native f32.
 

@@ -5,31 +5,34 @@ than the same shape in bf16/f32.  This module implements the Ozaki
 split scheme (Ozaki, Ogita, Oishi & Rump 2012):
 
 * rows of A and columns of B are scaled by powers of two into [1/2, 1);
-* each scaled operand is sliced at FIXED 7-bit windows:
-  x = x_0 + x_1 + ..., x_i = round(r * 2^{7(i+1)}) / 2^{7(i+1)} --
+* each scaled operand is sliced at FIXED 8-bit windows:
+  x = x_0 + x_1 + ..., x_i = round(r * 2^{8(i+1)}) / 2^{8(i+1)} --
   every slice is an integer multiple of its window and carries <= 8
-  mantissa bits, so it is exactly representable in bf16 and every
-  pairwise slice product (14-bit integer at a known scale) accumulates
-  EXACTLY in the MXU's f32 accumulator for K up to 2^10;
+  significand bits, so it is exactly representable in bf16 and every
+  pairwise slice product (16-bit integer at a known scale) accumulates
+  EXACTLY in the MXU's f32 accumulator for K up to 2^8;
 * slice products are grouped by total order t = i + j; each group is
   ONE bf16 matmul (slices concatenated along the contraction axis);
 * the groups are summed in f64 on the VPU and unscaled.
 
-Groups t <= ORDER keep ~7*(ORDER+2) product bits: ORDER=5 gives ~49
-bits (~2e-15 relative), comfortably inside the framework's 1e-10
-reproduction budget, at the cost of 6 bf16 matmuls instead of one
-emulated-f64 matmul."""
+Groups t <= ORDER keep ~8*(ORDER+2) product bits: ORDER=5 keeps ~56
+(~3e-14 relative measured), comfortably inside the framework's 1e-10
+reproduction budget, at the cost of 4 batched bf16 matmuls instead of
+one emulated-f64 matmul."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-#: bits per slice window (<= 8 so slices are exact in bf16; 7 leaves
-#: headroom so f32 accumulation of ~1000-term groups stays exact)
-CHUNK = 7
-#: keep product groups with i + j <= DEFAULT_ORDER (~7 bits per order:
-#: order 6 measures ~3e-14 relative on random operands)
-DEFAULT_ORDER = 6
+#: bits per slice window: 8-bit windows are still exact in bf16 (any
+#: k/2^8 with |k| <= 2^8 has <= 8 significand bits) and their 16-bit
+#: pairwise products accumulate exactly in the f32 MXU accumulator for
+#: contraction lengths up to 2^(24-16) = 256 (longer contractions chunk)
+CHUNK = 8
+#: keep product groups with i + j <= DEFAULT_ORDER (~8 bits per order:
+#: order 5 keeps ~56 product bits, measured ~3e-14 relative -- and 25%
+#: fewer MXU flops than the former 7-bit/order-6 scheme)
+DEFAULT_ORDER = 5
 #: slices per operand: slice i only ever multiplies slices j <= order-i,
 #: so indices past the order are dead weight in every group -- computing
 #: or streaming them changes nothing (order+1 slices carry 49 of an
@@ -46,7 +49,7 @@ def _pow2_scale(x, axis, xp=jnp):
 
 
 def _fixed_window_slices(x, nslices, xp=jnp):
-    """Slice |x| <= 1 at fixed 7-bit windows; returns bf16 slices."""
+    """Slice |x| <= 1 at fixed CHUNK-bit windows; returns bf16 slices."""
     out = []
     r = x
     for i in range(nslices):
@@ -74,41 +77,40 @@ def prepare_B(B, nslices=DEFAULT_SLICES):
 
 
 def matmul_f64_ozaki(A_slices, sA, B, nslices=DEFAULT_SLICES,
-                     order=DEFAULT_ORDER, B_prepared=None, share=True):
+                     order=DEFAULT_ORDER, B_prepared=None, share=False):
     """A @ B in near-f64 accuracy with A pre-split host-side.
 
     :arg A_slices: bf16 slices [R, K] of the row-scaled A
     :arg sA: f64 row scales [R, 1]
     :arg B: f64 [K, P] (scaled and split on device), or None with
         ``B_prepared`` from :func:`prepare_B`
-    :returns: f64 [R, P] with ~7*(order+2) accurate product bits."""
+    :returns: f64 [R, P] with ~8*(order+2) accurate product bits."""
     if B_prepared is None:
         B_prepared = prepare_B(B, nslices)
     B_slices, sB = B_prepared
 
-    # group-0 accumulation is exact only while 14-bit slice products fit
-    # the 24-bit f32 accumulator, and the shared t>=1 batches accumulate
-    # mixed-scale products whose rounding grows with K (measured: K=500
-    # holds ~4e-13, K=1000 degrades to ~2e-9): split longer contractions
-    # into 512-chunks and sum the partials in f64
+    # group-0 accumulation is exact only while 16-bit slice products fit
+    # the 24-bit f32 accumulator (K <= 256), and the shared t>=1 batches
+    # accumulate mixed-scale products whose rounding grows with K: split
+    # longer contractions into 256-chunks and sum the partials in f64
     K = A_slices[0].shape[1]
-    if K > 512:
+    if K > 256:
         # long contractions also de-share the order groups (share=False):
         # backends that accumulate sequentially (CPU oracle) round the
         # mixed-scale shared batches at every step
         total = 0.0
-        for k0 in range(0, K, 512):
-            ksl = slice(k0, k0 + 512)
+        for k0 in range(0, K, 256):
+            ksl = slice(k0, k0 + 256)
             total = total + matmul_f64_ozaki(
                 [a[:, ksl] for a in A_slices], 1.0, None, nslices, order,
                 B_prepared=([b[ksl] for b in B_slices], 1.0), share=False)
         return total * (jnp.asarray(sA) * sB)
 
-    # adjacent groups t >= 1 share one f32 accumulation: a (t+1)-product
-    # rounds at 2^-24 of the t-group's scale 2^{-7(t+2)}, i.e. below
-    # 2^-45 of the result -- inside budget.  Group 0 stays alone (its
-    # accumulation must remain exact).  Fewer dots AND fewer f64 adds
-    # in the combine.
+    # one dot per order group: same-scale products accumulate EXACTLY
+    # (16-bit integers at one quantum; <= 2^24 quanta for K <= 256).
+    # Sharing adjacent groups in one accumulation was a 7-bit-era
+    # optimisation: with 8-bit windows the mixed-scale rounding costs
+    # ~2e-9 (measured), so it is no longer offered by default.
     if share:
         batches = [(0,)] + [tuple(t for t in pair if t <= order)
                             for pair in ((1, 2), (3, 4), (5, 6), (7, 8))]

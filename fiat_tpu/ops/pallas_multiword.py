@@ -6,7 +6,7 @@ Ozaki group product (rows, npts) f32 in HBM before the TwoSum combine --
 for the full zoo that is ~12 GB of intermediate traffic per pass.  This
 kernel performs, per (row-block, point-tile) grid cell, entirely in VMEM:
 
-  * the 4 batched group dots over the bf16 slices (MXU),
+  * the per-order group dots over the bf16 slices (MXU),
   * the TwoSum two-float combine (VPU, f32),
   * the exact power-of-two unscale,
 
@@ -30,10 +30,10 @@ from .multiword import (DEFAULT_ORDER, DEFAULT_SLICES, prepare_B,
 
 
 def _batch_index_sets(order, nslices):
-    """The shared-accumulation batches of the XLA path (multiword.py):
-    group 0 alone, then adjacent-order pairs."""
-    batches = [(0,)] + [tuple(t for t in pair if t <= order)
-                        for pair in ((1, 2), (3, 4), (5, 6), (7, 8))]
+    """One batch per order group: same-scale slice products accumulate
+    exactly in f32 (sharing adjacent groups cost ~2e-9 at the 8-bit
+    windows -- see multiword.py)."""
+    batches = [(t,) for t in range(order + 1)]
     out = []
     for ts in batches:
         idx = [(i, t - i) for t in ts for i in range(t + 1)

@@ -13,7 +13,7 @@ in VMEM:
   * the morton gather + normalisation as an EXACT {0,1} selection
     matmul (exact because each row has a single unit coefficient)
     followed by an error-free constant multiply,
-  * the fixed 7-bit-window bf16 slice split (prepare_B_ff), with the
+  * the fixed CHUNK-bit-window bf16 slice split (prepare_B_ff), with the
     power-of-two column scale computed by integer exponent extraction
     (no transcendentals),
 
