@@ -86,12 +86,23 @@ class FusedMultiwordMatmul:
         sa_ref, sb_ref = refs[2 * n], refs[2 * n + 1]
         hi_ref, lo_ref = refs[2 * n + 2], refs[2 * n + 3]
 
-        # interleave each batched group dot with the TwoSum accumulation
-        # so only (s, e) stay live between dots
-        s = e = None
-        for idx in self.batches:
+        # every dot's result joins one TwoSum accumulation chain, so
+        # only (s, e) stay live between dots.  Group 0 must accumulate
+        # EXACTLY: its 16-bit slice products fit the f32 accumulator
+        # only for K <= 256, so longer contractions split into chunks
+        # whose partials the TwoSum chain combines error-free.
+        dots = []
+        for bi, idx in enumerate(self.batches):
             Acat = jnp.concatenate([a_refs[i][:] for i, _ in idx], axis=1)
             Bcat = jnp.concatenate([b_refs[j][:] for _, j in idx], axis=0)
+            if bi == 0 and Acat.shape[1] > 256:
+                for k0 in range(0, Acat.shape[1], 256):
+                    dots.append((Acat[:, k0:k0 + 256],
+                                 Bcat[k0:k0 + 256, :]))
+            else:
+                dots.append((Acat, Bcat))
+        s = e = None
+        for Acat, Bcat in dots:
             g = jnp.dot(Acat, Bcat, preferred_element_type=jnp.float32)
             if s is None:
                 s, e = g, jnp.zeros_like(g)

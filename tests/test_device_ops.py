@@ -431,3 +431,18 @@ def test_batched_zoo_degree0_embedding():
         for a in host:
             assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
                                host[a], atol=1e-6), (type(el).__name__, a)
+
+
+def test_fused_kernel_long_contraction_exactness():
+    """K > 256 contractions keep group-0 exact accumulation (the 8-bit
+    windows' 16-bit products overflow the f32 accumulator past 256
+    terms, so the kernel chunks group 0 into the TwoSum chain)."""
+    from fiat_tpu.ops.pallas_multiword import FusedMultiwordMatmul
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((300, 310)) * np.exp(rng.standard_normal((300, 1)))
+    B = rng.standard_normal((310, 260))
+    fm = FusedMultiwordMatmul(A, interpret=True, row_block=256,
+                              point_tile=256)
+    C = np.asarray(fm(jnp.asarray(B)))
+    rel = np.abs(C - A @ B).max() / np.abs(A @ B).max()
+    assert rel < 1e-12, rel
