@@ -119,68 +119,112 @@ class RuleSolver:
         qp, qw = Q.get_points(), Q.get_weights()
         phi = self.es.tabulate(max_degree, qp)
         self._phi_int_full = phi @ qw
+        self._inv_cache = {}
 
     def exact_moments(self, d):
         nexp = self.es.get_num_members(d)
         return self._phi_int_full[:nexp]
 
-    def _orbit_grad(self, kind, params, h=1e-7):
-        """d(bary)/d(param): orbit structure is piecewise linear in the
+    def inv_data(self, d):
+        """(B, bI): orthonormal basis of the symmetric-group-invariant
+        subspace of the degree-<=d expansion span (columns of B, in
+        expansion coordinates) and the exact invariant moments B.T @ b.
+
+        A fully symmetric rule is exact on ALL of P_d iff it is exact on
+        the invariant subspace (both the rule and the exact integral kill
+        the non-invariant part), so the solver only ever needs these
+        ~nexp/|G| rows."""
+        if d in self._inv_cache:
+            return self._inv_cache[d]
+        from fiat_tpu.core.macro import xy_to_bary
+        Q = make_quadrature(self.cell, d + 2)
+        qp, qw = Q.get_points(), Q.get_weights()
+        bary = xy_to_bary(self.cell.get_vertices(), qp)
+        phi = self.es.tabulate(d, qp)
+        acc = np.zeros_like(phi)
+        for p in itertools.permutations(range(self.dim + 1)):
+            acc += self.es.tabulate(d, bary[:, list(p)] @ self.verts)
+        acc /= float(np.prod(range(1, self.dim + 2)))
+        # symmetrized-overlap matrix: the projector in the orthonormalised
+        # basis phi_i / ||phi_i|| (the expansion set is orthogonal but
+        # carries a cell-volume normalisation)
+        gd = np.einsum("iq,q,iq->i", phi, qw, phi)
+        S = acc @ (qw[:, None] * phi.T)
+        S /= np.sqrt(gd[:, None] * gd[None, :])
+        S = 0.5 * (S + S.T)
+        evals, evecs = np.linalg.eigh(S)
+        m = invariant_count(self.dim, d)
+        B = evecs[:, evals > 0.5] / np.sqrt(gd)[:, None]
+        assert B.shape[1] == m, (B.shape[1], m)
+        bI = B.T @ self.exact_moments(d)
+        # residual entries are now moment errors against ORTHONORMAL
+        # invariant functions; the old full-moment entries carried the
+        # expansion norm sqrt(gd), so acceptance thresholds scale up
+        self._res_scale = max(getattr(self, "_res_scale", 1.0),
+                              1.0 / float(np.sqrt(np.median(gd))))
+        self._inv_cache[d] = (B, bI)
+        return B, bI
+
+    def _rep_grad(self, kind, params, h=1e-7):
+        """d(representative bary)/d(param): piecewise linear in the
         generators, so central differences are exact to roundoff."""
         grads = []
         for j in range(len(params)):
             p1 = list(params); p1[j] += h
             p0 = list(params); p0[j] -= h
-            grads.append((orbit_bary(kind, p1) - orbit_bary(kind, p0))
+            grads.append((orbit_bary(kind, p1)[0] - orbit_bary(kind, p0)[0])
                          / (2 * h))
         return grads
 
     def residual_and_jac(self, d, structure, theta, want_jac=True):
         """structure: list of (kind, count); theta: flat [params..., w...]
-        Returns residual (nexp,) and jacobian (nexp, len(theta)).
+        Returns residual (m,) and jacobian (m, len(theta)) in the
+        INVARIANT basis (m = symmetric-invariant count << nexp).
 
-        All orbit points are stacked into ONE expansion tabulation per
-        evaluation; per-orbit columns come back by segment sums."""
+        Because every invariant function takes one value per orbit, the
+        orbit sum is orbit_size * psi(representative): only ONE point per
+        orbit is ever tabulated, and by psi-invariance the chain rule
+        through the representative accounts for the whole orbit."""
+        B, bI = self.inv_data(d)
         kinds = [k for k, c in structure for _ in range(c)]
         nparams = sum(ORBIT_NPARAM[k] for k in kinds)
         pvec, wvec = theta[:nparams], theta[nparams:]
-        nexp = self.es.get_num_members(d)
 
-        allX, dXs, seg = [], [], [0]
+        reps, dreps, sizes = [], [], []
         off = 0
         for kind in kinds:
             np_ = ORBIT_NPARAM[kind]
             params = pvec[off:off + np_]
-            B = orbit_bary(kind, params)
-            allX.append(B @ self.verts)
+            Bb = orbit_bary(kind, params)
+            reps.append(Bb[0] @ self.verts)
+            sizes.append(len(Bb))
             if want_jac and np_:
-                dXs.append([g @ self.verts
-                            for g in self._orbit_grad(kind, params)])
+                dreps.append([g @ self.verts
+                              for g in self._rep_grad(kind, params)])
             else:
-                dXs.append([])
-            seg.append(seg[-1] + len(B))
+                dreps.append([])
             off += np_
 
-        X = np.vstack(allX)
+        X = np.asarray(reps)
+        sizes = np.asarray(sizes, dtype=float)
         if want_jac:
             tabs = self.es._tabulate(d, X, order=1)
             phi = tabs[(0,) * self.dim]
             grads = np.stack([tabs[tuple(a)]
                               for a in np.eye(self.dim, dtype=int)])
+            dpsi = np.einsum("km,dkn->dmn", B, grads)
         else:
             phi = self.es.tabulate(d, X)
 
-        V = np.add.reduceat(phi, seg[:-1], axis=1)               # (nexp, norb)
-        r = V @ wvec - self.exact_moments(d)
+        V = (B.T @ phi) * sizes[None, :]                       # (m, norb)
+        r = V @ wvec - bI
         if not want_jac:
             return r, None
-        J = np.zeros((nexp, len(theta)))
+        J = np.zeros((len(bI), len(theta)))
         off = 0
         for i, kind in enumerate(kinds):
-            sl = slice(seg[i], seg[i + 1])
-            for dx in dXs[i]:
-                J[:, off] = wvec[i] * np.einsum("dep,pd->e",
-                                                grads[:, :, sl], dx)
+            for dx in dreps[i]:
+                J[:, off] = wvec[i] * sizes[i] * (dpsi[:, :, i].T @ dx)
                 off += 1
         J[:, nparams:] = V
         return r, J
@@ -195,7 +239,7 @@ class RuleSolver:
         current positions (variable-projection seeding)."""
         th = np.array(theta, dtype=float)
         V = self.vandermonde(d, structure, th, nparams)
-        w, *_ = np.linalg.lstsq(V, self.exact_moments(d), rcond=None)
+        w, *_ = np.linalg.lstsq(V, self.inv_data(d)[1], rcond=None)
         th[nparams:] = w
         return th
 
@@ -226,7 +270,8 @@ class RuleSolver:
                                     max_nfev=max_nfev)
         except Exception:
             return None
-        if np.abs(fun(sol.x)).max() < self.tol(d):
+        if np.abs(fun(sol.x)).max() < self.tol(d) * getattr(
+                self, "_res_scale", 1.0):
             return sol.x
         return None
 
@@ -364,7 +409,7 @@ def eliminate(solver, dim, d, orbits, target, rng, deadline,
         far more informative than |w|-ranking."""
         structure, theta, nparams = theta_from_orbits(orbs)
         V = solver.vandermonde(d, structure, theta, nparams)
-        b = solver.exact_moments(d)
+        b = solver.inv_data(d)[1]
         scores = []
         for i in range(V.shape[1]):
             Vi = np.delete(V, i, axis=1)
@@ -377,6 +422,8 @@ def eliminate(solver, dim, d, orbits, target, rng, deadline,
             out[orig] = scores[col]
         return out
 
+    hops = 0
+    big_kind = "S111" if dim == 2 else "S1111"
     while npts(best) > target and time.time() < deadline:
         scores = removal_rank(best)
         ranked = sorted(range(len(best)), key=lambda i: scores[i])
@@ -409,6 +456,35 @@ def eliminate(solver, dim, d, orbits, target, rng, deadline,
                         break
                 if improved:
                     break
+        # 3) mutations: remove the two cheapest orbits, add one fresh
+        #    generic orbit (net shrink when single removals all fail)
+        if improved is None:
+            pool = ranked[:6]
+            for a in range(len(pool)):
+                for b in range(a + 1, len(pool)):
+                    if time.time() > deadline:
+                        break
+                    i, j = pool[a], pool[b]
+                    trial = ([o for k2, o in enumerate(best)
+                              if k2 not in (i, j)]
+                             + [random_orbit(dim, rng, kind=big_kind)])
+                    if ndof(trial) < m or npts(trial) >= npts(best):
+                        continue
+                    improved = try_rule(trial, extra_jitter=0.01, tries=2)
+                    if improved:
+                        log(f"    swap2->1 -> {npts(improved)} pts")
+                        break
+                if improved or time.time() > deadline:
+                    break
+        # 4) basin hop: re-solve the same structure from a jittered seed
+        #    so the NEXT removal round attacks a different solution branch
+        if improved is None and hops < 4 and time.time() < deadline:
+            hopped = try_rule(best, extra_jitter=0.05, tries=3)
+            if hopped is not None:
+                best = hopped
+                hops += 1
+                log(f"    basin hop {hops} at {npts(best)} pts")
+                continue
         if improved is None:
             break
         best = improved
@@ -559,25 +635,27 @@ def seed_from(prev, structure, rng, solver, d):
     return solver.reseed_weights(d, structure, theta, nparams), nparams
 
 
-def solve_degree(solver, dim, d, prev, rng, budget, target, log):
+def solve_degree(solver, dim, d, prev, rng, budget, target, log,
+                 existing=None):
     """Best verified rule for one degree (or None)."""
     deadline = time.time() + budget
     m = invariant_count(dim, d)
     best = None
 
-    # Past degree ~36 the square-Newton and continuation phases never
-    # converge (measured), and every elimination step is expensive --
-    # give the exact-seed elimination the WHOLE budget there.
-    skip_newton = d > 36
+    # Phase 0: an existing (over-target) rule for THIS degree is already
+    # verified -- eliminate straight from it before anything else.
+    if existing is not None:
+        best = eliminate(solver, dim, d, existing, target, rng,
+                         min(deadline, time.time() + 0.35 * budget), log)
+        if npts(best) <= target:
+            return best
 
     # Phase 1: square Newton at near-target structures
     cands, _ = structures(dim, d, target)
-    if skip_newton:
-        cands = []
     for pts, counts in cands[:3]:
         structure = [(k, c) for k, c in zip(TYPES[dim], counts) if c]
         for t in range(10 + d):
-            if time.time() > deadline - 0.7 * budget:
+            if time.time() > deadline - 0.55 * budget:
                 break
             theta0, nparams = seed_from(prev if t % 3 != 2 else None,
                                         structure, rng, solver, d)
@@ -595,13 +673,12 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log):
         return best
 
     # Phase 2: continuation-augmented underdetermined solve + elimination.
-    # High degrees (>25) stall in continuation basins (measured: residual
-    # plateaus at ~5e-3 regardless of augmentation), so there phase 2 is
-    # capped to leave the exact-seed elimination of phase 3 most of the
-    # budget.
+    # With the invariant-subspace residual (rows m, one tabulated point
+    # per orbit) each solve is ~|G|^2 cheaper than the full-moment
+    # formulation, so continuation gets a real share at every degree.
     deadline2 = deadline if d <= 25 else min(
-        deadline, time.time() + 0.25 * max(deadline - time.time(), 0.0))
-    if prev and not skip_newton:
+        deadline, time.time() + 0.6 * max(deadline - time.time(), 0.0))
+    if prev:
         for outer in range(60):
             # use the WHOLE remaining budget (the old 6-attempt cap made
             # high degrees give up with most of their budget unspent)
@@ -659,9 +736,18 @@ def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None):
     prev = table.get(start - 1)
     for d in range(start, max_degree + 1):
         target = targets.get(d, 10 ** 9)
+        have = table.get(d)
+        if have is not None and npts(have) <= target:
+            prev = have
+            print(f"dim {dim} degree {d:3d}: {npts(have):4d} pts kept "
+                  f"(<= reference {target})", flush=True)
+            continue
         t0 = time.time()
         got = solve_degree(solver, dim, d, prev, rng, budget, target,
-                           log=lambda s: print(s, flush=True))
+                           log=lambda s: print(s, flush=True),
+                           existing=have)
+        if got is None or (have is not None and npts(have) <= npts(got)):
+            got = have
         if got is not None:
             table[d] = got
             prev = got
