@@ -35,24 +35,20 @@ from .physically_mapped import (DirectlyDefinedElement,           # noqa: F401
 from .argyris import Argyris                                      # noqa: F401
 from .bell import Bell                                            # noqa: F401
 from .hermite import Hermite                                      # noqa: F401
-from .hct import HsiehCloughTocher, ReducedHsiehCloughTocher      # noqa: F401
+from .c1_macro import (HsiehCloughTocher,                        # noqa: F401
+                       QuadraticPowellSabin6, QuadraticPowellSabin12,
+                       ReducedHsiehCloughTocher)
 from .morley import Morley                                        # noqa: F401
-from .powell_sabin import (QuadraticPowellSabin6,                 # noqa: F401
-                           QuadraticPowellSabin12)
-from .piola_mapped import PiolaBubbleElement                      # noqa: F401
+from .zany import PiolaBubbleElement                              # noqa: F401
 from .aw import ArnoldWinther, ArnoldWintherNC                    # noqa: F401
 from .hz import HuZhang                                           # noqa: F401
 from .mtw import MardalTaiWinther                                 # noqa: F401
-from .bernardi_raugel import (BernardiRaugel,                     # noqa: F401
-                              BernardiRaugelBubble)
 from .johnson_mercier import JohnsonMercier                       # noqa: F401
-from .guzman_neilan import (GuzmanNeilanBubble,                   # noqa: F401
-                            GuzmanNeilanFirstKindH1,
-                            GuzmanNeilanH1div,
-                            GuzmanNeilanSecondKindH1)
-from .christiansen_hu import ChristiansenHu                       # noqa: F401
-from .arnold_qin import ArnoldQin, ReducedArnoldQin               # noqa: F401
-from .alfeld_sorokina import AlfeldSorokina                       # noqa: F401
+from .stokes_macro import (AlfeldSorokina, ArnoldQin,             # noqa: F401
+                           BernardiRaugel, BernardiRaugelBubble,
+                           ChristiansenHu, GuzmanNeilanBubble,
+                           GuzmanNeilanFirstKindH1, GuzmanNeilanH1div,
+                           GuzmanNeilanSecondKindH1, ReducedArnoldQin)
 from .wuxu import WuXuH3NC, WuXuRobustH3NC                        # noqa: F401
 from .c2_elements import AlfeldC2, BrambleZlamalC2                # noqa: F401
 from .walkington import Walkington                                # noqa: F401

@@ -1,53 +1,12 @@
-"""Arnold-Winther transformations (parity with /root/reference/finat/aw.py)."""
-
-import numpy as np
+"""Arnold-Winther conforming/nonconforming symmetric-stress elements.
+Behavioural parity: /root/reference/finat/aw.py, on the shared zany
+engine (facet_moment_block / sym_eval_block)."""
 
 from .. import elements as fe
-from ..core.expansions import polynomial_dimension
 from .citations import cite
 from .fiat_bridge import FiatElement
-from .physically_mapped import PhysicallyMappedElement, adjugate, identity
-from .piola_mapped import normal_tangential_transform
-
-
-def _facet_transform(fiat_cell, facet_moment_degree, coordinate_mapping):
-    sd = fiat_cell.get_spatial_dimension()
-    top = fiat_cell.get_topology()
-    num_facets = len(top[sd - 1])
-    dimPk_facet = polynomial_dimension(
-        fiat_cell.construct_subelement(sd - 1), facet_moment_degree)
-    dofs_per_facet = sd * dimPk_facet
-    V = identity(num_facets * dofs_per_facet)
-
-    bary, = fiat_cell.make_points(sd, 0, sd + 1)
-    J = coordinate_mapping.jacobian_at(bary)
-    detJ = coordinate_mapping.detJ_at(bary)
-    for f in range(num_facets):
-        Bnt, Btt = normal_tangential_transform(fiat_cell, J, detJ, f)
-        for i in range(dimPk_facet):
-            s = dofs_per_facet * f + i * sd
-            ndof = s
-            tdofs = list(range(s + 1, s + sd))
-            V[tdofs, ndof] = Bnt
-            V[tdofs, tdofs] = Btt
-    return V
-
-
-def _evaluation_transform(fiat_cell, coordinate_mapping):
-    sd = fiat_cell.get_spatial_dimension()
-    bary, = fiat_cell.make_points(sd, 0, sd + 1)
-    J = coordinate_mapping.jacobian_at(bary)
-    K = adjugate(np.asarray([[J[i, j] for j in range(sd)] for i in range(sd)],
-                            dtype=object))
-
-    indices = [(i, j) for i in range(sd) for j in range(i, sd)]
-    ncomp = len(indices)
-    W = np.zeros((ncomp, ncomp), dtype=object)
-    for p, (i, j) in enumerate(indices):
-        for q, (m, n) in enumerate(indices):
-            W[p, q] = 0.5 * (K[i, m] * K[j, n] + K[j, m] * K[i, n])
-    W[:, [i != j for i, j in indices]] *= 2
-    return W
+from .physically_mapped import PhysicallyMappedElement, identity
+from .zany import ZanyCtx, facet_moment_block, sym_eval_block
 
 
 class ArnoldWintherNC(PhysicallyMappedElement, FiatElement):
@@ -56,16 +15,17 @@ class ArnoldWintherNC(PhysicallyMappedElement, FiatElement):
         super().__init__(fe.ArnoldWintherNC(cell, degree))
 
     def basis_transformation(self, coordinate_mapping):
-        # the extra 3 rows are the constraints
-        numbf = self._element.space_dimension()
-        ndof = self.space_dimension()
-        V = identity(numbf, ndof)
-        V[:12, :12] = _facet_transform(self.cell, 1, coordinate_mapping)
+        ctx = ZanyCtx(self.cell, coordinate_mapping)
+        # 15 dofs + 3 constraint rows; facet moments fill the first 12
+        V = identity(self._element.space_dimension(),
+                     self.space_dimension())
+        F = facet_moment_block(ctx, 1)
+        V[:len(F), :len(F)] = F
         return V.T
 
     def entity_dofs(self):
-        return {0: {0: [], 1: [], 2: []},
-                1: {0: [0, 1, 2, 3], 1: [4, 5, 6, 7], 2: [8, 9, 10, 11]},
+        edges = {e: list(range(4 * e, 4 * e + 4)) for e in range(3)}
+        return {0: {v: [] for v in range(3)}, 1: edges,
                 2: {0: [12, 13, 14]}}
 
     def space_dimension(self):
@@ -78,33 +38,29 @@ class ArnoldWinther(PhysicallyMappedElement, FiatElement):
         super().__init__(fe.ArnoldWinther(cell, degree))
 
     def basis_transformation(self, coordinate_mapping):
-        # the extra 6 rows are the constraints
-        numbf = self._element.space_dimension()
-        ndof = self.space_dimension()
-        V = identity(numbf, ndof)
+        ctx = ZanyCtx(self.cell, coordinate_mapping)
+        # 24 dofs + 6 constraint rows
+        V = identity(self._element.space_dimension(),
+                     self.space_dimension())
+        W = sym_eval_block(ctx)
+        nc = len(W)
+        nverts = ctx.sd + 1
+        for v in range(nverts):
+            V[nc * v:nc * (v + 1), nc * v:nc * (v + 1)] = W
+        F = facet_moment_block(ctx, 1)
+        lo = nverts * nc
+        V[lo:lo + len(F), lo:lo + len(F)] = F
 
-        sd = self.cell.get_spatial_dimension()
-        W = _evaluation_transform(self.cell, coordinate_mapping)
-        ncomp = W.shape[0]
-        V[0:3, 0:3] = V[3:6, 3:6] = V[6:9, 6:9] = W
-        num_verts = sd + 1
-        cur = num_verts * ncomp
-
-        Vsub = _facet_transform(self.cell, 1, coordinate_mapping)
-        fdofs = Vsub.shape[0]
-        V[cur:cur + fdofs, cur:cur + fdofs] = Vsub
-
-        # conditioning rescale (edge moments already length-scaled by FIAT)
-        h = coordinate_mapping.cell_size()
-        for e in range(num_verts):
-            V[:, ncomp * e:ncomp * (e + 1)] *= 1 / (h[e] * h[e])
+        # conditioning rescale (edge moments already length-scaled)
+        h = ctx.h
+        for v in range(nverts):
+            V[:, nc * v:nc * (v + 1)] *= 1 / (h[v] * h[v])
         return V.T
 
     def entity_dofs(self):
-        return {0: {0: [0, 1, 2], 1: [3, 4, 5], 2: [6, 7, 8]},
-                1: {0: [9, 10, 11, 12], 1: [13, 14, 15, 16],
-                    2: [17, 18, 19, 20]},
-                2: {0: [21, 22, 23]}}
+        verts = {v: list(range(3 * v, 3 * v + 3)) for v in range(3)}
+        edges = {e: list(range(9 + 4 * e, 13 + 4 * e)) for e in range(3)}
+        return {0: verts, 1: edges, 2: {0: [21, 22, 23]}}
 
     def space_dimension(self):
         return 24

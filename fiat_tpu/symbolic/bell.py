@@ -1,71 +1,43 @@
-"""Bell element transformation (parity with /root/reference/finat/bell.py):
-vertex 2-jets plus edge constraint functionals (dropped from entity_dofs,
-the element exposes 18 of FIAT's 21 rows)."""
-
-from copy import deepcopy
-from math import comb
+"""Bell: quintic C1 triangle with vertex 2-jets; the three edge rows are
+constraints (not dofs) folded into the vertex jets.  Behavioural parity:
+/root/reference/finat/bell.py, on the shared zany engine."""
 
 from .. import elements as fe
-from .argyris import _normal_tangential_transform, _vertex_transform
 from .citations import cite
 from .fiat_bridge import ScalarFiatElement
 from .physically_mapped import PhysicallyMappedElement, identity
+from .zany import (JetLayout, ZanyCtx, jet_couple, put_vertex_jets,
+                   scale_jet_columns)
+
+# constraint-row coupling into the endpoint 2-jets, per jet order
+_CONSTRAINT_JET = (1 / 21, -1 / 42, 1 / 252)
 
 
 class Bell(PhysicallyMappedElement, ScalarFiatElement):
     def __init__(self, cell, degree=5):
         cite("Bell1969")
         super().__init__(fe.Bell(cell, degree=degree))
-        reduced_dofs = deepcopy(self._element.entity_dofs())
-        sd = cell.get_spatial_dimension()
-        for entity in reduced_dofs[sd - 1]:
-            reduced_dofs[sd - 1][entity] = []
-        self._entity_dofs = reduced_dofs
-
-    def basis_transformation(self, coordinate_mapping):
-        sd = self.cell.get_spatial_dimension()
-        top = self.cell.get_topology()
-        bary, = self.cell.make_points(sd, 0, sd + 1)
-        J = coordinate_mapping.jacobian_at(bary)
-        detJ = coordinate_mapping.detJ_at(bary)
-
-        numbf = self._element.space_dimension()
-        ndof = self.space_dimension()
-        # rectangular: tosses the constraint rows
-        V = identity(numbf, ndof)
-
-        vorder = 2
-        _vertex_transform(V, vorder, self.cell, coordinate_mapping)
-
-        voffset = comb(sd + vorder, vorder)
-        for e in sorted(top[1]):
-            s = len(top[0]) * voffset + e
-            v0id, v1id = (v * voffset for v in top[1][e])
-            Bnn, Bnt, Jt = _normal_tangential_transform(self.cell, J, detJ, e)
-
-            V[s, v1id] = 1 / 21 * Bnt
-            V[s, v0id] = -V[s, v1id]
-            for i in range(sd):
-                V[s, v1id + 1 + i] = -1 / 42 * Bnt * Jt[i]
-                V[s, v0id + 1 + i] = V[s, v1id + 1 + i]
-            tau = [Jt[0] * Jt[0], 2 * Jt[0] * Jt[1], Jt[1] * Jt[1]]
-            for i in range(len(tau)):
-                V[s, v1id + 3 + i] = 1 / 252 * Bnt * tau[i]
-                V[s, v0id + 3 + i] = -V[s, v1id + 3 + i]
-
-        # conditioning patch-up
-        h = coordinate_mapping.cell_size()
-        for v in sorted(top[0]):
-            s = voffset * v + 1
-            V[:, s:s + sd] *= 1 / h[v]
-            V[:, s + sd:voffset * (v + 1)] *= 1 / (h[v] * h[v])
-
-        return V.T
+        dofs = {dim: dict(ent)
+                for dim, ent in self._element.entity_dofs().items()}
+        dofs[1] = {e: [] for e in dofs[1]}
+        self._entity_dofs = dofs
 
     def entity_dofs(self):
-        # FIAT reports 21 rows; the element has 18 DoFs (the 3 extra rows
-        # feed the transformation under the edge constraint).
+        # FIAT reports 21 rows; the element exposes 18 (the 3 edge rows
+        # are constraints feeding the transformation only)
         return self._entity_dofs
 
     def space_dimension(self):
         return 18
+
+    def basis_transformation(self, coordinate_mapping):
+        ctx = ZanyCtx(self.cell, coordinate_mapping)
+        lay = JetLayout(self.cell, 2, erows=1)
+        # rectangular: the constraint rows have no dof column
+        V = identity(self._element.space_dimension(),
+                     self.space_dimension())
+        put_vertex_jets(V, ctx, 2)
+        for e in sorted(self.cell.get_topology()[1]):
+            jet_couple(V, ctx, e, lay.erow(e), _CONSTRAINT_JET, lay)
+        scale_jet_columns(V, ctx, lay)
+        return V.T

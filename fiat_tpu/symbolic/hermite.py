@@ -1,10 +1,25 @@
-"""Hermite element transformation (parity with
-/root/reference/finat/hermite.py): vertex gradients map by the Jacobian."""
+"""Cubic Hermite: vertex values + gradients; gradients push forward by
+the per-vertex Jacobian.  Behavioural parity:
+/root/reference/finat/hermite.py, on the shared zany engine."""
 
 from .. import elements as fe
 from .citations import cite
 from .fiat_bridge import ScalarFiatElement
 from .physically_mapped import PhysicallyMappedElement, identity
+from .zany import JetLayout, ZanyCtx, as_obj
+
+
+def vertex_gradient_transform(element, coordinate_mapping):
+    """Identity on vertex values, J(v)/h(v) on each vertex's gradient
+    block (Jacobian evaluated AT the vertex, h-scaled for conditioning)."""
+    ctx = ZanyCtx(element.cell, coordinate_mapping)
+    lay = JetLayout(element.cell, 1)
+    V = identity(element.space_dimension())
+    for v in sorted(element.cell.get_topology()[0]):
+        Jv = as_obj(ctx.vertex_jacobians[v])
+        g = lay.vjet(v, 1)
+        V[g, g] = Jv.T * (1 / ctx.h[v])
+    return V.T
 
 
 class Hermite(PhysicallyMappedElement, ScalarFiatElement):
@@ -13,18 +28,4 @@ class Hermite(PhysicallyMappedElement, ScalarFiatElement):
         super().__init__(fe.CubicHermite(cell))
 
     def basis_transformation(self, coordinate_mapping):
-        Js = [coordinate_mapping.jacobian_at(vertex)
-              for vertex in self.cell.get_vertices()]
-        h = coordinate_mapping.cell_size()
-
-        d = self.cell.get_dimension()
-        M = identity(self.space_dimension())
-        cur = 0
-        for i in range(d + 1):
-            cur += 1  # skip the vertex value
-            J = Js[i]
-            for j in range(d):
-                for k in range(d):
-                    M[cur + j, cur + k] = J[j, k] / h[i]
-            cur += d
-        return M
+        return vertex_gradient_transform(self, coordinate_mapping)

@@ -1,10 +1,11 @@
-"""Hu-Zhang transformation (parity with /root/reference/finat/hz.py)."""
+"""Hu-Zhang symmetric-stress element.  Behavioural parity:
+/root/reference/finat/hz.py, on the shared zany engine."""
 
 from .. import elements as fe
-from .aw import _evaluation_transform, _facet_transform
 from .citations import cite
 from .fiat_bridge import FiatElement
 from .physically_mapped import PhysicallyMappedElement, identity
+from .zany import ZanyCtx, facet_moment_block, sym_eval_block
 
 
 class HuZhang(PhysicallyMappedElement, FiatElement):
@@ -15,27 +16,24 @@ class HuZhang(PhysicallyMappedElement, FiatElement):
                                     quad_scheme=quad_scheme))
 
     def basis_transformation(self, coordinate_mapping):
-        ndofs = self.space_dimension()
-        V = identity(ndofs)
-
-        sd = self.cell.get_spatial_dimension()
-        W = _evaluation_transform(self.cell, coordinate_mapping)
-        ncomp = W.shape[0]
-        V[0:3, 0:3] = V[3:6, 3:6] = V[6:9, 6:9] = W
-        num_verts = sd + 1
-        cur = num_verts * ncomp
-
-        Vsub = _facet_transform(self.cell, self.degree - 2, coordinate_mapping)
-        fdofs = Vsub.shape[0]
-        V[cur:cur + fdofs, cur:cur + fdofs] = Vsub
-        cur += fdofs
-
+        ctx = ZanyCtx(self.cell, coordinate_mapping)
+        n = self.space_dimension()
+        V = identity(n)
+        W = sym_eval_block(ctx)
+        nc = len(W)
+        nverts = ctx.sd + 1
+        for v in range(nverts):
+            V[nc * v:nc * (v + 1), nc * v:nc * (v + 1)] = W
+        F = facet_moment_block(ctx, self.degree - 2)
+        lo = nverts * nc
+        V[lo:lo + len(F), lo:lo + len(F)] = F
+        lo += len(F)
         if self.variant == "point":
-            while cur < ndofs:
-                V[cur:cur + ncomp, cur:cur + ncomp] = W
-                cur += ncomp
-
-        h = coordinate_mapping.cell_size()
-        for e in range(num_verts):
-            V[:, ncomp * e:ncomp * (e + 1)] *= 1 / (h[e] * h[e])
+            # interior point evaluations transform like the vertex ones
+            while lo < n:
+                V[lo:lo + nc, lo:lo + nc] = W
+                lo += nc
+        h = ctx.h
+        for v in range(nverts):
+            V[:, nc * v:nc * (v + 1)] *= 1 / (h[v] * h[v])
         return V.T

@@ -1,15 +1,14 @@
-"""Johnson-Mercier transformation (parity with
-/root/reference/finat/johnson_mercier.py)."""
+"""Johnson-Mercier symmetric-stress macroelement.  Behavioural parity:
+/root/reference/finat/johnson_mercier.py, on the shared zany engine."""
 
 from .. import elements as fe
-from .aw import _facet_transform
-from .citations import cite
 from .fiat_bridge import FiatElement
 from .physically_mapped import PhysicallyMappedElement, identity
+from .zany import ZanyCtx, facet_moment_block
 
 
 class JohnsonMercier(PhysicallyMappedElement, FiatElement):
-    """Symmetric-matrix-valued JM macroelement."""
+    """Facet stress moments + interior moments (interior untransformed)."""
 
     def __init__(self, cell, degree=1, variant=None, quad_scheme=None):
         self._indices = slice(None, None)
@@ -17,11 +16,9 @@ class JohnsonMercier(PhysicallyMappedElement, FiatElement):
                                            quad_scheme=quad_scheme))
 
     def basis_transformation(self, coordinate_mapping):
-        numbf = self._element.space_dimension()
-        ndof = self.space_dimension()
-        V = identity(numbf, ndof)
-        Vsub = _facet_transform(self.cell, 1, coordinate_mapping)
-        Vsub = Vsub[:, self._indices]
-        m, n = Vsub.shape
-        V[:m, :n] = Vsub
+        ctx = ZanyCtx(self.cell, coordinate_mapping)
+        V = identity(self._element.space_dimension(),
+                     self.space_dimension())
+        F = facet_moment_block(ctx, 1)[:, self._indices]
+        V[:F.shape[0], :F.shape[1]] = F
         return V.T

@@ -1,5 +1,5 @@
-"""Mardal-Tai-Winther transformation (parity with
-/root/reference/finat/mtw.py)."""
+"""Mardal-Tai-Winther element.  Behavioural parity:
+/root/reference/finat/mtw.py, on the shared zany engine."""
 
 from math import comb
 
@@ -7,7 +7,7 @@ from .. import elements as fe
 from .citations import cite
 from .fiat_bridge import FiatElement
 from .physically_mapped import PhysicallyMappedElement, identity
-from .piola_mapped import normal_tangential_transform
+from .zany import ZanyCtx
 
 
 class MardalTaiWinther(PhysicallyMappedElement, FiatElement):
@@ -16,25 +16,18 @@ class MardalTaiWinther(PhysicallyMappedElement, FiatElement):
         super().__init__(fe.MardalTaiWinther(cell, order=order))
 
     def basis_transformation(self, coordinate_mapping):
-        sd = self.cell.get_spatial_dimension()
-        bary, = self.cell.make_points(sd, 0, sd + 1)
-        J = coordinate_mapping.jacobian_at(bary)
-        detJ = coordinate_mapping.detJ_at(bary)
-
-        V = identity(self.space_dimension())
+        ctx = ZanyCtx(self.cell, coordinate_mapping)
+        sd = ctx.sd
         q = self._element.order
-        dimP1 = comb(1 + sd - 1, 1)
-        dimPq = comb(q + sd - 1, q)
-
-        entity_dofs = self.entity_dofs()
-        for f in sorted(entity_dofs[sd - 1]):
-            Bnt, Btt = normal_tangential_transform(self.cell, J, detJ, f)
-            ndofs = entity_dofs[sd - 1][f][:dimPq]
-            tdofs = entity_dofs[sd - 1][f][dimPq:]
-            V[tdofs, tdofs] = Btt
+        n_normal = comb(q + sd - 1, q)
+        V = identity(self.space_dimension())
+        for f, ids in sorted(self.entity_dofs()[sd - 1].items()):
+            Bnt, Btt = ctx.facet_nt(f)
+            normal, tangential = ids[:n_normal], ids[n_normal:]
+            V[tangential, tangential] = Btt
             if sd == 2:
-                V[tdofs, ndofs[0]] = Bnt
+                V[tangential, normal[0]] = Bnt
             else:
-                V[tdofs[:-1], ndofs[0]] = Bnt
-                V[tdofs[-1], ndofs[1:dimP1]] = Bnt
+                V[tangential[:-1], normal[0]] = Bnt
+                V[tangential[-1], normal[1:comb(sd, 1)]] = Bnt
         return V.T

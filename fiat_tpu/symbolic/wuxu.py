@@ -1,100 +1,62 @@
-"""Wu-Xu transformations (parity with /root/reference/finat/wuxu.py)."""
-
-import numpy as np
+"""Wu-Xu H3-nonconforming elements: vertex 1-jets plus first/second
+normal-derivative edge moments.  Behavioural parity:
+/root/reference/finat/wuxu.py, on the shared zany engine."""
 
 from .. import elements as fe
-from .argyris import _vertex_transform
 from .citations import cite
 from .fiat_bridge import ScalarFiatElement
 from .physically_mapped import PhysicallyMappedElement, identity
+from .zany import ZanyCtx, put_vertex_jets
 
 
-def hessian_transform(J):
-    return np.array(
-        [[J[0, 0] * J[0, 0], J[0, 0] * J[1, 0] + J[0, 0] * J[1, 0], J[1, 0] * J[1, 0]],
-         [J[0, 1] * J[0, 0], J[0, 1] * J[1, 0] + J[0, 0] * J[1, 1], J[1, 0] * J[1, 1]],
-         [J[0, 1] * J[0, 1], J[0, 1] * J[1, 1] + J[0, 1] * J[1, 1], J[1, 1] * J[1, 1]]],
-        dtype=object)
+class _WuXuBase(PhysicallyMappedElement, ScalarFiatElement):
+    """Shared Wu-Xu transformation: the edge-moment rows are expressed in
+    the physical normal/tangent frame; tangential parts integrate by
+    parts into the endpoint jets."""
+
+    def basis_transformation(self, coordinate_mapping):
+        ctx = ZanyCtx(self.cell, coordinate_mapping)
+        vdofs = self._element.entity_dofs()[0]
+        edofs = self._element.entity_dofs()[1]
+        V = identity(self.space_dimension())
+        put_vertex_jets(V, ctx, 1)
+
+        for e, everts in sorted(self.cell.get_topology()[1].items()):
+            v0, v1 = everts
+            rows = edofs[e]
+            if len(rows) > 1:
+                # dn moment: endpoint VALUES absorb the tangential part
+                B1, alpha = ctx.edge_grad(e)
+                V[rows[0], rows[0]] = B1[0, 0]
+                V[rows[0], vdofs[v0][0]] = -1 * alpha
+                V[rows[0], vdofs[v1][0]] = alpha
+            # dnn moment: endpoint GRADIENTS absorb the tangential part
+            B2, beta = ctx.edge_hess(e)
+            r = rows[-1]
+            V[r, r] = B2[0, 0]
+            V[r, vdofs[v0][1:]] = -1 * beta
+            V[r, vdofs[v1][1:]] = beta
+
+        h = ctx.h
+        for v, ids in sorted(vdofs.items()):
+            V[:, ids[1:]] *= 1 / h[v]
+        for e, everts in sorted(self.cell.get_topology()[1].items()):
+            he = sum(h[v] for v in everts) / len(everts)
+            V[:, edofs[e][-1]] *= 1 / (he * he)
+        return V.T
 
 
-def wuxu_transformation(self, coordinate_mapping):
-    top = self.cell.topology
-    sd = self.cell.get_spatial_dimension()
-    entity_ids = self._element.entity_dofs()
-
-    V = identity(self.space_dimension())
-    _vertex_transform(V, 1, self.cell, coordinate_mapping)
-
-    bary, = self.cell.make_points(sd, 0, sd + 1)
-    J = coordinate_mapping.jacobian_at(bary)
-    Thetainv = hessian_transform(J)
-    J = np.array([[J[i, j] for j in range(sd)] for i in range(sd)], dtype=object)
-
-    ns = coordinate_mapping.physical_normals()
-    ts = coordinate_mapping.physical_tangents()
-    lens = coordinate_mapping.physical_edge_lengths()
-    nhats = coordinate_mapping.reference_normals()
-    thats = coordinate_mapping.normalized_reference_edge_tangents()
-
-    for e in top[1]:
-        v0, v1 = top[1][e]
-        vid0 = entity_ids[0][v0]
-        vid1 = entity_ids[0][v1]
-
-        G = np.array([[u[e, j] for j in range(sd)] for u in (ns, ts)],
-                     dtype=object)
-        Ghat = np.array([[u[e, j] for j in range(sd)] for u in (nhats, thats)],
-                        dtype=object)
-
-        if len(entity_ids[1][e]) > 1:
-            # first derivative moments
-            eid = entity_ids[1][e][0]
-            B1 = (Ghat @ J.T) @ G.T
-            alpha = B1[0, 1] / lens[e]
-            V[eid, eid] = B1[0, 0]
-            V[eid, vid0[0]] = -1 * alpha
-            V[eid, vid1[0]] = alpha
-
-        # second derivative moments
-        eid = entity_ids[1][e][-1]
-        Gamma = hessian_transform(G)
-        Gammainvhat = hessian_transform(Ghat.T)
-        B2 = (Gammainvhat @ Thetainv) @ Gamma
-        beta = B2[0, 1:] @ G / lens[e]
-        V[eid, eid] = B2[0, 0]
-        V[eid, vid0[1:]] = -1 * beta
-        V[eid, vid1[1:]] = beta
-
-    # conditioning patch-up
-    h = coordinate_mapping.cell_size()
-    for v in top[0]:
-        vids = entity_ids[0][v][1:]
-        V[:, vids] *= 1 / h[v]
-    for e in top[1]:
-        eid = entity_ids[1][e][-1]
-        he = (1 / len(top[1][e])) * sum(h[v] for v in top[1][e])
-        V[:, eid] *= 1 / (he * he)
-
-    return V.T
-
-
-class WuXuRobustH3NC(PhysicallyMappedElement, ScalarFiatElement):
+class WuXuRobustH3NC(_WuXuBase):
     def __init__(self, cell, degree=7):
         if degree != 7:
             raise ValueError("Degree must be 7 for robust Wu-Xu element")
         cite("Kirby2019zany")
         super().__init__(fe.WuXuRobustH3NC(cell))
 
-    def basis_transformation(self, coordinate_mapping):
-        return wuxu_transformation(self, coordinate_mapping)
 
-
-class WuXuH3NC(PhysicallyMappedElement, ScalarFiatElement):
+class WuXuH3NC(_WuXuBase):
     def __init__(self, cell, degree=4):
         if degree != 4:
             raise ValueError("Degree must be 4 for the Wu-Xu element")
         cite("Kirby2019zany")
         super().__init__(fe.WuXuH3NC(cell))
-
-    def basis_transformation(self, coordinate_mapping):
-        return wuxu_transformation(self, coordinate_mapping)
