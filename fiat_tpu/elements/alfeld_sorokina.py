@@ -1,74 +1,66 @@
-"""Alfeld-Sorokina C0(Alfeld) Stokes macroelement with C0 divergence
-(parity with /root/reference/FIAT/alfeld_sorokina.py)."""
+"""Alfeld-Sorokina: C0 quadratic vector macroelement on the Alfeld split
+whose divergence is also C0.  Behavioural parity:
+/root/reference/FIAT/alfeld_sorokina.py, on the declarative dual
+builder."""
 
 import numpy as np
 
 from ..core import finite_element, polyset
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.functionals import ComponentPointEvaluation, PointDivergence
 from ..core.macro import AlfeldSplit, CkPolynomialSet
 from ..core.quadrature_schemes import create_quadrature
 
 
 def AlfeldSorokinaSpace(ref_el, degree):
-    """Vector-valued C0 polynomials on the Alfeld split with C0 divergence
-    (divergence-jump null space)."""
+    """Vector C0 polynomials on the Alfeld split constrained to have
+    continuous divergence: the null space of the divergence-jump moments
+    over the interior facets."""
     ref_complex = AlfeldSplit(ref_el)
     sd = ref_complex.get_spatial_dimension()
     C0 = CkPolynomialSet(ref_complex, degree, order=0, shape=(sd,),
                          variant="bubble")
-    expansion_set = C0.get_expansion_set()
-    num_members = C0.get_num_members()
+    es = C0.get_expansion_set()
+
+    facet = ref_complex.construct_subelement(sd - 1)
+    tests = polyset.ONPolynomialSet(facet, 0 if sd == 1 else degree - 1)
+    Q = create_quadrature(facet, 2 * tests.degree)
+    wphi = tests.tabulate(Q.get_points())[(0,) * (sd - 1)] * Q.get_weights()
+
+    constraints = []
+    for facet_id in ref_complex.get_interior_facets(sd - 1):
+        n = ref_complex.compute_normal(facet_id)
+        jumps = es.tabulate_normal_jumps(degree, Q.get_points(), facet_id,
+                                         order=1)
+        # div jump moment rows: one per (test fn), columns (member, comp)
+        moments = np.tensordot(n[:, None, None] * jumps[1][None],
+                               wphi, axes=(-1, -1))
+        constraints.append(
+            moments.reshape(C0.get_num_members(), -1).T)
+
     coeffs = C0.get_coeffs()
-
-    facet_el = ref_complex.construct_subelement(sd - 1)
-    phi = polyset.ONPolynomialSet(facet_el, 0 if sd == 1 else degree - 1)
-    Q = create_quadrature(facet_el, 2 * phi.degree)
-    qpts, qwts = Q.get_points(), Q.get_weights()
-    phi_at_qpts = phi.tabulate(qpts)[(0,) * (sd - 1)]
-    weights = phi_at_qpts * qwts
-
-    rows = []
-    for facet in ref_complex.get_interior_facets(sd - 1):
-        n = ref_complex.compute_normal(facet)
-        jumps = expansion_set.tabulate_normal_jumps(degree, qpts, facet, order=1)
-        div_jump = n[:, None, None] * jumps[1][None, ...]
-        r = np.tensordot(div_jump, weights, axes=(-1, -1))
-        rows.append(r.reshape(num_members, -1).T)
-
-    if rows:
-        nsp = polyset.spanning_basis(np.vstack(rows), nullspace=True)
+    if constraints:
+        nsp = polyset.spanning_basis(np.vstack(constraints), nullspace=True)
         coeffs = np.tensordot(nsp, coeffs, axes=(-1, 0))
-    return polyset.PolynomialSet(ref_complex, degree, degree, expansion_set,
-                                 coeffs)
-
-
-class AlfeldSorokinaDualSet(DualSet):
-    def __init__(self, ref_el, degree):
-        if degree != 2:
-            raise NotImplementedError("AlfeldSorokina only defined for degree = 2")
-        top = ref_el.get_topology()
-        sd = ref_el.get_spatial_dimension()
-        entity_ids = {dim: {e: [] for e in sorted(top[dim])} for dim in sorted(top)}
-        nodes = []
-        for dim in sorted(top):
-            for entity in sorted(top[dim]):
-                cur = len(nodes)
-                dpts = ref_el.make_points(dim, entity, degree - 1)
-                nodes.extend(PointDivergence(ref_el, pt) for pt in dpts)
-                pts = ref_el.make_points(dim, entity, degree)
-                nodes.extend(ComponentPointEvaluation(ref_el, k, (sd,), pt)
-                             for pt in pts for k in range(sd))
-                entity_ids[dim][entity].extend(range(cur, len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids)
+    return polyset.PolynomialSet(ref_complex, degree, degree, es, coeffs)
 
 
 class AlfeldSorokina(finite_element.CiarletElement):
-    """Alfeld-Sorokina C0 quadratic macroelement with C0 divergence."""
+    """Divergence dofs at the degree-1 lattice plus vector point values
+    at the degree-2 lattice, on every subentity."""
 
     def __init__(self, ref_el, degree=2):
-        dual = AlfeldSorokinaDualSet(ref_el, degree)
-        poly_set = AlfeldSorokinaSpace(ref_el, degree)
-        formdegree = ref_el.get_spatial_dimension() - 1
-        super().__init__(poly_set, dual, degree, formdegree,
-                         mapping="contravariant piola")
+        if degree != 2:
+            raise NotImplementedError(
+                "AlfeldSorokina only defined for degree = 2")
+        sd = ref_el.get_spatial_dimension()
+        b = DualBuilder(ref_el)
+        for dim in sorted(b.top):
+            for e in b.entities(dim):
+                b.tag(dim, e, [PointDivergence(ref_el, p)
+                               for p in b.lattice(dim, e, degree - 1)]
+                              + [ComponentPointEvaluation(ref_el, k, (sd,), p)
+                                 for p in b.lattice(dim, e, degree)
+                                 for k in range(sd)])
+        super().__init__(AlfeldSorokinaSpace(ref_el, degree), b.dual_set(),
+                         degree, sd - 1, mapping="contravariant piola")

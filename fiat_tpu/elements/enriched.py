@@ -1,7 +1,5 @@
-"""Enriched element: non-nodal direct sum of elements (parity with
-/root/reference/FIAT/enriched.py)."""
-
-from itertools import chain
+"""Enriched element: non-nodal direct sum of compatible elements.
+Behavioural parity: /root/reference/FIAT/enriched.py."""
 
 import numpy as np
 
@@ -12,33 +10,35 @@ from .mixed import concatenate_entity_dofs
 __all__ = ["EnrichedElement"]
 
 
+def _shared(label, values):
+    distinct = set(values)
+    if len(distinct) > 1:
+        raise ValueError(f"Elements must share a {label}")
+    value, = distinct
+    return value
+
+
 class EnrichedElement(FiniteElement):
     """Direct sum of the DoFs of compatible elements (same cell, mapping,
     value shape); primal/dual orthogonality is NOT restored (see
     NodalEnrichedElement for that)."""
 
     def __init__(self, *elements):
-        if len(set(e.get_reference_element() for e in elements)) > 1:
-            raise ValueError("Elements must share a reference element")
-        if len(set(m for e in elements for m in e.mapping())) > 1:
-            raise ValueError("Elements must share a mapping")
-        if len(set(e.value_shape() for e in elements)) > 1:
-            raise ValueError("Elements must share a value shape")
+        ref_el = _shared("reference element",
+                         (e.get_reference_element() for e in elements))
+        mapping = _shared("mapping",
+                          (m for e in elements for m in e.mapping()))
+        _shared("value shape", (e.value_shape() for e in elements))
 
-        order = max(e.get_order() for e in elements)
-        if any(e.get_formdegree() is None for e in elements):
-            formdegree = None
-        else:
-            formdegree = max(e.get_formdegree() for e in elements)
-        ref_el, = set(e.get_reference_element() for e in elements)
-        mapping, = set(m for e in elements for m in e.mapping())
-
-        entity_ids = concatenate_entity_dofs(ref_el, elements)
-        nodes = list(chain.from_iterable(e.dual_basis() for e in elements))
-        dual = DualSet(nodes, ref_el, entity_ids)
-        super().__init__(ref_el, dual, order, formdegree, mapping)
-        self.polydegree = max(e.degree() for e in elements)
+        fds = [e.get_formdegree() for e in elements]
+        formdegree = None if None in fds else max(fds)
+        dual = DualSet([n for e in elements for n in e.dual_basis()],
+                       ref_el, concatenate_entity_dofs(ref_el, elements))
+        super().__init__(ref_el, dual,
+                         max(e.get_order() for e in elements),
+                         formdegree, mapping)
         self._elements = elements
+        self.polydegree = max(member.degree() for member in elements)
 
     def elements(self):
         return self._elements
@@ -46,34 +46,21 @@ class EnrichedElement(FiniteElement):
     def degree(self):
         return self.polydegree
 
+    def value_shape(self):
+        return self._elements[0].value_shape()
+
+    def tabulate(self, order, points, entity=None):
+        """Stack the member tabulations along the basis axis."""
+        pieces = [e.tabulate(order, points, entity)
+                  for e in self._elements]
+        return {alpha: np.concatenate([p[alpha] for p in pieces], axis=0)
+                for alpha in pieces[0]}
+
     def get_nodal_basis(self):
         raise NotImplementedError("get_nodal_basis not implemented")
 
     def get_coeffs(self):
         raise NotImplementedError("get_coeffs not implemented")
-
-    def tabulate(self, order, points, entity=None):
-        num_components = int(np.prod(self.value_shape(), dtype=int))
-        table = {}
-        offset = 0
-        for element in self._elements:
-            etable = element.tabulate(order, points, entity)
-            n = element.space_dimension()
-            for d, tab in etable.items():
-                if d not in table:
-                    if num_components == 1:
-                        shape = (self.space_dimension(), len(points))
-                    else:
-                        shape = (self.space_dimension(), num_components,
-                                 len(points))
-                    table[d] = np.zeros(shape, dtype=tab.dtype)
-                table[d][offset:offset + n] = tab
-            offset += n
-        return table
-
-    def value_shape(self):
-        result, = set(e.value_shape() for e in self._elements)
-        return result
 
     def dmats(self):
         raise NotImplementedError("dmats not implemented")

@@ -1,89 +1,66 @@
-"""Hellan-Herrmann-Johnson elements (parity with
-/root/reference/FIAT/hellan_herrmann_johnson.py): symmetric tensors with
-normal-normal continuity."""
+"""Hellan-Herrmann-Johnson: symmetric tensors with normal-normal
+continuity.  Behavioural parity:
+/root/reference/FIAT/hellan_herrmann_johnson.py, on the declarative dual
+builder."""
 
 from ..core import finite_element, polyset
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.functionals import (ComponentPointEvaluation,
                                 PointwiseInnerProductEvaluation,
                                 TensorBidirectionalIntegralMoment)
-from ..core.quadrature import FacetQuadratureRule
-from ..core.variants import check_format_variant, parse_quadrature_scheme
+from ..core.variants import check_format_variant
 
 
-class HellanHerrmannJohnsonDual(DualSet):
-    def __init__(self, ref_el, degree, variant, qdegree, quad_scheme):
-        sd = ref_el.get_spatial_dimension()
-        top = ref_el.get_topology()
-        entity_ids = {dim: {i: [] for i in sorted(top[dim])} for dim in sorted(top)}
-        nodes = []
+def nn_point_duals(b, degree, normals, cell_faces):
+    """Pointwise n-n facet dofs; interior dofs are Cartesian components
+    in 2D and face-pair inner products in 3D (reference convention)."""
+    sd = b.sd
+    for f in b.entities(sd - 1):
+        b.tag(sd - 1, f, (PointwiseInnerProductEvaluation(
+            b.ref_el, normals[f], normals[f], p)
+            for p in b.lattice(sd - 1, f, degree + sd)))
+    for c in b.entities(sd):
+        pts = b.lattice(sd, c, degree + sd)
+        if sd == 2:
+            b.tag(sd, c, (ComponentPointEvaluation(
+                b.ref_el, (i, j), (sd, sd), p)
+                for i in range(sd) for j in range(i, sd) for p in pts))
+        else:
+            faces = cell_faces[c]
+            extra = b.lattice(sd, c, degree + sd + 1)
+            b.tag(sd, c, [PointwiseInnerProductEvaluation(
+                b.ref_el, normals[f], normals[f], p)
+                for p in pts for f in faces]
+                + [PointwiseInnerProductEvaluation(
+                    b.ref_el, normals[faces[i + 1]], normals[faces[i + 2]], p)
+                   for p in extra for i in range((sd - 1) * (sd - 2))])
 
-        cell_to_faces = ref_el.get_connectivity()[(sd, sd - 1)]
-        n = [ref_el.compute_scaled_normal(f) for f in sorted(top[sd - 1])]
-        if variant == "point":
-            for f in sorted(top[sd - 1]):
-                cur = len(nodes)
-                pts = ref_el.make_points(sd - 1, f, degree + sd)
-                nodes.extend(PointwiseInnerProductEvaluation(ref_el, n[f], n[f], pt)
-                             for pt in pts)
-                entity_ids[sd - 1][f].extend(range(cur, len(nodes)))
 
-            if sd == 2:
-                # Cartesian interior dofs in 2D (reference convention)
-                for entity in sorted(top[sd]):
-                    cur = len(nodes)
-                    pts = ref_el.make_points(sd, entity, degree + sd)
-                    nodes.extend(
-                        ComponentPointEvaluation(ref_el, (i, j), (sd, sd), pt)
-                        for i in range(sd) for j in range(i, sd) for pt in pts)
-                    entity_ids[sd][entity].extend(range(cur, len(nodes)))
-            else:
-                for entity in sorted(top[sd]):
-                    faces = cell_to_faces[entity]
-                    cur = len(nodes)
-                    pts = ref_el.make_points(sd, entity, degree + sd)
-                    nodes.extend(
-                        PointwiseInnerProductEvaluation(ref_el, n[f], n[f], pt)
-                        for pt in pts for f in faces)
-                    pts = ref_el.make_points(sd, entity, degree + sd + 1)
-                    nodes.extend(
-                        PointwiseInnerProductEvaluation(
-                            ref_el, n[faces[i + 1]], n[faces[i + 2]], pt)
-                        for pt in pts for i in range((sd - 1) * (sd - 2)))
-                    entity_ids[sd][entity].extend(range(cur, len(nodes)))
+def nn_moment_duals(b, degree, qdegree, scheme, normals, cell_faces):
+    """Moment-based n-n dofs: facet moments of P_degree, plus interior
+    moments that keep n-n parts to degree-1 and add the mixed face-pair
+    parts in 3D."""
+    sd = b.sd
+    Q_ref, phis = b.facet_basis(sd - 1, degree, qdegree + degree, scheme)
+    for f in b.entities(sd - 1):
+        Q = b.map_rule(sd - 1, f, Q_ref)
+        b.tag(sd - 1, f, (TensorBidirectionalIntegralMoment(
+            b.ref_el, normals[f], normals[f], Q, phi) for phi in phis))
 
-        elif variant == "integral":
-            ref_facet = ref_el.construct_subelement(sd - 1)
-            Q_ref = parse_quadrature_scheme(ref_facet, qdegree + degree, quad_scheme)
-            P = polyset.ONPolynomialSet(ref_facet, degree)
-            Phis = P.tabulate(Q_ref.get_points())[(0,) * (sd - 1)]
-            for f in sorted(top[sd - 1]):
-                cur = len(nodes)
-                Q = FacetQuadratureRule(ref_el, sd - 1, f, Q_ref, avg=True)
-                nodes.extend(
-                    TensorBidirectionalIntegralMoment(ref_el, n[f], n[f], Q, phi)
-                    for phi in Phis)
-                entity_ids[sd - 1][f].extend(range(cur, len(nodes)))
-
-            ref_cell = ref_el.construct_subelement(sd)
-            Q_ref = parse_quadrature_scheme(ref_cell, qdegree + degree, quad_scheme)
-            P = polyset.ONPolynomialSet(ref_cell, degree)
-            Phis = P.tabulate(Q_ref.get_points())[(0,) * sd]
-            dimPkm1 = P.expansion_set.get_num_members(degree - 1)
-            for entity in sorted(top[sd]):
-                cur = len(nodes)
-                faces = cell_to_faces[entity]
-                Q = FacetQuadratureRule(ref_el, sd, entity, Q_ref, avg=True)
-                nodes.extend(
-                    TensorBidirectionalIntegralMoment(ref_el, n[f], n[f], Q, phi)
-                    for phi in Phis[:dimPkm1] for f in faces)
-                nodes.extend(
-                    TensorBidirectionalIntegralMoment(
-                        ref_el, n[faces[i + 1]], n[faces[i + 2]], Q, phi)
-                    for phi in Phis for i in range((sd - 1) * (sd - 2)))
-                entity_ids[sd][entity].extend(range(cur, len(nodes)))
-
-        super().__init__(nodes, ref_el, entity_ids)
+    Q_ref, phis = b.facet_basis(sd, degree, qdegree + degree, scheme)
+    cell = b.ref_el.construct_subelement(sd)
+    npkm1 = polyset.ONPolynomialSet(cell, degree).expansion_set \
+        .get_num_members(degree - 1)
+    for c in b.entities(sd):
+        faces = cell_faces[c]
+        Q = b.map_rule(sd, c, Q_ref)
+        b.tag(sd, c, [TensorBidirectionalIntegralMoment(
+            b.ref_el, normals[f], normals[f], Q, phi)
+            for phi in phis[:npkm1] for f in faces]
+            + [TensorBidirectionalIntegralMoment(
+                b.ref_el, normals[faces[i + 1]], normals[faces[i + 2]],
+                Q, phi)
+               for phi in phis for i in range((sd - 1) * (sd - 2))])
 
 
 class HellanHerrmannJohnson(finite_element.CiarletElement):
@@ -97,11 +74,20 @@ class HellanHerrmannJohnson(finite_element.CiarletElement):
             ref_el = splitting(ref_el)
         if ref_el.is_macrocell():
             from ..core.macro import MacroPolynomialSet
-            base_element = type(self)(ref_el.get_parent(), degree)
-            poly_set = MacroPolynomialSet(ref_el, base_element)
+            poly_set = MacroPolynomialSet(
+                ref_el, type(self)(ref_el.get_parent(), degree))
         else:
             poly_set = polyset.ONSymTensorPolynomialSet(ref_el, degree)
-        dual = HellanHerrmannJohnsonDual(ref_el, degree, variant, qdegree, quad_scheme)
+
         sd = ref_el.get_spatial_dimension()
-        super().__init__(poly_set, dual, degree, (sd - 1, sd - 1),
+        b = DualBuilder(ref_el)
+        normals = [ref_el.compute_scaled_normal(f)
+                   for f in b.entities(sd - 1)]
+        cell_faces = ref_el.get_connectivity()[(sd, sd - 1)]
+        if variant == "point":
+            nn_point_duals(b, degree, normals, cell_faces)
+        else:
+            nn_moment_duals(b, degree, qdegree, quad_scheme, normals,
+                            cell_faces)
+        super().__init__(poly_set, b.dual_set(), degree, (sd - 1, sd - 1),
                          mapping="double contravariant piola")

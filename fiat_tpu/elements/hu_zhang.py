@@ -1,74 +1,58 @@
-"""Hu-Zhang elasticity element (parity with /root/reference/FIAT/hu_zhang.py):
-symmetric tensors of degree >= 3 on triangles with vertex values, edge nn/nt
-DoFs, and interior moments."""
+"""Hu-Zhang elasticity: symmetric tensors of degree >= 3 on triangles
+with vertex values, edge nn/nt dofs, and interior moments.  Behavioural
+parity: /root/reference/FIAT/hu_zhang.py, on the declarative dual
+builder."""
 
 from ..core import cells as cl
 from ..core import finite_element, polyset
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.functionals import (ComponentPointEvaluation,
                                 PointwiseInnerProductEvaluation,
                                 TensorBidirectionalIntegralMoment)
-from ..core.quadrature import FacetQuadratureRule
-from ..core.variants import check_format_variant, parse_quadrature_scheme
+from ..core.variants import check_format_variant
 
 
-class HuZhangDual(DualSet):
-    def __init__(self, ref_el, degree, variant, qdegree, quad_scheme):
-        top = ref_el.get_topology()
-        sd = ref_el.get_spatial_dimension()
-        shp = (sd, sd)
-        entity_ids = {dim: {e: [] for e in sorted(top[dim])} for dim in sorted(top)}
-        nodes = []
+def _sym_components(sd):
+    return [(i, j) for i in range(sd) for j in range(i, sd)]
 
-        for v in sorted(top[0]):
-            cur = len(nodes)
-            pt, = ref_el.make_points(0, v, degree)
-            nodes.extend(ComponentPointEvaluation(ref_el, (i, j), shp, pt)
-                         for i in range(sd) for j in range(i, sd))
-            entity_ids[0][v].extend(range(cur, len(nodes)))
 
-        dim = sd - 1
-        ref_facet = ref_el.construct_subelement(dim)
-        Qref = parse_quadrature_scheme(ref_facet, 2 * degree - 2, quad_scheme)
-        P = polyset.ONPolynomialSet(ref_facet, degree - 2)
-        phis = P.tabulate(Qref.get_points())[(0,) * dim]
-        for entity in sorted(top[1]):
-            cur = len(nodes)
-            n = ref_el.compute_scaled_normal(entity)
-            t = ref_el.compute_edge_tangent(entity)
-            if variant == "point":
-                pts = ref_el.make_points(1, entity, degree)
-                nodes.extend(PointwiseInnerProductEvaluation(ref_el, n, s, pt)
-                             for pt in pts for s in (n, t))
-            elif variant == "integral":
-                Q = FacetQuadratureRule(ref_el, dim, entity, Qref, avg=True)
-                nodes.extend(
-                    TensorBidirectionalIntegralMoment(ref_el, n, comp, Q, phi)
-                    for phi in phis for comp in (n, t))
-            entity_ids[1][entity].extend(range(cur, len(nodes)))
+def hz_duals(b, degree, variant, scheme):
+    sd = b.sd
+    shp = (sd, sd)
+    for v in b.entities(0):
+        pt, = b.lattice(0, v, degree)
+        b.tag(0, v, (ComponentPointEvaluation(b.ref_el, c, shp, pt)
+                     for c in _sym_components(sd)))
 
-        if variant == "integral":
-            cell = ref_el.construct_subelement(sd)
-            Q_ref = parse_quadrature_scheme(cell, 2 * degree - 2, quad_scheme)
-            P = polyset.ONPolynomialSet(cell, degree - 2, scale=1)
-            phis = P.tabulate(Q_ref.get_points())[(0,) * sd]
+    if variant == "integral":
+        Q_ref, phis = b.facet_basis(sd - 1, degree - 2, 2 * degree - 2,
+                                    scheme)
+    for e in b.entities(1):
+        n = b.ref_el.compute_scaled_normal(e)
+        t = b.ref_el.compute_edge_tangent(e)
+        if variant == "point":
+            b.tag(1, e, (PointwiseInnerProductEvaluation(b.ref_el, n, s, p)
+                         for p in b.lattice(1, e, degree) for s in (n, t)))
+        else:
+            Q = b.map_rule(1, e, Q_ref)
+            b.tag(1, e, (TensorBidirectionalIntegralMoment(
+                b.ref_el, n, s, Q, phi) for phi in phis for s in (n, t)))
 
-        for entity in sorted(top[sd]):
-            cur = len(nodes)
-            if variant == "point":
-                pts = ref_el.make_points(sd, entity, degree + 1)
-                nodes.extend(ComponentPointEvaluation(ref_el, (i, j), shp, pt)
-                             for pt in pts for i in range(sd) for j in range(i, sd))
-            elif variant == "integral":
-                faces = ref_el.get_connectivity()[(sd, sd - 1)][entity]
-                n = [ref_el.compute_scaled_normal(f) for f in faces]
-                Q = FacetQuadratureRule(ref_el, sd, entity, Q_ref, avg=True)
-                nodes.extend(
-                    TensorBidirectionalIntegralMoment(ref_el, n[i + 1], n[j + 1],
-                                                      Q, phi)
-                    for phi in phis for i in range(sd) for j in range(i, sd))
-            entity_ids[sd][entity].extend(range(cur, len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids)
+    if variant == "point":
+        for c in b.entities(sd):
+            b.tag(sd, c, (ComponentPointEvaluation(b.ref_el, comp, shp, p)
+                          for p in b.lattice(sd, c, degree + 1)
+                          for comp in _sym_components(sd)))
+    else:
+        Q_ref, phis = b.facet_basis(sd, degree - 2, 2 * degree - 2,
+                                    scheme, scale=1)
+        for c in b.entities(sd):
+            faces = b.ref_el.get_connectivity()[(sd, sd - 1)][c]
+            n = [b.ref_el.compute_scaled_normal(f) for f in faces]
+            Q = b.map_rule(sd, c, Q_ref)
+            b.tag(sd, c, (TensorBidirectionalIntegralMoment(
+                b.ref_el, n[i + 1], n[j + 1], Q, phi)
+                for phi in phis for (i, j) in _sym_components(sd)))
 
 
 class HuZhang(finite_element.CiarletElement):
@@ -81,9 +65,11 @@ class HuZhang(finite_element.CiarletElement):
             raise ValueError("HuZhang only defined on triangles")
         splitting, variant, qdegree = check_format_variant(variant, degree)
         if splitting is not None:
-            raise NotImplementedError("HuZhang is not implemented as a macroelement.")
-        poly_set = polyset.ONSymTensorPolynomialSet(ref_el, degree)
-        dual = HuZhangDual(ref_el, degree, variant, qdegree, quad_scheme)
-        super().__init__(poly_set, dual, degree,
+            raise NotImplementedError(
+                "HuZhang is not implemented as a macroelement.")
+        b = DualBuilder(ref_el)
+        hz_duals(b, degree, variant, quad_scheme)
+        super().__init__(polyset.ONSymTensorPolynomialSet(ref_el, degree),
+                         b.dual_set(), degree,
                          ref_el.get_spatial_dimension() - 1,
                          mapping="double contravariant piola")

@@ -1,46 +1,34 @@
-"""Generalized Regge elements (parity with /root/reference/FIAT/regge.py):
-symmetric tensors with tangential-tangential continuity."""
+"""Generalized Regge: symmetric tensors with tangential-tangential
+continuity.  Behavioural parity: /root/reference/FIAT/regge.py, on the
+declarative dual builder."""
 
 from ..core import finite_element, polyset
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.functionals import (PointwiseInnerProductEvaluation,
                                 TensorBidirectionalIntegralMoment)
-from ..core.quadrature import FacetQuadratureRule
-from ..core.variants import check_format_variant, parse_quadrature_scheme
+from ..core.variants import check_format_variant
 
 
-class ReggeDual(DualSet):
-    def __init__(self, ref_el, degree, variant, qdegree, quad_scheme):
-        top = ref_el.get_topology()
-        entity_ids = {dim: {i: [] for i in sorted(top[dim])} for dim in sorted(top)}
-        nodes = []
+def tt_duals(b, degree, variant, qdegree, scheme):
+    """Tangential-tangential dofs on every subentity: inner products
+    against each face-edge tangent pair, pointwise or moment-wise."""
+    for dim in sorted(b.top):
         if variant == "point":
-            for dim in sorted(top):
-                for entity in sorted(top[dim]):
-                    cur = len(nodes)
-                    tangents = ref_el.compute_face_edge_tangents(dim, entity)
-                    pts = ref_el.make_points(dim, entity, degree + 2)
-                    nodes.extend(PointwiseInnerProductEvaluation(ref_el, t, t, pt)
-                                 for pt in pts for t in tangents)
-                    entity_ids[dim][entity].extend(range(cur, len(nodes)))
-        elif variant == "integral":
-            for dim in sorted(top):
-                k = degree - dim + 1
-                if dim == 0 or k < 0:
-                    continue
-                facet = ref_el.construct_subelement(dim)
-                Q = parse_quadrature_scheme(facet, qdegree + k, quad_scheme)
-                P = polyset.ONPolynomialSet(facet, k)
-                phis = P.tabulate(Q.get_points())[(0,) * dim]
-                for entity in sorted(top[dim]):
-                    cur = len(nodes)
-                    tangents = ref_el.compute_face_edge_tangents(dim, entity)
-                    Q_mapped = FacetQuadratureRule(ref_el, dim, entity, Q, avg=True)
-                    nodes.extend(
-                        TensorBidirectionalIntegralMoment(ref_el, t, t, Q_mapped, phi)
-                        for phi in phis for t in tangents)
-                    entity_ids[dim][entity].extend(range(cur, len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids)
+            for e in b.entities(dim):
+                ts = b.ref_el.compute_face_edge_tangents(dim, e)
+                b.tag(dim, e, (PointwiseInnerProductEvaluation(
+                    b.ref_el, t, t, p)
+                    for p in b.lattice(dim, e, degree + 2) for t in ts))
+        else:
+            k = degree - dim + 1
+            if dim == 0 or k < 0:
+                continue
+            Q_ref, phis = b.facet_basis(dim, k, qdegree + k, scheme)
+            for e in b.entities(dim):
+                ts = b.ref_el.compute_face_edge_tangents(dim, e)
+                Q = b.map_rule(dim, e, Q_ref)
+                b.tag(dim, e, (TensorBidirectionalIntegralMoment(
+                    b.ref_el, t, t, Q, phi) for phi in phis for t in ts))
 
 
 class Regge(finite_element.CiarletElement):
@@ -54,10 +42,12 @@ class Regge(finite_element.CiarletElement):
             ref_el = splitting(ref_el)
         if ref_el.is_macrocell():
             from ..core.macro import MacroPolynomialSet
-            base_element = type(self)(ref_el.get_parent(), degree)
-            poly_set = MacroPolynomialSet(ref_el, base_element)
+            poly_set = MacroPolynomialSet(
+                ref_el, type(self)(ref_el.get_parent(), degree))
         else:
             poly_set = polyset.ONSymTensorPolynomialSet(ref_el, degree)
-        dual = ReggeDual(ref_el, degree, variant, qdegree, quad_scheme)
-        super().__init__(poly_set, dual, degree, (1, 1),
+
+        b = DualBuilder(ref_el)
+        tt_duals(b, degree, variant, qdegree, quad_scheme)
+        super().__init__(poly_set, b.dual_set(), degree, (1, 1),
                          mapping="double covariant piola")
