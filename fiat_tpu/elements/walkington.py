@@ -1,110 +1,90 @@
-"""Walkington C1 macroelement on the tetrahedron (parity with
-/root/reference/FIAT/walkington.py): quintic C1 on the Alfeld split with
-vertex 2-jets, face normal-derivative averages, barycentre value, and
-trailing constraint functionals used by the transformation theory."""
+"""Walkington: quintic C1 macroelement on the Alfeld-split tetrahedron.
+Vertex 2-jets, face normal-derivative averages, barycentre value, plus
+trailing constraint functionals (and a nodal-completion side dual) used
+by the transformation theory.  Behavioural parity:
+/root/reference/FIAT/walkington.py, on the declarative dual builder."""
 
 import numpy as np
 
 from ..core import cells as cl
 from ..core import finite_element, polyset
-from ..core.dualset import DualSet
-from ..core.expansions import mis, polynomial_dimension
-from ..core.functionals import (IntegralMomentOfDerivative, PointDerivative,
-                                PointEvaluation)
+from ..core.dual_builder import DualBuilder
+from ..core.expansions import polynomial_dimension
+from ..core.functionals import IntegralMomentOfDerivative, PointEvaluation
 from ..core.jacobi import eval_jacobi
 from ..core.macro import AlfeldSplit, CkPolynomialSet
-from ..core.quadrature import FacetQuadratureRule, QuadratureRule
+from ..core.quadrature import QuadratureRule
 from ..core.quadrature_schemes import create_quadrature
 
 
-def face_constraint(ref_face):
-    """A cubic density supported at a few quadrature points, used to test
-    that the normal derivative restricted to a face is cubic."""
+def cubic_probe(ref_face):
+    """A sparse cubic density (supported at a few quadrature points) that
+    detects the non-cubic part of a face restriction."""
     k = 3
     sd = ref_face.get_spatial_dimension()
     Q = create_quadrature(ref_face, 2 * k)
-    dimPkm1 = polynomial_dimension(ref_face, k - 1)
-
-    pts = list(Q.get_points()[:3])
-    pts.append(Q.get_points()[-1])
+    lo = polynomial_dimension(ref_face, k - 1)
     P = polyset.ONPolynomialSet(ref_face, k)
-    Pk = P.tabulate(pts)[(0,) * sd][dimPkm1:]
-    c = np.linalg.solve(Pk.T, [0, 0, 0, 1])
-    Pk = P.tabulate(Q.get_points())[(0,) * sd][dimPkm1:]
-    phi = np.dot(c, Pk)
+
+    probe_pts = list(Q.get_points()[:3]) + [Q.get_points()[-1]]
+    top_block = P.tabulate(probe_pts)[(0,) * sd][lo:]
+    c = np.linalg.solve(top_block.T, [0, 0, 0, 1])
+    phi = c @ P.tabulate(Q.get_points())[(0,) * sd][lo:]
 
     supp = abs(phi) > 1e-12
-    Q = QuadratureRule(ref_face, Q.get_points()[supp], Q.get_weights()[supp])
-    return Q, phi[supp]
+    return (QuadratureRule(ref_face, Q.get_points()[supp],
+                           Q.get_weights()[supp]), phi[supp])
 
 
-class WalkingtonDualSet(DualSet):
-    def __init__(self, ref_el, degree):
-        top = ref_el.get_topology()
-        sd = ref_el.get_spatial_dimension()
-        entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
-        nodes = []
+def walkington_duals(b, degree):
+    """The 45 nodal dofs + 20 constraint rows; returns the 15-row
+    nodal-completion builder alongside."""
+    ref_el = b.ref_el
+    sd = b.sd
+    b.vertex_jets(2)
 
-        for v in sorted(top[0]):
-            cur = len(nodes)
-            x, = ref_el.make_points(0, v, degree)
-            nodes.append(PointEvaluation(ref_el, x))
-            nodes.extend(PointDerivative(ref_el, x, alpha)
-                         for i in (1, 2) for alpha in mis(sd, i))
-            entity_ids[0][v].extend(range(cur, len(nodes)))
+    ref_face = ref_el.construct_subelement(2)
+    Q_face = create_quadrature(ref_face, degree - 1)
+    ones = np.ones(Q_face.get_weights().shape)
+    for f in b.entities(2):
+        Q = b.map_rule(2, f, Q_face)
+        b.tag(2, f, [IntegralMomentOfDerivative(
+            ref_el, Q, ones, ref_el.compute_normal(f))])
 
-        ref_face = ref_el.construct_subelement(2)
-        Q_face = create_quadrature(ref_face, degree - 1)
-        f_at_qpts = np.ones(Q_face.get_weights().shape)
-        for face in sorted(top[2]):
-            cur = len(nodes)
-            Q = FacetQuadratureRule(ref_el, 2, face, Q_face, avg=True)
-            n = ref_el.compute_normal(face)
-            nodes.append(IntegralMomentOfDerivative(ref_el, Q, f_at_qpts, n))
-            entity_ids[2][face].extend(range(cur, len(nodes)))
+    for c in b.entities(sd):
+        x, = b.lattice(sd, c, sd + 1)
+        b.tag(sd, c, [PointEvaluation(ref_el, x)])
 
-        for entity in top[sd]:
-            cur = len(nodes)
-            x, = ref_el.make_points(sd, entity, sd + 1)
-            nodes.append(PointEvaluation(ref_el, x))
-            entity_ids[sd][entity].extend(range(cur, len(nodes)))
+    # constraint rows: quartic-Legendre edge moments of the face-normal
+    # derivative, plus the probe moments of its tangential derivatives
+    face_edges = ref_el.get_connectivity()[(2, 1)]
+    ref_edge = ref_el.construct_subelement(1)
+    Q_edge = create_quadrature(ref_edge, 2 * (degree - 1))
+    s = ref_edge.compute_barycentric_coordinates(Q_edge.get_points())
+    leg4 = eval_jacobi(0, 0, 4, s[:, 1] - s[:, 0])
+    Q_probe, probe = cubic_probe(ref_face)
 
-        # Constraint dofs
-        edges = ref_el.get_connectivity()[(2, 1)]
-        ref_edge = ref_el.construct_subelement(1)
-        Q_edge = create_quadrature(ref_edge, 2 * (degree - 1))
-        x = ref_edge.compute_barycentric_coordinates(Q_edge.get_points())
-        leg4_at_qpts = eval_jacobi(0, 0, 4, x[:, 1] - x[:, 0])
-        Q_face, phi = face_constraint(ref_face)
+    completion = DualBuilder(ref_el)
+    for f in b.entities(2):
+        ts = ref_el.compute_tangents(sd - 1, f)
+        nf = -np.cross(*ts)
+        nf /= np.linalg.norm(nf)
 
-        extra_entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
-        extra_nodes = []
-        for face in sorted(top[2]):
-            cur = len(nodes)
-            thats = ref_el.compute_tangents(sd - 1, face)
-            nface = -np.cross(*thats)
-            nface /= np.linalg.norm(nface)
+        rows = []
+        for e in sorted(face_edges[f]):
+            Qe = b.map_rule(1, e, Q_edge)
+            nfe = np.cross(ref_el.compute_edge_tangent(e), nf)
+            rows.append(IntegralMomentOfDerivative(
+                ref_el, Qe, leg4, nfe / np.linalg.norm(nfe)))
+        Qf = b.map_rule(2, f, Q_probe)
+        rows += [IntegralMomentOfDerivative(ref_el, Qf, probe, nf, t)
+                 for t in ts]
+        b.tag(2, f, rows)
 
-            for e in sorted(edges[face]):
-                Q = FacetQuadratureRule(ref_el, 1, e, Q_edge, avg=True)
-                te = ref_el.compute_edge_tangent(e)
-                nfe = np.cross(te, nface)
-                nfe /= np.linalg.norm(nfe)
-                nodes.append(IntegralMomentOfDerivative(ref_el, Q, leg4_at_qpts, nfe))
-
-            Q = FacetQuadratureRule(ref_el, 2, face, Q_face, avg=True)
-            nodes.extend(IntegralMomentOfDerivative(ref_el, Q, phi, nface, t)
-                         for t in thats)
-            entity_ids[2][face].extend(range(cur, len(nodes)))
-
-            cur = len(extra_nodes)
-            extra_nodes.extend(
-                IntegralMomentOfDerivative(ref_el, Q, phi, thats[i], thats[j])
-                for i in range(2) for j in range(i, 2))
-            extra_entity_ids[2][face].extend(range(cur, len(extra_nodes)))
-
-        self.nodal_completion = DualSet(extra_nodes, ref_el, extra_entity_ids)
-        super().__init__(nodes, ref_el, entity_ids)
+        completion.tag(2, f, (IntegralMomentOfDerivative(
+            ref_el, Qf, probe, ts[i], ts[j])
+            for i in range(2) for j in range(i, 2)))
+    return completion
 
 
 class Walkington(finite_element.CiarletElement):
@@ -115,8 +95,10 @@ class Walkington(finite_element.CiarletElement):
             raise ValueError("Walkington only defined on tetrahedra")
         if degree != 5:
             raise ValueError("Walkington only defined for degree=5.")
-        dual = WalkingtonDualSet(ref_el, degree)
-        ref_complex = AlfeldSplit(ref_el)
-        poly_set = CkPolynomialSet(ref_complex, degree, order=1, vorder=4,
-                                   variant="bubble")
+        b = DualBuilder(ref_el)
+        completion = walkington_duals(b, degree)
+        dual = b.dual_set()
+        dual.nodal_completion = completion.dual_set()
+        poly_set = CkPolynomialSet(AlfeldSplit(ref_el), degree, order=1,
+                                   vorder=4, variant="bubble")
         super().__init__(poly_set, dual, degree)

@@ -1,115 +1,77 @@
-"""Wu-Xu H3-nonconforming elements (parity with
-/root/reference/FIAT/wuxu.py): P3 + bubble*P1 (+ bubble^2*P1 for the robust
-variant) with vertex 1-jets and edge normal-derivative averages."""
+"""Wu-Xu H3-nonconforming elements: P3 + bubble*P1 (+ bubble^2*P1 for
+the robust variant) with vertex 1-jets and edge normal-derivative
+averages.  Behavioural parity: /root/reference/FIAT/wuxu.py, on the
+declarative dual builder."""
 
 import numpy as np
 
 from ..core import expansions, finite_element, polyset
-from ..core.dualset import DualSet
-from ..core.expansions import mis
-from ..core.functionals import (IntegralMomentOfDerivative, PointDerivative,
-                                PointEvaluation)
-from ..core.quadrature import FacetQuadratureRule
+from ..core.dual_builder import DualBuilder
+from ..core.functionals import IntegralMomentOfDerivative
 from ..core.quadrature_schemes import create_quadrature
 from .bubble import Bubble
 from .lagrange import Lagrange
 
-polydim = expansions.polynomial_dimension
-
 
 def WuXuH3NCSpace(ref_el, robust=False):
-    """P3 + b_T P1 (+ b_T^2 P1 for the robust variant)."""
+    """P3 + b_T P1 (+ b_T^2 P1 for the robust variant), as weighted
+    moments of the embedding ON basis."""
     sd = ref_el.get_spatial_dimension()
     assert sd == 2
-    embedded_degree = 7 if robust else 4
-    pk = polyset.ONPolynomialSet(ref_el, embedded_degree)
+    k = 7 if robust else 4
+    pk = polyset.ONPolynomialSet(ref_el, k)
+    dims = [expansions.polynomial_dimension(ref_el, d) for d in (1, 3, k)]
+    dimp1, dimp3, dimpk = dims
 
-    dimp1 = polydim(ref_el, 1)
-    dimp3 = polydim(ref_el, 3)
-    dimpk = polydim(ref_el, embedded_degree)
-    p3frompk = pk.take(list(range(dimp3)))
+    Q = create_quadrature(ref_el, 2 * k)
+    qpts, qwts = Q.get_points(), Q.get_weights()
+    hat = Bubble(ref_el, 3).tabulate(0, qpts)[(0,) * sd][0]
+    linears = Lagrange(ref_el, 1).tabulate(0, qpts)[(0,) * sd]
+    pk_tab = pk.tabulate(qpts)[(0,) * sd]
 
-    bT = Bubble(ref_el, 3)
-    p1 = Lagrange(ref_el, 1)
-
-    Q = create_quadrature(ref_el, 2 * embedded_degree)
-    Qpts, Qwts = Q.get_points(), Q.get_weights()
-    bT_at_qpts = bT.tabulate(0, Qpts)[(0,) * sd][0, :]
-    p1_at_qpts = p1.tabulate(0, Qpts)[(0,) * sd]
-    pk_at_qpts = pk.tabulate(Qpts)[(0,) * sd]
-
-    bubble_coeffs = np.zeros((6, dimpk))
-    foo = bT_at_qpts * p1_at_qpts * Qwts
-    bubble_coeffs[:dimp1, :] = np.dot(foo, pk_at_qpts.T)
+    layers = [hat * linears * qwts]
     if robust:
-        foo = bT_at_qpts * foo
-        bubble_coeffs[dimp1:2 * dimp1, :] = np.dot(foo, pk_at_qpts.T)
+        layers.append(hat * layers[0])
+    coeffs = np.zeros((2 * dimp1, dimpk))
+    coeffs[:dimp1 * len(layers)] = np.vstack(layers) @ pk_tab.T
 
-    bubbles = polyset.PolynomialSet(ref_el, 3, embedded_degree,
-                                    pk.get_expansion_set(), bubble_coeffs)
-    return polyset.polynomial_set_union_normalized(p3frompk, bubbles)
+    bubbles = polyset.PolynomialSet(ref_el, 3, k, pk.get_expansion_set(),
+                                    coeffs)
+    return polyset.polynomial_set_union_normalized(
+        pk.take(list(range(dimp3))), bubbles)
 
 
-def _vertex_jets_plus_edge_normals(ref_el, degree, orders):
-    """Vertex 1-jets + averages of the given normal-derivative orders."""
-    sd = ref_el.get_spatial_dimension()
-    top = ref_el.get_topology()
-    entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
-    nodes = []
-    verts = ref_el.get_vertices()
-    for v in sorted(top[0]):
-        cur = len(nodes)
-        nodes.append(PointEvaluation(ref_el, verts[v]))
-        nodes.extend(PointDerivative(ref_el, verts[v], alpha)
-                     for alpha in mis(sd, 1))
-        entity_ids[0][v].extend(range(cur, len(nodes)))
-
+def wuxu_duals(ref_el, degree, orders):
+    """Vertex 1-jets + averages of the given edge normal-derivative
+    orders."""
+    assert ref_el.get_spatial_dimension() == 2
+    b = DualBuilder(ref_el)
+    b.vertex_jets(1)
     Q_ref = create_quadrature(ref_el.construct_subelement(1),
                               degree - min(orders))
-    f = np.ones(Q_ref.get_weights().shape)
-    for e in sorted(top[1]):
+    ones = np.ones(Q_ref.get_weights().shape)
+    for e in b.entities(1):
         n = ref_el.compute_normal(e)
-        Q = FacetQuadratureRule(ref_el, 1, e, Q_ref, avg=True)
-        cur = len(nodes)
-        for k in orders:
-            nodes.append(IntegralMomentOfDerivative(ref_el, Q, f, *([n] * k)))
-        entity_ids[1][e].extend(range(cur, len(nodes)))
-    return nodes, entity_ids
-
-
-class WuXuRobustH3NCDualSet(DualSet):
-    """Vertex jets + first AND second edge normal-derivative averages."""
-
-    def __init__(self, ref_el, degree):
-        assert ref_el.get_spatial_dimension() == 2
-        nodes, entity_ids = _vertex_jets_plus_edge_normals(ref_el, degree, (1, 2))
-        super().__init__(nodes, ref_el, entity_ids)
-
-
-class WuXuH3NCDualSet(DualSet):
-    """Vertex jets + second edge normal-derivative averages."""
-
-    def __init__(self, ref_el, degree):
-        assert ref_el.get_spatial_dimension() == 2
-        nodes, entity_ids = _vertex_jets_plus_edge_normals(ref_el, degree, (2,))
-        super().__init__(nodes, ref_el, entity_ids)
+        Q = b.map_rule(1, e, Q_ref)
+        b.tag(1, e, (IntegralMomentOfDerivative(ref_el, Q, ones, *[n] * k)
+                     for k in orders))
+    return b.dual_set()
 
 
 class WuXuRobustH3NC(finite_element.CiarletElement):
-    """The robust Wu-Xu H3 nonconforming element."""
+    """The robust Wu-Xu element: first AND second normal averages."""
 
     def __init__(self, ref_el, degree=7):
         poly_set = WuXuH3NCSpace(ref_el, robust=True)
         assert degree == poly_set.degree
-        dual = WuXuRobustH3NCDualSet(ref_el, degree)
-        super().__init__(poly_set, dual, degree)
+        super().__init__(poly_set, wuxu_duals(ref_el, degree, (1, 2)),
+                         degree)
 
 
 class WuXuH3NC(finite_element.CiarletElement):
-    """The Wu-Xu H3 nonconforming element."""
+    """The Wu-Xu element: second normal averages only."""
 
     def __init__(self, ref_el, degree=4):
         poly_set = WuXuH3NCSpace(ref_el)
         assert degree == poly_set.degree
-        dual = WuXuH3NCDualSet(ref_el, degree)
-        super().__init__(poly_set, dual, degree)
+        super().__init__(poly_set, wuxu_duals(ref_el, degree, (2,)), degree)
