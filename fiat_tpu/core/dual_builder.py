@@ -93,7 +93,7 @@ class DualBuilder:
 
     # -- moment-type helpers ------------------------------------------------
     def facet_basis(self, dim, degree, qdegree, scheme=None, scale=None,
-                    variant=None):
+                    variant=None, shape=()):
         """(Q_ref, phis): a quadrature on the reference entity of ``dim``
         exact to qdegree, and the orthonormal basis of P_degree tabulated
         at its points.  The building blocks of every moment helper."""
@@ -102,7 +102,7 @@ class DualBuilder:
         kw = {} if scale is None else {"scale": scale}
         if variant is not None:
             kw["variant"] = variant
-        P = polyset.ONPolynomialSet(facet, degree, **kw)
+        P = polyset.ONPolynomialSet(facet, degree, shape, **kw)
         phis = P.tabulate(Q_ref.get_points())[(0,) * dim]
         return Q_ref, phis
 

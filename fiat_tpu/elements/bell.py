@@ -1,42 +1,13 @@
-"""Bell element (parity with /root/reference/FIAT/bell.py): vertex 2-jets
-plus edge moments of the normal derivative against the degree-4 Legendre
-polynomial (used as constraint functionals in the transformation theory)."""
+"""Bell element: vertex 2-jets plus degree-4-Legendre edge moments of
+the normal derivative (constraint rows for the transformation theory).
+Behavioural parity: /root/reference/FIAT/bell.py, on the declarative
+dual builder."""
 
 from ..core import cells as cl
 from ..core import finite_element, functionals, polyset
-from ..core.expansions import mis
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.jacobi import eval_jacobi
 from ..core.quadrature_schemes import create_quadrature
-
-
-class BellDualSet(DualSet):
-    def __init__(self, ref_el, degree):
-        top = ref_el.get_topology()
-        sd = ref_el.get_spatial_dimension()
-        entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
-        nodes = []
-
-        for v in sorted(top[0]):
-            cur = len(nodes)
-            x, = ref_el.make_points(0, v, degree)
-            nodes.append(functionals.PointEvaluation(ref_el, x))
-            nodes.extend(functionals.PointDerivative(ref_el, x, alpha)
-                         for i in (1, 2) for alpha in mis(sd, i))
-            entity_ids[0][v].extend(range(cur, len(nodes)))
-
-        facet = ref_el.construct_subelement(1)
-        Q_ref = create_quadrature(facet, 2 * (degree - 1))
-        x = facet.compute_barycentric_coordinates(Q_ref.get_points())
-        leg4_at_qpts = eval_jacobi(0, 0, 4, x[:, 1] - x[:, 0])
-
-        for e in sorted(top[1]):
-            cur = len(nodes)
-            nodes.append(functionals.IntegralMomentOfNormalDerivative(
-                ref_el, e, Q_ref, leg4_at_qpts))
-            entity_ids[1][e].extend(range(cur, len(nodes)))
-
-        super().__init__(nodes, ref_el, entity_ids)
 
 
 class Bell(finite_element.CiarletElement):
@@ -47,6 +18,16 @@ class Bell(finite_element.CiarletElement):
             raise ValueError("Bell only defined on triangles")
         if degree != 5:
             raise ValueError("Bell only defined for degree = 5.")
-        poly_set = polyset.ONPolynomialSet(ref_el, degree)
-        dual = BellDualSet(ref_el, degree)
-        super().__init__(poly_set, dual, degree)
+        b = DualBuilder(ref_el)
+        b.vertex_jets(2)
+
+        edge = ref_el.construct_subelement(1)
+        Q_ref = create_quadrature(edge, 2 * (degree - 1))
+        s = edge.compute_barycentric_coordinates(Q_ref.get_points())
+        leg4 = eval_jacobi(0, 0, 4, s[:, 1] - s[:, 0])
+        for e in b.entities(1):
+            b.tag(1, e, [functionals.IntegralMomentOfNormalDerivative(
+                ref_el, e, Q_ref, leg4)])
+
+        super().__init__(polyset.ONPolynomialSet(ref_el, degree),
+                         b.dual_set(), degree)

@@ -1,72 +1,54 @@
-"""Brezzi-Douglas-Marini H(div) element (parity with
-/root/reference/FIAT/brezzi_douglas_marini.py): full (P_k)^d with
-scaled-normal facet moments and interior Nedelec moments."""
+"""Brezzi-Douglas-Marini H(div): full (P_k)^d with scaled-normal facet
+moments and interior Nedelec moments.  Behavioural parity:
+/root/reference/FIAT/brezzi_douglas_marini.py, on the declarative dual
+builder."""
 
 import numpy as np
 
 from ..core import finite_element, functionals, polyset
-from ..core.dualset import DualSet
-from ..core.quadrature import FacetQuadratureRule
+from ..core.dual_builder import DualBuilder
 from ..core.variants import check_format_variant, parse_quadrature_scheme
 from .nedelec import Nedelec
 
 
-class BDMDualSet(DualSet):
-    def __init__(self, ref_el, degree, variant, interpolant_deg, quad_scheme):
-        nodes = []
-        sd = ref_el.get_spatial_dimension()
-        top = ref_el.get_topology()
-        entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
+def bdm_facet_duals(b, degree, variant, qdegree, scheme):
+    sd = b.sd
+    if variant == "integral":
+        Q_ref, phis = b.facet_basis(sd - 1, degree, qdegree + degree,
+                                    scheme)
+        for f in b.entities(sd - 1):
+            n = b.ref_el.compute_scaled_normal(f)
+            weighted = n[None, :, None] * phis[:, None, :]
+            b.tag(sd - 1, f, (functionals.FrobeniusIntegralMoment(
+                b.ref_el, b.map_rule(sd - 1, f, Q_ref), phi)
+                for phi in weighted))
+    else:
+        for f in b.entities(sd - 1):
+            b.tag(sd - 1, f, (functionals.PointScaledNormalEvaluation(
+                b.ref_el, f, p)
+                for p in b.lattice(sd - 1, f, sd + degree)))
 
-        if variant == "integral":
-            facet = ref_el.construct_subelement(sd - 1)
-            Q_ref = parse_quadrature_scheme(facet, interpolant_deg + degree,
-                                            quad_scheme)
-            Pq = polyset.ONPolynomialSet(facet, degree)
-            Pq_at_qpts = Pq.tabulate(Q_ref.get_points())[(0,) * (sd - 1)]
-            for f in top[sd - 1]:
-                cur = len(nodes)
-                Q = FacetQuadratureRule(ref_el, sd - 1, f, Q_ref, avg=True)
-                n = ref_el.compute_scaled_normal(f)
-                phis = n[None, :, None] * Pq_at_qpts[:, None, :]
-                nodes.extend(functionals.FrobeniusIntegralMoment(ref_el, Q, phi)
-                             for phi in phis)
-                entity_ids[sd - 1][f] = list(range(cur, len(nodes)))
 
-        elif variant == "point":
-            for f in top[sd - 1]:
-                cur = len(nodes)
-                pts = ref_el.make_points(sd - 1, f, sd + degree)
-                nodes.extend(functionals.PointScaledNormalEvaluation(ref_el, f, pt)
-                             for pt in pts)
-                entity_ids[sd - 1][f] = list(range(cur, len(nodes)))
-
-        # interior: moments against Nedelec_{k-1}
-        if degree > 1:
-            if interpolant_deg is None:
-                interpolant_deg = degree
-            cell = ref_el.construct_subelement(sd)
-            Q_ref = parse_quadrature_scheme(cell, interpolant_deg + degree - 1,
-                                            quad_scheme)
-            Ned = Nedelec(cell, degree - 1, variant)
-            Ned_at_qpts = Ned.tabulate(0, Q_ref.get_points())[(0,) * sd]
-            for entity in top[sd]:
-                Q = FacetQuadratureRule(ref_el, sd, entity, Q_ref)
-                Jinv = np.linalg.inv(Q.jacobian())
-                phis = np.tensordot(Jinv.T, Ned_at_qpts, (1, 1)).transpose((1, 0, 2))
-                cur = len(nodes)
-                nodes.extend(functionals.FrobeniusIntegralMoment(ref_el, Q, phi)
-                             for phi in phis)
-                entity_ids[sd][entity] = list(range(cur, len(nodes)))
-
-        super().__init__(nodes, ref_el, entity_ids)
+def bdm_interior_duals(b, degree, variant, qdegree, scheme):
+    """Moments against a pulled-back Nedelec_{k-1} basis."""
+    sd = b.sd
+    cell = b.ref_el.construct_subelement(sd)
+    Q_ref = parse_quadrature_scheme(cell, qdegree + degree - 1, scheme)
+    ned = Nedelec(cell, degree - 1, variant)
+    tab = ned.tabulate(0, Q_ref.get_points())[(0,) * sd]
+    for c in b.entities(sd):
+        Q = b.map_rule(sd, c, Q_ref, avg=False)
+        Jinv = np.linalg.inv(Q.jacobian())
+        pulled = np.tensordot(Jinv.T, tab, (1, 1)).transpose((1, 0, 2))
+        b.tag(sd, c, (functionals.FrobeniusIntegralMoment(b.ref_el, Q, phi)
+                      for phi in pulled))
 
 
 class BrezziDouglasMarini(finite_element.CiarletElement):
     """The BDM element (contravariant Piola)."""
 
     def __init__(self, ref_el, degree, variant=None, quad_scheme=None):
-        splitting, variant, interpolant_deg = check_format_variant(variant, degree)
+        splitting, variant, qdegree = check_format_variant(variant, degree)
         if splitting is not None:
             ref_el = splitting(ref_el)
         if degree < 1:
@@ -74,10 +56,16 @@ class BrezziDouglasMarini(finite_element.CiarletElement):
         sd = ref_el.get_spatial_dimension()
         if ref_el.is_macrocell():
             from ..core.macro import MacroPolynomialSet
-            base_element = type(self)(ref_el.get_parent(), degree)
-            poly_set = MacroPolynomialSet(ref_el, base_element)
+            poly_set = MacroPolynomialSet(
+                ref_el, type(self)(ref_el.get_parent(), degree))
         else:
             poly_set = polyset.ONPolynomialSet(ref_el, degree, (sd,))
-        dual = BDMDualSet(ref_el, degree, variant, interpolant_deg, quad_scheme)
-        super().__init__(poly_set, dual, degree, sd - 1,
+
+        b = DualBuilder(ref_el)
+        bdm_facet_duals(b, degree, variant, qdegree, quad_scheme)
+        if degree > 1:
+            bdm_interior_duals(b, degree, variant,
+                               degree if qdegree is None else qdegree,
+                               quad_scheme)
+        super().__init__(poly_set, b.dual_set(), degree, sd - 1,
                          mapping="contravariant piola")

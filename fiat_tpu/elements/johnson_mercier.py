@@ -1,71 +1,59 @@
-"""Johnson-Mercier macroelement (parity with
-/root/reference/FIAT/johnson_mercier.py): H(div;S)-conforming symmetric
-tensors on the Alfeld split with facet nn/nt moments."""
+"""Johnson-Mercier: H(div;S)-conforming symmetric tensors on the Alfeld
+split with facet nn/nt moments.  Behavioural parity:
+/root/reference/FIAT/johnson_mercier.py, on the declarative dual
+builder."""
 
 import numpy as np
 
 from ..core import finite_element, polyset
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.functionals import TensorBidirectionalIntegralMoment
 from ..core.macro import AlfeldSplit, HDivSymPolynomialSet
-from ..core.quadrature import FacetQuadratureRule
 from ..core.variants import parse_quadrature_scheme
 
 
-class JohnsonMercierDualSet(DualSet):
-    def __init__(self, ref_complex, degree, variant=None, quad_scheme=None):
-        if degree != 1:
-            raise ValueError("Johnson-Mercier only defined for degree=1")
-        if variant is not None:
-            raise ValueError(f"Johnson-Mercier does not have the {variant} variant")
-        ref_el = ref_complex.get_parent()
-        top = ref_el.get_topology()
-        sd = ref_el.get_spatial_dimension()
-        entity_ids = {dim: {e: [] for e in sorted(top[dim])} for dim in sorted(top)}
-        nodes = []
+def jm_duals(ref_complex, degree, scheme):
+    ref_el = ref_complex.get_parent()
+    sd = ref_el.get_spatial_dimension()
+    b = DualBuilder(ref_el)
 
-        dim = sd - 1
-        R = np.array([[0, 1], [-1, 0]])
-        ref_facet = ref_el.construct_subelement(dim)
-        Qref = parse_quadrature_scheme(ref_facet, 2 * degree, quad_scheme)
-        P = polyset.ONPolynomialSet(ref_facet, degree)
-        phis = P.tabulate(Qref.get_points())[(0,) * dim]
-        for f in sorted(top[dim]):
-            cur = len(nodes)
-            Q = FacetQuadratureRule(ref_el, dim, f, Qref, avg=True)
-            thats = ref_el.compute_tangents(dim, f)
-            if sd == 2:
-                nhat = np.dot(R, *thats)
-                components = (nhat, *thats)
-            else:
-                nhat = np.cross(*thats)
-                ncrosst = np.cross(nhat[None, :], thats, axis=1)
-                components = (nhat, *ncrosst)
-            nodes.extend(TensorBidirectionalIntegralMoment(ref_el, nhat, comp, Q, phi)
-                         for phi in phis for comp in components)
-            entity_ids[dim][f].extend(range(cur, len(nodes)))
+    Q_ref, phis = b.facet_basis(sd - 1, degree, 2 * degree, scheme)
+    for f in b.entities(sd - 1):
+        ts = ref_el.compute_tangents(sd - 1, f)
+        if sd == 2:
+            nh = np.array([ts[0][1], -ts[0][0]])
+            frame = (nh, *ts)
+        else:
+            nh = np.cross(*ts)
+            frame = (nh, *np.cross(nh[None, :], ts, axis=1))
+        Q = b.map_rule(sd - 1, f, Q_ref)
+        b.tag(sd - 1, f, (TensorBidirectionalIntegralMoment(
+            ref_el, nh, comp, Q, phi) for phi in phis for comp in frame))
 
-        cur = len(nodes)
-        n = [ref_el.compute_scaled_normal(f) for f in sorted(top[sd - 1])]
-        Q = parse_quadrature_scheme(ref_complex, 2 * degree - 1, quad_scheme)
-        P = polyset.ONPolynomialSet(ref_el, degree - 1, scale="L2 piola")
-        phis = P.tabulate(Q.get_points())[(0,) * sd]
-        nodes.extend(TensorBidirectionalIntegralMoment(ref_el, n[i + 1], n[j + 1],
-                                                       Q, phi)
-                     for phi in phis for i in range(sd) for j in range(i, sd))
-        entity_ids[sd][0].extend(range(cur, len(nodes)))
-
-        super().__init__(nodes, ref_el, entity_ids)
+    normals = [ref_el.compute_scaled_normal(f)
+               for f in b.entities(sd - 1)]
+    Q = parse_quadrature_scheme(ref_complex, 2 * degree - 1, scheme)
+    tests = polyset.ONPolynomialSet(ref_el, degree - 1, scale="L2 piola")
+    cell_phis = tests.tabulate(Q.get_points())[(0,) * sd]
+    b.tag(sd, 0, (TensorBidirectionalIntegralMoment(
+        ref_el, normals[i + 1], normals[j + 1], Q, phi)
+        for phi in cell_phis
+        for i in range(sd) for j in range(i, sd)))
+    return b.dual_set()
 
 
 class JohnsonMercier(finite_element.CiarletElement):
     """The Johnson-Mercier element."""
 
     def __init__(self, ref_el, degree=1, variant=None, quad_scheme=None):
+        if degree != 1:
+            raise ValueError("Johnson-Mercier only defined for degree=1")
+        if variant is not None:
+            raise ValueError(
+                f"Johnson-Mercier does not have the {variant} variant")
         ref_complex = AlfeldSplit(ref_el)
         poly_set = HDivSymPolynomialSet(ref_complex, degree)
-        dual = JohnsonMercierDualSet(ref_complex, degree, variant=variant,
-                                     quad_scheme=quad_scheme)
+        dual = jm_duals(ref_complex, degree, quad_scheme)
         super().__init__(poly_set, dual, degree,
                          ref_el.get_spatial_dimension() - 1,
                          mapping="double contravariant piola")

@@ -1,117 +1,96 @@
-"""Raviart-Thomas H(div) element (parity with
-/root/reference/FIAT/raviart_thomas.py): RT_k = (P_{k-1})^d + x P^H_{k-1},
-with scaled-normal facet DoFs and interior vector moments."""
+"""Raviart-Thomas H(div): RT_k = (P_{k-1})^d + x P^H_{k-1}, with
+scaled-normal facet dofs and interior vector moments.  Behavioural
+parity: /root/reference/FIAT/raviart_thomas.py, on the declarative dual
+builder."""
 
 import numpy as np
-from itertools import chain
 
 from ..core import expansions, finite_element, functionals, polyset
-from ..core.dualset import DualSet
-from ..core.quadrature import FacetQuadratureRule
+from ..core.dual_builder import DualBuilder
 from ..core.quadrature_schemes import create_quadrature
 from ..core.variants import check_format_variant, parse_quadrature_scheme
 
 
 def RTSpace(ref_el, degree):
-    """Basis for (P_{k-1})^d + P^H_{k-1} x, projected onto the degree-k
-    orthonormal expansion by quadrature."""
+    """(P_{k-1})^d extended by x times the top-degree harmonic layer,
+    projected onto the degree-k orthonormal expansion by quadrature."""
     sd = ref_el.get_spatial_dimension()
     k = degree - 1
-    vec_Pkp1 = polyset.ONPolynomialSet(ref_el, k + 1, (sd,))
+    dims = [expansions.polynomial_dimension(ref_el, d)
+            for d in (k - 1, k, k + 1)]
 
-    dimPkp1 = expansions.polynomial_dimension(ref_el, k + 1)
-    dimPk = expansions.polynomial_dimension(ref_el, k)
-    dimPkm1 = expansions.polynomial_dimension(ref_el, k - 1)
-
-    vec_Pk = vec_Pkp1.take(list(chain(*(range(i * dimPkp1, i * dimPkp1 + dimPk)
-                                        for i in range(sd)))))
-
-    Pkp1 = polyset.ONPolynomialSet(ref_el, k + 1)
-    PkH = Pkp1.take(list(range(dimPkm1, dimPk)))
+    vec_full = polyset.ONPolynomialSet(ref_el, k + 1, (sd,))
+    vec_Pk = vec_full.take([i * dims[2] + j
+                            for i in range(sd) for j in range(dims[1])])
+    scalar = polyset.ONPolynomialSet(ref_el, k + 1)
+    top_layer = scalar.take(list(range(dims[0], dims[1])))
 
     Q = create_quadrature(ref_el, 2 * (k + 1))
-    Qpts, Qwts = Q.get_points(), Q.get_weights()
-    PkH_at_Qpts = PkH.tabulate(Qpts)[(0,) * sd]
-    Pkp1_at_Qpts = Pkp1.tabulate(Qpts)[(0,) * sd]
-
-    # coefficients of p(x) * x by L2 projection (exact: integrand in P_{k+1})
-    PkHx_at_Qpts = PkH_at_Qpts[:, None, :] * Qpts.T[None, :, :]
-    PkHx_coeffs = np.dot(PkHx_at_Qpts * Qwts, Pkp1_at_Qpts.T)
-    PkHx = polyset.PolynomialSet(ref_el, k, k + 1,
-                                 vec_Pkp1.get_expansion_set(), PkHx_coeffs)
-    return polyset.polynomial_set_union_normalized(vec_Pk, PkHx)
+    qpts, qwts = Q.get_points(), Q.get_weights()
+    # L2-exact projection of p(x)*x (integrand lies in P_{k+1})
+    xp = top_layer.tabulate(qpts)[(0,) * sd][:, None, :] \
+        * qpts.T[None, :, :]
+    coeffs = (xp * qwts) @ scalar.tabulate(qpts)[(0,) * sd].T
+    radial = polyset.PolynomialSet(ref_el, k, k + 1,
+                                   vec_full.get_expansion_set(), coeffs)
+    return polyset.polynomial_set_union_normalized(vec_Pk, radial)
 
 
-class RTDualSet(DualSet):
-    """Scaled-normal evaluations/moments on facets + interior moments."""
+def rt_moment_duals(b, degree, qdegree, scheme):
+    """Facet moments of n-weighted P_{k-1} + interior component
+    moments of P_{k-2}."""
+    sd = b.sd
+    q = degree - 1
+    Q_ref, phis = b.facet_basis(sd - 1, q if sd > 1 else 0,
+                                qdegree + q, scheme)
+    for f in b.entities(sd - 1):
+        n = b.ref_el.compute_scaled_normal(f)
+        weighted = n[None, :, None] * phis[:, None, :]
+        b.tag(sd - 1, f, (functionals.FrobeniusIntegralMoment(
+            b.ref_el, b.map_rule(sd - 1, f, Q_ref), phi)
+            for phi in weighted))
+    if q > 0:
+        Q_ref, phis = b.facet_basis(sd, q - 1, qdegree + q - 1, scheme)
+        for c in b.entities(sd):
+            Q = b.map_rule(sd, c, Q_ref, avg=False)
+            b.tag(sd, c, (functionals.IntegralMoment(
+                b.ref_el, Q, phi, (d,), (sd,))
+                for d in range(sd) for phi in phis))
 
-    def __init__(self, ref_el, degree, variant, interpolant_deg, quad_scheme):
-        nodes = []
-        sd = ref_el.get_spatial_dimension()
-        top = ref_el.get_topology()
-        entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
 
-        if variant == "integral":
-            facet = ref_el.construct_subelement(sd - 1)
-            q = degree - 1
-            Q_ref = parse_quadrature_scheme(facet, interpolant_deg + q, quad_scheme)
-            Pq = polyset.ONPolynomialSet(facet, q if sd > 1 else 0)
-            Pq_at_qpts = Pq.tabulate(Q_ref.get_points())[(0,) * (sd - 1)]
-            for f in top[sd - 1]:
-                cur = len(nodes)
-                Q = FacetQuadratureRule(ref_el, sd - 1, f, Q_ref, avg=True)
-                n = ref_el.compute_scaled_normal(f)
-                phis = n[None, :, None] * Pq_at_qpts[:, None, :]
-                nodes.extend(functionals.FrobeniusIntegralMoment(ref_el, Q, phi)
-                             for phi in phis)
-                entity_ids[sd - 1][f] = list(range(cur, len(nodes)))
-
-            if q > 0:
-                cell = ref_el.construct_subelement(sd)
-                Q_ref = parse_quadrature_scheme(cell, interpolant_deg + q - 1,
-                                                quad_scheme)
-                Pqm1 = polyset.ONPolynomialSet(cell, q - 1)
-                Pqm1_at_qpts = Pqm1.tabulate(Q_ref.get_points())[(0,) * sd]
-                for entity in top[sd]:
-                    Q = FacetQuadratureRule(ref_el, sd, entity, Q_ref)
-                    cur = len(nodes)
-                    nodes.extend(functionals.IntegralMoment(ref_el, Q, phi, (d,), (sd,))
-                                 for d in range(sd)
-                                 for phi in Pqm1_at_qpts)
-                    entity_ids[sd][entity] = list(range(cur, len(nodes)))
-
-        elif variant == "point":
-            for i in top[sd - 1]:
-                cur = len(nodes)
-                pts = ref_el.make_points(sd - 1, i, sd + degree - 1)
-                nodes.extend(functionals.PointScaledNormalEvaluation(ref_el, i, pt)
-                             for pt in pts)
-                entity_ids[sd - 1][i] = list(range(cur, len(nodes)))
-            if degree > 1:
-                cur = len(nodes)
-                pts = ref_el.make_points(sd, 0, sd + degree - 1)
-                nodes.extend(functionals.ComponentPointEvaluation(ref_el, d, (sd,), pt)
-                             for d in range(sd)
-                             for pt in pts)
-                entity_ids[sd][0] = list(range(cur, len(nodes)))
-
-        super().__init__(nodes, ref_el, entity_ids)
+def rt_point_duals(b, degree):
+    """Scaled-normal point evaluations on facets + interior component
+    values."""
+    sd = b.sd
+    for f in b.entities(sd - 1):
+        b.tag(sd - 1, f, (functionals.PointScaledNormalEvaluation(
+            b.ref_el, f, p)
+            for p in b.lattice(sd - 1, f, sd + degree - 1)))
+    if degree > 1:
+        b.tag(sd, 0, (functionals.ComponentPointEvaluation(
+            b.ref_el, d, (sd,), p)
+            for d in range(sd)
+            for p in b.lattice(sd, 0, sd + degree - 1)))
 
 
 class RaviartThomas(finite_element.CiarletElement):
     """The Raviart-Thomas element (contravariant Piola)."""
 
     def __init__(self, ref_el, degree, variant=None, quad_scheme=None):
-        splitting, variant, interpolant_deg = check_format_variant(variant, degree)
+        splitting, variant, qdegree = check_format_variant(variant, degree)
         if splitting is not None:
             ref_el = splitting(ref_el)
         if ref_el.is_macrocell():
             from ..core.macro import MacroPolynomialSet
-            base_element = type(self)(ref_el.get_parent(), degree)
-            poly_set = MacroPolynomialSet(ref_el, base_element)
+            poly_set = MacroPolynomialSet(
+                ref_el, type(self)(ref_el.get_parent(), degree))
         else:
             poly_set = RTSpace(ref_el, degree)
-        dual = RTDualSet(ref_el, degree, variant, interpolant_deg, quad_scheme)
-        formdegree = ref_el.get_spatial_dimension() - 1
-        super().__init__(poly_set, dual, degree, formdegree,
+        b = DualBuilder(ref_el)
+        if variant == "integral":
+            rt_moment_duals(b, degree, qdegree, quad_scheme)
+        else:
+            rt_point_duals(b, degree)
+        super().__init__(poly_set, b.dual_set(), degree,
+                         ref_el.get_spatial_dimension() - 1,
                          mapping="contravariant piola")
