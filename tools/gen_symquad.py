@@ -728,7 +728,8 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log,
     return best
 
 
-def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None):
+def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None,
+             skip_ratio=1.0):
     solver = RuleSolver(dim, max_degree)
     rng = np.random.default_rng(2026 + dim)
     targets = XG_TRI if dim == 2 else XG_TET
@@ -737,7 +738,7 @@ def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None):
     for d in range(start, max_degree + 1):
         target = targets.get(d, 10 ** 9)
         have = table.get(d)
-        if have is not None and npts(have) <= target:
+        if have is not None and npts(have) <= skip_ratio * target:
             prev = have
             print(f"dim {dim} degree {d:3d}: {npts(have):4d} pts kept "
                   f"(<= reference {target})", flush=True)
@@ -796,6 +797,9 @@ def main():
     ap.add_argument("--start", type=int, default=1)
     ap.add_argument("--seed-existing", action="store_true",
                     help="start from the shipped symquad_data tables")
+    ap.add_argument("--skip-ratio", type=float, default=1.0,
+                    help="keep existing rules within this ratio of the "
+                         "reference count")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or os.path.join(REPO, "fiat_tpu", "core",
@@ -806,7 +810,7 @@ def main():
         table = dict(symquad_data.TRIANGLE if args.dim == 2
                      else symquad_data.TETRAHEDRON)
     generate(args.dim, args.max_degree, out, budget=args.budget,
-             start=args.start, table=table)
+             start=args.start, table=table, skip_ratio=args.skip_ratio)
     print("wrote", out)
 
 
