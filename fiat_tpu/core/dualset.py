@@ -65,102 +65,86 @@ class DualSet:
     def get_indices(self, restriction_domain, take_closure=True):
         """DoF indices supported on a restriction domain ('interior',
         'vertex', 'edge', 'face', 'facet', 'ridge')."""
-        entity_dofs = self.get_entity_ids()
+        dofs = self.get_entity_ids()
         if restriction_domain == "interior":
-            entities = entity_dofs[max(entity_dofs.keys())]
-            return list(chain(*(ids for _, ids in sorted_by_key(entities))))
+            cell_dofs = dofs[max(dofs)]
+            return [i for _, ids in sorted_by_key(cell_dofs) for i in ids]
 
-        if restriction_domain == "vertex":
-            dim = 0
-        elif restriction_domain == "edge":
-            dim = 1
-        elif restriction_domain == "face":
-            dim = 2
-        elif restriction_domain == "facet":
-            dim = self.get_reference_element().get_spatial_dimension() - 1
-        elif restriction_domain == "ridge":
-            dim = self.get_reference_element().get_spatial_dimension() - 2
-        else:
+        csd = self.get_reference_element().get_spatial_dimension()
+        named = {"vertex": 0, "edge": 1, "face": 2,
+                 "facet": csd - 1, "ridge": csd - 2}
+        if restriction_domain not in named:
             raise RuntimeError("Invalid restriction domain")
+        dim = named[restriction_domain]
 
-        is_prodcell = isinstance(max(entity_dofs.keys()), tuple)
-        ldim = 0 if take_closure else dim
-        indices = []
-        for d in range(ldim, dim + 1):
-            if is_prodcell:
-                for edim in entity_dofs:
-                    if sum(edim) == d:
-                        for _, ids in sorted_by_key(entity_dofs[edim]):
-                            indices.extend(ids)
-            else:
-                for _, ids in sorted_by_key(entity_dofs[d]):
-                    indices.extend(ids)
-        return indices
+        wanted = range(0 if take_closure else dim, dim + 1)
+        total = lambda d: sum(d) if isinstance(d, tuple) else d
+        return [i
+                for edim in sorted(dofs, key=total)
+                if total(edim) in wanted
+                for _, ids in sorted_by_key(dofs[edim])
+                for i in ids]
 
 
 def sorted_by_key(mapping):
-    def _key(item):
-        return (type(item[0]).__name__, item[0])
-    return sorted(mapping.items(), key=_key)
+    """Items sorted with heterogeneous keys grouped by type name (int
+    entity numbers vs tuple tensor-product keys)."""
+    return sorted(mapping.items(),
+                  key=lambda kv: (type(kv[0]).__name__, kv[0]))
 
 
 def make_entity_closure_ids(ref_el, entity_ids):
-    entity_closure_ids = {}
-    for dim, entities in ref_el.sub_entities.items():
-        entity_closure_ids[dim] = {}
-        for e, sub_entities in entities.items():
-            ids = sorted(chain(*(entity_ids[d][se] for d, se in sub_entities)))
-            entity_closure_ids[dim][e] = ids
-    return entity_closure_ids
+    """{dim: {entity: sorted dof ids of the entity's closure}}."""
+    return {dim: {e: sorted(i for d, se in subs for i in entity_ids[d][se])
+                  for e, subs in entities.items()}
+            for dim, entities in ref_el.sub_entities.items()}
 
 
 def unflatten_entity_ids(ref_el, entity_ids):
-    """Re-key flat (integer-dim) entity ids onto a tensor-product topology."""
-    unflattening_map = compute_unflattening_map(ref_el.get_topology())
+    """Re-key flat (integer-dim) entity ids onto a tensor-product
+    topology."""
+    where = compute_unflattening_map(ref_el.get_topology())
     out = {dim: {} for dim in sorted(ref_el.get_topology())}
-    for dim in sorted(entity_ids):
-        for entity in sorted(entity_ids[dim]):
-            d, e = unflattening_map[(dim, entity)]
-            out[d][e] = entity_ids[dim][entity]
+    for flat_key, ids_of in sorted(entity_ids.items()):
+        for entity in sorted(ids_of):
+            d, e = where[(flat_key, entity)]
+            out[d][e] = ids_of[entity]
     return out
 
 
 def lexsort_nodes(ref_el, nodes, entity=None, offset=0):
-    """Order PointEvaluation nodes lexicographically by barycentric coords."""
-    if len(nodes) > 1:
-        pts = [tuple(node.points[0]) for node in nodes]
-        bary = ref_el.compute_barycentric_coordinates(pts)
-        return list(offset + np.lexsort(bary.T))
-    return list(range(offset, offset + len(nodes)))
+    """Order PointEvaluation nodes lexicographically by barycentric
+    coordinates."""
+    if len(nodes) < 2:
+        return list(range(offset, offset + len(nodes)))
+    bary = ref_el.compute_barycentric_coordinates(
+        [tuple(node.points[0]) for node in nodes])
+    return list(offset + np.lexsort(bary.T))
 
 
 def merge_entities(nodes, ref_el, entity_ids, entity_permutations):
-    """Collect DoFs of a split complex onto the parent cell's entities."""
-    parent_cell = ref_el.get_parent()
-    if parent_cell is None:
+    """Collect DoFs of a split complex onto the parent cell's entities.
+
+    Pure Lagrange duals are re-sorted lexicographically per parent
+    entity (so the parent ordering is canonical); any other functional
+    mix keeps the child ordering."""
+    parent = ref_el.get_parent()
+    if parent is None:
         return nodes, ref_el, entity_ids, entity_permutations
-    parent_to_children = ref_el.get_parent_to_children()
-    parent_ids = {}
+    children_of = ref_el.get_parent_to_children()
+    lagrange = all(isinstance(node, functionals.PointEvaluation)
+                   for node in nodes)
 
-    if all(isinstance(node, functionals.PointEvaluation) for node in nodes):
-        # Lagrange-type: lexicographic reordering per parent entity
-        parent_nodes = []
-        for dim in sorted(parent_to_children):
-            parent_ids[dim] = {}
-            for entity in sorted(parent_to_children[dim]):
-                cur = len(parent_nodes)
-                for child_dim, child_entity in parent_to_children[dim][entity]:
-                    parent_nodes.extend(nodes[i]
-                                        for i in entity_ids[child_dim][child_entity])
-                parent_ids[dim][entity] = lexsort_nodes(
-                    parent_cell, parent_nodes[cur:], entity=(dim, entity), offset=cur)
-    else:
-        parent_nodes = nodes
-        for dim in sorted(parent_to_children):
-            parent_ids[dim] = {}
-            for entity in sorted(parent_to_children[dim]):
-                parent_ids[dim][entity] = []
-                for child_dim, child_entity in parent_to_children[dim][entity]:
-                    parent_ids[dim][entity].extend(entity_ids[child_dim][child_entity])
-
-    return parent_nodes, parent_cell, parent_ids, None
+    parent_ids = {dim: {} for dim in sorted(children_of)}
+    parent_nodes = [] if lagrange else nodes
+    for dim in sorted(children_of):
+        for entity in sorted(children_of[dim]):
+            child_ids = [i for cd, ce in children_of[dim][entity]
+                         for i in entity_ids[cd][ce]]
+            if lagrange:
+                lo = len(parent_nodes)
+                parent_nodes += [nodes[i] for i in child_ids]
+                child_ids = lexsort_nodes(parent, parent_nodes[lo:],
+                                          entity=(dim, entity), offset=lo)
+            parent_ids[dim][entity] = child_ids
+    return parent_nodes, parent, parent_ids, None

@@ -1,5 +1,6 @@
-"""Arnold-Qin C0(Alfeld) Stokes macroelement (parity with
-/root/reference/FIAT/arnold_qin.py): curl(HCT[-red]) + P0 x."""
+"""Arnold-Qin C0(Alfeld) quadratic Stokes macroelement: curl(HCT[-red])
++ P0 x, divergence in P0.  Behavioural parity:
+/root/reference/FIAT/arnold_qin.py."""
 
 import numpy as np
 
@@ -12,7 +13,9 @@ from .hct import HsiehCloughTocher
 
 
 def ArnoldQinSpace(ref_el, degree, reduced=False):
-    """curl(HCT-red) + P0 x (reduced) or curl(HCT) + P0 x."""
+    """curl of the (reduced) HCT space with the constant null mode
+    swapped for P0 x, expressed in the C0 bubble basis by dual
+    projection."""
     if ref_el.get_shape() != cl.TRIANGLE:
         raise ValueError("Arnold-Qin only defined on triangles")
     if degree != 2:
@@ -23,30 +26,29 @@ def ArnoldQinSpace(ref_el, degree, reduced=False):
     Q = create_quadrature(ref_complex, 2 * degree)
     qpts, qwts = Q.get_points(), Q.get_weights()
 
-    x = qpts.T
-    bary = np.asarray(ref_el.make_points(sd, 0, sd + 1))
-    P0x_at_qpts = x[None, :, :] - bary[:, :, None]
-
-    tab = HCT.tabulate(1, qpts)
-    curl_at_qpts = np.stack([tab[(0, 1)], -tab[(1, 0)]], axis=1)
+    stream = HCT.tabulate(1, qpts)
+    members = np.stack([stream[(0, 1)], -stream[(1, 0)]], axis=1)
     if reduced:
-        curl_at_qpts = curl_at_qpts[:9]
+        members = members[:9]
 
-    C0 = CkPolynomialSet(ref_complex, degree, order=0, scale=1, variant="bubble")
-    C0_at_qpts = C0.tabulate(qpts)[(0,) * sd]
-    duals = C0_at_qpts * qwts
-    M = np.dot(duals, C0_at_qpts.T)
-    duals = np.linalg.solve(M, duals)
+    # swap the constant null mode (combination [1,1,1] of the three
+    # vertex streams) for P0 x
+    vertex_rows = [0, 3, 6]
+    mix = np.asarray([[1, 1, 1], [1, -1, 0], [0, -1, 1]])
+    members[vertex_rows] = np.tensordot(mix, members[vertex_rows],
+                                        axes=(-1, 0))
+    center = np.asarray(ref_el.make_points(sd, 0, sd + 1))
+    members[0] = qpts.T[None, :, :] - center[:, :, None]
 
-    # swap the constant null mode for P0 x
-    ids = [0, 3, 6]
-    A = np.asarray([[1, 1, 1], [1, -1, 0], [0, -1, 1]])
-    phis = curl_at_qpts
-    phis[ids] = np.tensordot(A, phis[ids], axes=(-1, 0))
-    phis[0] = P0x_at_qpts
-    coeffs = np.tensordot(phis, duals, axes=(-1, -1))
+    C0 = CkPolynomialSet(ref_complex, degree, order=0, scale=1,
+                         variant="bubble")
+    basis = C0.tabulate(qpts)[(0,) * sd]
+    gram = (basis * qwts) @ basis.T
+    duals = np.linalg.solve(gram, basis * qwts)
     return polyset.PolynomialSet(ref_complex, degree, degree,
-                                 C0.get_expansion_set(), coeffs)
+                                 C0.get_expansion_set(),
+                                 np.tensordot(members, duals,
+                                              axes=(-1, -1)))
 
 
 class ArnoldQin(finite_element.CiarletElement):
@@ -55,11 +57,10 @@ class ArnoldQin(finite_element.CiarletElement):
     def __init__(self, ref_el, degree=2, reduced=False):
         poly_set = ArnoldQinSpace(ref_el, degree)
         if reduced:
-            order = 1
-            mapping = "contravariant piola"
+            order, mapping = 1, "contravariant piola"
         else:
-            order = degree
-            mapping = "affine"
+            order, mapping = degree, "affine"
         dual = BernardiRaugelDualSet(ref_el, order, degree=degree)
-        formdegree = ref_el.get_spatial_dimension() - 1
-        super().__init__(poly_set, dual, degree, formdegree, mapping=mapping)
+        super().__init__(poly_set, dual, degree,
+                         ref_el.get_spatial_dimension() - 1,
+                         mapping=mapping)

@@ -1,7 +1,8 @@
-"""DiscontinuousElement: same basis, all DoFs moved to the cell interior
-(parity with /root/reference/FIAT/discontinuous.py)."""
+"""DiscontinuousElement: the same basis with every DoF re-attached to
+the cell interior.  Behavioural parity:
+/root/reference/FIAT/discontinuous.py."""
 
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.finite_element import CiarletElement, FiniteElement
 
 
@@ -11,40 +12,27 @@ class DiscontinuousElement(CiarletElement):
     def __init__(self, element):
         self._element = element
         ref_el = element.get_reference_element()
-        ref_complex = element.get_reference_complex()
         mapping, = set(element.mapping())
 
-        topology = ref_el.get_topology()
-        new_entity_ids = {dim: {ent: [] for ent in sorted(topology[dim])}
-                          for dim in sorted(topology)}
-        top_dim = max(sorted(topology))
-        new_entity_ids[top_dim][0] = list(range(element.space_dimension()))
-        dual = DualSet(element.dual_basis(), ref_el, new_entity_ids)
-        formdegree = ref_el.get_spatial_dimension()
-        FiniteElement.__init__(self, ref_el, dual, element.get_order(),
-                               formdegree=formdegree, mapping=mapping,
-                               ref_complex=ref_complex)
+        b = DualBuilder(ref_el)
+        b.tag(max(sorted(ref_el.get_topology())), 0, element.dual_basis())
+        FiniteElement.__init__(
+            self, ref_el, b.dual_set(), element.get_order(),
+            formdegree=ref_el.get_spatial_dimension(), mapping=mapping,
+            ref_complex=element.get_reference_complex())
 
-    def degree(self):
-        return self._element.degree()
 
-    def get_nodal_basis(self):
-        return self._element.get_nodal_basis()
+# everything else about the element is untouched: forward the whole
+# CiarletElement surface to the wrapped element
+def _forward(name):
+    def method(self, *args, **kwargs):
+        return getattr(self._element, name)(*args, **kwargs)
+    method.__name__ = name
+    method.__doc__ = f"Delegates {name} to the wrapped element."
+    return method
 
-    def get_coeffs(self):
-        return self._element.get_coeffs()
 
-    def num_sub_elements(self):
-        return self._element.num_sub_elements()
-
-    def tabulate(self, order, points, entity=None):
-        return self._element.tabulate(order, points, entity)
-
-    def value_shape(self):
-        return self._element.value_shape()
-
-    def dmats(self):
-        return self._element.dmats()
-
-    def get_num_members(self, arg):
-        return self._element.get_num_members(arg)
+for _name in ("degree", "get_nodal_basis", "get_coeffs",
+              "num_sub_elements", "tabulate", "value_shape", "dmats",
+              "get_num_members"):
+    setattr(DiscontinuousElement, _name, _forward(_name))

@@ -1,10 +1,11 @@
-"""QuadratureElement: quadrature points pretending to be an element; the
-tabulation at its own points is the identity (parity with
-/root/reference/FIAT/quadrature_element.py)."""
+"""QuadratureElement: fixed quadrature points pretending to be an
+element -- the only legal tabulation is the identity at its own points.
+Behavioural parity: /root/reference/FIAT/quadrature_element.py, on the
+declarative dual builder."""
 
 import numpy as np
 
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.finite_element import FiniteElement
 from ..core.functionals import PointEvaluation
 
@@ -13,12 +14,10 @@ class QuadratureElement(FiniteElement):
     """Point evaluations at fixed quadrature points."""
 
     def __init__(self, ref_el, points, weights=None):
-        entity_dofs = {dim: {entity: [] for entity in entities}
-                       for dim, entities in ref_el.get_topology().items()}
-        entity_dofs[ref_el.get_dimension()] = {0: list(range(len(points)))}
-        nodes = [PointEvaluation(ref_el, tuple(point)) for point in points]
-        dual = DualSet(nodes, ref_el, entity_dofs)
-        super().__init__(ref_el, dual, order=None)
+        b = DualBuilder(ref_el)
+        b.tag(ref_el.get_dimension(), 0,
+              (PointEvaluation(ref_el, tuple(p)) for p in points))
+        super().__init__(ref_el, b.dual_set(), order=None)
         self._points = points
         self._weights = weights
 
@@ -26,15 +25,19 @@ class QuadratureElement(FiniteElement):
         return ()
 
     def tabulate(self, order, points, entity=None):
-        if entity is not None and entity != (self.ref_el.get_dimension(), 0):
-            raise ValueError('QuadratureElement does not "tabulate" on subentities.')
+        if entity is not None \
+                and entity != (self.ref_el.get_dimension(), 0):
+            raise ValueError(
+                'QuadratureElement does not "tabulate" on subentities.')
         if order:
-            raise ValueError("Derivatives are not defined on a QuadratureElement.")
-        if (len(points) != len(self._points)
-                or abs(np.asarray(points) - self._points).max() > 1e-12):
+            raise ValueError(
+                "Derivatives are not defined on a QuadratureElement.")
+        own = np.asarray(self._points)
+        if len(points) != len(own) \
+                or abs(np.asarray(points) - own).max() > 1e-12:
             raise AssertionError("Mismatch of quadrature points!")
-        dim = self.ref_el.get_spatial_dimension()
-        return {(0,) * dim: np.eye(len(self._points))}
+        sd = self.ref_el.get_spatial_dimension()
+        return {(0,) * sd: np.eye(len(own))}
 
     @staticmethod
     def is_nodal():
