@@ -13,32 +13,34 @@ class BrokenElement(FiniteElementBase):
     def __new__(cls, element):
         # push the breaking below Mixed/Vector/Tensor
         if isinstance(element, (VectorElement, TensorElement)):
-            return element.reconstruct(
-                sub_element=BrokenElement(element.sub_elements[0]))
-        elif isinstance(element, MixedElement):
-            return MixedElement(list(map(BrokenElement,
-                                         element.sub_elements)))
+            inner = BrokenElement(element.sub_elements[0])
+            return element.reconstruct(sub_element=inner)
+        if isinstance(element, MixedElement):
+            return MixedElement([BrokenElement(e)
+                                 for e in element.sub_elements])
         return super().__new__(cls)
 
     def __init__(self, element):
         self._element = element
-        FiniteElementBase.__init__(self, "BrokenElement", element.cell,
-                                   element.degree(),
-                                   element.quadrature_scheme(),
-                                   element.reference_value_shape)
+        super().__init__("BrokenElement", element.cell, element.degree(),
+                         element.quadrature_scheme(),
+                         element.reference_value_shape)
 
     def __repr__(self):
         return f"BrokenElement({self._element!r})"
 
     def mapping(self):
-        return self._element.mapping()
+        return self.sub_element().mapping()
+
+    def sub_element(self):
+        return self._element
 
     @property
     def sobolev_space(self):
         return L2
 
     def reconstruct(self, **kwargs):
-        return BrokenElement(self._element.reconstruct(**kwargs))
+        return BrokenElement(self.sub_element().reconstruct(**kwargs))
 
     def __str__(self):
         return f"BrokenElement({self._element!r})"
@@ -48,8 +50,8 @@ class BrokenElement(FiniteElementBase):
 
     @property
     def embedded_subdegree(self):
-        return self._element.embedded_subdegree
+        return self.sub_element().embedded_subdegree
 
     @property
     def embedded_superdegree(self):
-        return self._element.embedded_superdegree
+        return self.sub_element().embedded_superdegree

@@ -10,9 +10,16 @@ class EnrichedElementBase(FiniteElementBase):
 
     def __init__(self, *elements):
         self._elements = elements
-        cell = elements[0].cell
-        if not all(e.cell == cell for e in elements[1:]):
-            raise ValueError("Cell mismatch in enriched element.")
+
+        def shared(label, values):
+            distinct = set(values)
+            if len(distinct) != 1:
+                raise ValueError(f"{label} mismatch in enriched element.")
+            return distinct.pop()
+
+        cell = shared("Cell", (e.cell for e in elements))
+        rshape = shared("Element reference value shape",
+                        (e.reference_value_shape for e in elements))
 
         if isinstance(elements[0].degree(), int):
             degrees = {e.degree() for e in elements} - {None}
@@ -20,37 +27,29 @@ class EnrichedElementBase(FiniteElementBase):
         else:
             degree = tuple(map(max, zip(*[e.degree() for e in elements])))
 
-        quad_schemes = [qs for qs in
-                        (e.quadrature_scheme() for e in elements)
-                        if qs is not None]
-        quad_scheme = quad_schemes[0] if quad_schemes else None
-        if not all(qs == quad_scheme for qs in quad_schemes):
+        schemes = {e.quadrature_scheme() for e in elements} - {None}
+        if len(schemes) > 1:
             raise ValueError("Quadrature scheme mismatch.")
+        quad_scheme = schemes.pop() if schemes else None
 
-        reference_value_shape = elements[0].reference_value_shape
-        if not all(e.reference_value_shape == reference_value_shape
-                   for e in elements[1:]):
-            raise ValueError("Element reference value shape mismatch.")
-
-        FiniteElementBase.__init__(self, self.__class__.__name__, cell,
-                                   degree, quad_scheme,
-                                   reference_value_shape)
+        FiniteElementBase.__init__(self, type(self).__name__, cell,
+                                   degree, quad_scheme, rshape)
 
     def mapping(self):
         return self._elements[0].mapping()
 
     @property
     def sobolev_space(self):
-        spaces = [e.sobolev_space for e in self._elements]
-        if all(s == spaces[0] for s in spaces):
-            return spaces[0]
-        # smallest shared superspace
-        superspaces = [{s} | set(s.parents) for s in spaces]
-        intersect = set.intersection(*superspaces)
-        for s in intersect.copy():
-            for parent in s.parents:
-                intersect.discard(parent)
-        space, = intersect
+        spaces = {e.sobolev_space for e in self._elements}
+        if len(spaces) == 1:
+            return spaces.pop()
+        # smallest space every member embeds into: intersect the
+        # ancestor closures, then drop anything that is itself an
+        # ancestor of another survivor
+        shared = set.intersection(*({s} | set(s.parents) for s in spaces))
+        for s in list(shared):
+            shared -= set(s.parents)
+        space, = shared
         return space
 
     def variant(self):

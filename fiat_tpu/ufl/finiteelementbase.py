@@ -1,8 +1,9 @@
 """Base class for symbolic element descriptions.
 
-Equivalent of the reference's finat/ufl/finiteelementbase.py, with
-fiat_tpu's self-contained pullback vocabulary replacing ``ufl.pullback``
-(the physical value shape is derived directly from the mapping name)."""
+Behavioural parity with /root/reference/finat/ufl/finiteelementbase.py,
+with fiat_tpu's self-contained pullback vocabulary replacing
+``ufl.pullback`` (the physical value shape is derived directly from the
+mapping name)."""
 
 from abc import ABC, abstractmethod
 from hashlib import md5
@@ -21,25 +22,47 @@ def istr(o):
     return "?" if o is None else str(o)
 
 
-# mapping name -> function(reference_value_shape, tdim) -> physical shape
+# how each mapping turns the reference value shape into the physical one
+_SHAPE_RULES = {
+    "identity": "reference",
+    "L2 Piola": "reference",
+    "custom": "reference",
+    "physical": "reference",
+    "undefined": "reference",
+    "covariant Piola": "tdim",
+    "contravariant Piola": "tdim",
+    "double covariant Piola": "tdim2",
+    "double contravariant Piola": "tdim2",
+    "covariant contravariant Piola": "tdim2",
+    "symmetries": "symmetries",
+}
+
+
 def _physical_value_shape(mapping, element):
+    rule = _SHAPE_RULES.get(mapping)
+    if rule == "reference":
+        return element.reference_value_shape
     cell = element.cell
     tdim = None if cell is None else cell.topological_dimension
-    if mapping in ("identity", "L2 Piola", "custom", "physical"):
-        return element.reference_value_shape
-    elif mapping in ("covariant Piola", "contravariant Piola"):
+    if rule == "tdim":
         return (tdim,)
-    elif mapping in ("double covariant Piola", "double contravariant Piola",
-                     "covariant contravariant Piola"):
+    if rule == "tdim2":
         return (tdim, tdim)
-    elif mapping == "undefined":
-        return element.reference_value_shape
-    elif mapping == "symmetries":
+    if rule == "symmetries":
         # symmetric tensors store a compressed reference vector but
         # expose the full physical shape
         return element._shape + element.sub_elements[0].value_shape()
-    else:
-        raise ValueError(f"Unsupported mapping: {mapping}")
+    raise ValueError(f"Unsupported mapping: {mapping}")
+
+
+def _as_component(i, shape, kind):
+    """Normalise a component index to a tuple and bounds-check it."""
+    if isinstance(i, int):
+        i = (i,)
+    if len(i) != len(shape) or any(int(j) >= k for j, k in zip(i, shape)):
+        raise ValueError(
+            f"Illegal component index {i} for {kind} shape {shape}.")
+    return i
 
 
 class FiniteElementBase(ABC):
@@ -47,14 +70,15 @@ class FiniteElementBase(ABC):
 
     def __init__(self, family, cell, degree, quad_scheme,
                  reference_value_shape):
-        if not (degree is None or isinstance(degree, (int, tuple))):
-            raise ValueError("Invalid degree type.")
+        if degree is not None and not isinstance(degree, (int, tuple)):
+            raise ValueError(f"Bad degree: {degree!r}")
         if not isinstance(reference_value_shape, tuple):
-            raise ValueError("Invalid reference_value_shape type.")
+            raise ValueError(
+                f"Bad reference_value_shape: {reference_value_shape!r}")
         if cell is not None:
             cell = as_cell(cell)
             if not isinstance(cell, AbstractCell):
-                raise ValueError("Invalid cell type.")
+                raise ValueError(f"Bad cell: {cell!r}")
         self._family = family
         self._cell = cell
         self._degree = degree
@@ -80,6 +104,7 @@ class FiniteElementBase(ABC):
     def _is_linear(self):
         return False
 
+    # -- identity: descriptions hash/compare by their repr -----------------
     def _ufl_hash_data_(self):
         return repr(self)
 
@@ -87,19 +112,20 @@ class FiniteElementBase(ABC):
         return repr(self)
 
     def __hash__(self):
-        return int.from_bytes(
-            md5(self._ufl_hash_data_().encode()).digest(), byteorder="big")
+        digest = md5(self._ufl_hash_data_().encode()).digest()
+        return int.from_bytes(digest, byteorder="big")
 
     def __eq__(self, other):
         return (type(self) is type(other)
                 and self._ufl_hash_data_() == other._ufl_hash_data_())
 
     def __ne__(self, other):
-        return not self.__eq__(other)
+        return not (self == other)
 
     def __lt__(self, other):
-        return repr(self) < repr(other)
+        return repr(self) < repr(other)  # canonical text order
 
+    # -- basic metadata -----------------------------------------------------
     def family(self):
         return self._family
 
@@ -117,8 +143,9 @@ class FiniteElementBase(ABC):
         return self._cell
 
     def is_cellwise_constant(self, component=None):
-        return self._is_globally_constant() or self.degree() == 0
+        return self._is_globally_constant() or 0 == self.degree()
 
+    # -- value shapes --------------------------------------------------------
     def value_shape(self, domain=None):
         """Shape of values on a physical domain."""
         return _physical_value_shape(self.mapping(), self)
@@ -138,43 +165,28 @@ class FiniteElementBase(ABC):
         """Component symmetry map (c0 -> c1: c0 is stored as c1)."""
         return {}
 
-    def _check_component(self, i, domain=None):
-        sh = self.value_shape(domain)
-        if not (len(i) == len(sh)
-                and all(int(j) < k for j, k in zip(i, sh))):
-            raise ValueError(
-                f"Illegal component index {i} for value shape {sh}.")
-
+    # -- component extraction ------------------------------------------------
     def extract_subelement_component(self, i, domain=None):
-        if isinstance(i, int):
-            i = (i,)
-        self._check_component(i, domain)
+        i = _as_component(i, self.value_shape(domain), "value")
         return (None, i)
 
     def extract_component(self, i, domain=None):
-        if isinstance(i, int):
-            i = (i,)
-        self._check_component(i, domain)
+        i = _as_component(i, self.value_shape(domain), "value")
         return (i, self)
 
-    def _check_reference_component(self, i):
-        sh = self.reference_value_shape
-        if not (len(i) == len(sh)
-                and all(int(j) < k for j, k in zip(i, sh))):
-            raise ValueError(
-                f"Illegal component index {i} for reference shape {sh}.")
-
     def extract_subelement_reference_component(self, i):
-        if isinstance(i, int):
-            i = (i,)
-        self._check_reference_component(i)
+        i = _as_component(i, self.reference_value_shape, "reference")
         return (None, i)
 
     def extract_reference_component(self, i):
-        if isinstance(i, int):
-            i = (i,)
-        self._check_reference_component(i)
+        i = _as_component(i, self.reference_value_shape, "reference")
         return (i, self)
+
+    def _check_component(self, i, domain=None):
+        _as_component(i, self.value_shape(domain), "value")
+
+    def _check_reference_component(self, i):
+        _as_component(i, self.reference_value_shape, "reference")
 
     @property
     def num_sub_elements(self):
@@ -184,17 +196,18 @@ class FiniteElementBase(ABC):
     def sub_elements(self):
         return []
 
+    # -- element algebra -----------------------------------------------------
     def __add__(self, other):
         """element + element -> EnrichedElement."""
         if not isinstance(other, FiniteElementBase):
-            raise ValueError(f"Can't add element and {other.__class__}.")
+            raise ValueError(f"Cannot enrich element with {type(other)}.")
         from .enrichedelement import EnrichedElement
         return EnrichedElement(self, other)
 
     def __mul__(self, other):
         """element * element -> MixedElement."""
         if not isinstance(other, FiniteElementBase):
-            raise ValueError(f"Can't multiply element and {other.__class__}.")
+            raise ValueError(f"Cannot mix element with {type(other)}.")
         from .mixedelement import MixedElement
         return MixedElement(self, other)
 
@@ -221,7 +234,7 @@ class FiniteElementBase(ABC):
     def pullback(self):
         """The reference-to-physical pullback singleton."""
         from .pullback import supported_pullbacks
-        try:
-            return supported_pullbacks[self.mapping()]
-        except KeyError:
-            raise ValueError(f"Unsupported mapping: {self.mapping()}")
+        name = self.mapping()
+        if name not in supported_pullbacks:
+            raise ValueError(f"Unsupported mapping: {name}")
+        return supported_pullbacks[name]

@@ -1,7 +1,9 @@
 """HDiv/HCurl conforming wrappers and WithMapping.
 
-Equivalent of /root/reference/finat/ufl/hdivcurl.py.  The callable
-HDiv/HCurl Sobolev-space instances live in fiat_tpu.ufl.sobolevspace."""
+Behavioural parity: /root/reference/finat/ufl/hdivcurl.py.  The callable
+HDiv/HCurl Sobolev-space instances live in fiat_tpu.ufl.sobolevspace.
+Both Piola wrappers share one base class; WithMapping delegates its
+whole surface through __getattr__."""
 
 from .finiteelementbase import FiniteElementBase
 from .sobolevspace import L2
@@ -14,86 +16,70 @@ HDiv = HDivSobolevSpace
 HCurl = HCurlSobolevSpace
 
 
-class HDivElement(FiniteElementBase):
+class _PiolaWrappedElement(FiniteElementBase):
+    """Common shape/degree/delegation logic of the HDiv/HCurl wrappers:
+    the wrapped outer-product element acquires a vector value shape and
+    a Piola map."""
+
+    _map_name = None
+    _space = None
+
+    def __init__(self, element):
+        self._element = element
+        super().__init__("TensorProductElement", element.cell,
+                         element.degree(), element.quadrature_scheme(),
+                         (element.cell.topological_dimension,))
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self._element!r})"
+
+    __str__ = __repr__
+
+    def shortstr(self):
+        return f"{type(self).__name__}({self._element.shortstr()})"
+
+    def mapping(self):
+        return self._map_name
+
+    @property
+    def sobolev_space(self):
+        return self._space
+
+    def reconstruct(self, **kwargs):
+        return type(self)(self._element.reconstruct(**kwargs))
+
+    def variant(self):
+        return self._element.variant()
+
+    @property
+    def embedded_subdegree(self):
+        return self._element.embedded_subdegree
+
+    @property
+    def embedded_superdegree(self):
+        return self._element.embedded_superdegree
+
+
+class HDivElement(_PiolaWrappedElement):
     """A div-conforming version of an outer-product element."""
-
-    def __init__(self, element):
-        self._element = element
-        FiniteElementBase.__init__(
-            self, "TensorProductElement", element.cell, element.degree(),
-            element.quadrature_scheme(),
-            (element.cell.topological_dimension,))
-
-    def __repr__(self):
-        return f"HDivElement({self._element!r})"
-
-    def mapping(self):
-        return "contravariant Piola"
-
-    @property
-    def sobolev_space(self):
-        return HDivSobolevSpace
-
-    def reconstruct(self, **kwargs):
-        return HDivElement(self._element.reconstruct(**kwargs))
-
-    def variant(self):
-        return self._element.variant()
-
-    def __str__(self):
-        return f"HDivElement({self._element!r})"
-
-    def shortstr(self):
-        return f"HDivElement({self._element.shortstr()})"
-
-    @property
-    def embedded_subdegree(self):
-        return self._element.embedded_subdegree
-
-    @property
-    def embedded_superdegree(self):
-        return self._element.embedded_superdegree
+    _map_name = "contravariant Piola"
+    _space = HDivSobolevSpace
 
 
-class HCurlElement(FiniteElementBase):
+class HCurlElement(_PiolaWrappedElement):
     """A curl-conforming version of an outer-product element."""
+    _map_name = "covariant Piola"
+    _space = HCurlSobolevSpace
 
-    def __init__(self, element):
-        self._element = element
-        FiniteElementBase.__init__(
-            self, "TensorProductElement", element.cell, element.degree(),
-            element.quadrature_scheme(),
-            (element.cell.topological_dimension,))
 
-    def __repr__(self):
-        return f"HCurlElement({self._element!r})"
-
-    def mapping(self):
-        return "covariant Piola"
-
-    @property
-    def sobolev_space(self):
-        return HCurlSobolevSpace
-
-    def reconstruct(self, **kwargs):
-        return HCurlElement(self._element.reconstruct(**kwargs))
-
-    def variant(self):
-        return self._element.variant()
-
-    def __str__(self):
-        return f"HCurlElement({self._element!r})"
-
-    def shortstr(self):
-        return f"HCurlElement({self._element.shortstr()})"
-
-    @property
-    def embedded_subdegree(self):
-        return self._element.embedded_subdegree
-
-    @property
-    def embedded_superdegree(self):
-        return self._element.embedded_superdegree
+def _piola_shape(mapping, tdim):
+    """Value shape a Piola map imposes, or None to defer to the
+    wrappee."""
+    if mapping in ("covariant Piola", "contravariant Piola"):
+        return (tdim,)
+    if mapping in ("double covariant Piola", "double contravariant Piola"):
+        return (tdim, tdim)
+    return None
 
 
 class WithMapping(FiniteElementBase):
@@ -107,45 +93,42 @@ class WithMapping(FiniteElementBase):
         self.wrapee = wrapee
 
     def __getattr__(self, attr):
-        if attr.startswith("_") or attr == "wrapee":
-            raise AttributeError(
-                f"{type(self).__name__!r} object has no attribute {attr!r}")
-        try:
-            return getattr(self.wrapee, attr)
-        except AttributeError:
-            raise AttributeError(
-                f"{type(self).__name__!r} object has no attribute {attr!r}")
+        if not attr.startswith("_") and attr != "wrapee":
+            try:
+                return getattr(self.wrapee, attr)
+            except AttributeError:
+                pass
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {attr!r}")
 
     def __repr__(self):
         return f"WithMapping({self.wrapee!r}, {self._mapping!r})"
 
-    def value_shape(self, domain=None):
-        tdim = self.cell.topological_dimension
-        mapping = self.mapping()
-        if mapping in ("covariant Piola", "contravariant Piola"):
-            return (tdim,)
-        elif mapping in ("double covariant Piola",
-                         "double contravariant Piola"):
-            return (tdim, tdim)
-        return self.wrapee.value_shape(domain)
+    def __str__(self):
+        return f"WithMapping({self.wrapee!r}, {self._mapping})"
 
-    @property
-    def reference_value_shape(self):
-        tdim = self.cell.topological_dimension
-        mapping = self.mapping()
-        if mapping in ("covariant Piola", "contravariant Piola"):
-            return (tdim,)
-        elif mapping in ("double covariant Piola",
-                         "double contravariant Piola"):
-            return (tdim, tdim)
-        return self.wrapee.reference_value_shape
+    def shortstr(self):
+        return f"WithMapping({self.wrapee.shortstr()}, {self._mapping})"
+
+    def mapping(self):
+        return self._mapping
 
     @property
     def cell(self):
         return self.wrapee.cell
 
-    def mapping(self):
-        return self._mapping
+    def value_shape(self, domain=None):
+        forced = _piola_shape(self.mapping(),
+                              self.cell.topological_dimension)
+        return self.wrapee.value_shape(domain) if forced is None \
+            else forced
+
+    @property
+    def reference_value_shape(self):
+        forced = _piola_shape(self.mapping(),
+                              self.cell.topological_dimension)
+        return self.wrapee.reference_value_shape if forced is None \
+            else forced
 
     @property
     def sobolev_space(self):
@@ -168,12 +151,6 @@ class WithMapping(FiniteElementBase):
 
     def family(self):
         return self.wrapee.family()
-
-    def __str__(self):
-        return f"WithMapping({self.wrapee!r}, {self._mapping})"
-
-    def shortstr(self):
-        return f"WithMapping({self.wrapee.shortstr()}, {self._mapping})"
 
     @property
     def embedded_subdegree(self):

@@ -1,6 +1,5 @@
 """Restriction of an element description to a class of cell entities.
-
-Equivalent of /root/reference/finat/ufl/restrictedelement.py."""
+Behavioural parity: /root/reference/finat/ufl/restrictedelement.py."""
 
 from .finiteelementbase import FiniteElementBase
 from .mixedelement import MixedElement, TensorElement, VectorElement
@@ -15,55 +14,29 @@ class RestrictedElement(FiniteElementBase):
     def __new__(cls, element, restriction_domain):
         # push the restriction below Mixed/Vector/Tensor
         if isinstance(element, (VectorElement, TensorElement)):
-            return element.reconstruct(sub_element=RestrictedElement(
-                element.sub_elements[0], restriction_domain))
-        elif isinstance(element, MixedElement):
+            inner = RestrictedElement(element.sub_elements[0],
+                                      restriction_domain)
+            return element.reconstruct(sub_element=inner)
+        if isinstance(element, MixedElement):
             return MixedElement([RestrictedElement(e, restriction_domain)
                                  for e in element.sub_elements])
         return super().__new__(cls)
 
     def __init__(self, element, restriction_domain):
         if not isinstance(element, FiniteElementBase):
-            raise ValueError("Expecting a finite element instance.")
+            raise ValueError(f"Not an element description: {element!r}")
         if restriction_domain not in valid_restriction_domains:
             raise ValueError(
                 f"Expecting one of: {valid_restriction_domains}")
-        FiniteElementBase.__init__(self, "RestrictedElement", element.cell,
-                                   element.degree(),
-                                   element.quadrature_scheme(),
-                                   element.reference_value_shape)
+        super().__init__("RestrictedElement", element.cell,
+                         element.degree(), element.quadrature_scheme(),
+                         element.reference_value_shape)
         self._element = element
         self._restriction_domain = restriction_domain
 
     def __repr__(self):
         return (f"RestrictedElement({self._element!r}, "
                 f"{self._restriction_domain!r})")
-
-    @property
-    def sobolev_space(self):
-        return self._element.sobolev_space
-
-    def is_cellwise_constant(self):
-        return self._element.is_cellwise_constant()
-
-    def _is_linear(self):
-        return self._element._is_linear()
-
-    def sub_element(self):
-        """The element being restricted."""
-        return self._element
-
-    def mapping(self):
-        return self._element.mapping()
-
-    def restriction_domain(self):
-        """The entity class the element is restricted to."""
-        return self._restriction_domain
-
-    def reconstruct(self, element=None, **kwargs):
-        if element is None:
-            element = self._element.reconstruct(**kwargs)
-        return RestrictedElement(element, self._restriction_domain)
 
     def __str__(self):
         return f"<{self._element}>|_{{{self._restriction_domain}}}"
@@ -72,22 +45,44 @@ class RestrictedElement(FiniteElementBase):
         return (f"<{self._element.shortstr()}>"
                 f"|_{{{self._restriction_domain}}}")
 
-    def symmetry(self):
-        return self._element.symmetry()
+    def sub_element(self):
+        """The element being restricted."""
+        return self._element
 
-    @property
-    def num_sub_elements(self):
-        return self._element.num_sub_elements
+    def restriction_domain(self):
+        """The entity class the element is restricted to."""
+        return self._restriction_domain
 
-    @property
-    def sub_elements(self):
-        return self._element.sub_elements
+    def reconstruct(self, element=None, **kwargs):
+        inner = element if element is not None \
+            else self._element.reconstruct(**kwargs)
+        return RestrictedElement(inner, self._restriction_domain)
 
     def num_restricted_sub_elements(self):
         return 1
 
     def restricted_sub_elements(self):
-        return (self._element,)
+        return (self.sub_element(),)
 
-    def variant(self):
-        return self._element.variant()
+    # the abstract half of the protocol reads straight off the wrapped
+    # element...
+    def mapping(self):
+        return self.sub_element().mapping()
+
+    @property
+    def sobolev_space(self):
+        return self.sub_element().sobolev_space
+
+
+def _forward(name, is_property):
+    get = (lambda self: getattr(self._element, name)) if is_property \
+        else (lambda self, *a: getattr(self._element, name)(*a))
+    get.__name__ = name
+    return property(get) if is_property else get
+
+
+# ... and so does the rest
+for _name, _prop in (("num_sub_elements", True), ("sub_elements", True),
+                     ("is_cellwise_constant", False), ("_is_linear", False),
+                     ("symmetry", False), ("variant", False)):
+    setattr(RestrictedElement, _name, _forward(_name, _prop))

@@ -2,8 +2,6 @@
 
 Equivalent of /root/reference/finat/ufl/tensorproductelement.py."""
 
-from itertools import chain
-
 from .cell import TensorProductCell, as_cell
 from .finiteelementbase import FiniteElementBase
 from .sobolevspace import DirectionalSobolevSpace
@@ -12,35 +10,30 @@ from .sobolevspace import DirectionalSobolevSpace
 class TensorProductElement(FiniteElementBase):
     r"""The product space V_1 (x) V_2 (x) ... (x) V_d."""
 
-    def __init__(self, *elements, **kwargs):
+    def __init__(self, *elements, cell=None, **kwargs):
         if not elements:
             raise ValueError(
                 "Cannot create TensorProductElement from empty list.")
-        keywords = list(kwargs.keys())
-        if keywords and keywords != ["cell"]:
+        if kwargs:
             raise ValueError(
-                f"Unexpected keyword argument {keywords[0]!r}")
-        cell = kwargs.get("cell")
+                f"Unexpected keyword argument {next(iter(kwargs))!r}")
 
-        try:
-            family, = {e.family() for e in elements}
-        except ValueError:
-            family = "TensorProductElement"
+        families = {e.family() for e in elements}
+        family = families.pop() if len(families) == 1 \
+            else "TensorProductElement"
 
-        if cell is None:
-            cell = TensorProductCell(*[e.cell for e in elements])
-        else:
-            cell = as_cell(cell)
+        cell = TensorProductCell(*[e.cell for e in elements]) \
+            if cell is None else as_cell(cell)
 
-        degree = tuple(e.degree() for e in elements)
-        reference_value_shape = tuple(chain(
-            *[e.reference_value_shape for e in elements]))
-        if len(reference_value_shape) > 1:
+        rshape = tuple(c for e in elements
+                       for c in e.reference_value_shape)
+        if len(rshape) > 1:
             raise ValueError(
                 "Product of vector-valued elements not supported")
 
-        FiniteElementBase.__init__(self, family, cell, degree, None,
-                                   reference_value_shape)
+        FiniteElementBase.__init__(
+            self, family, cell, tuple(e.degree() for e in elements),
+            None, rshape)
         self._factor_elements = elements
         self._cell = cell
 
@@ -50,44 +43,36 @@ class TensorProductElement(FiniteElementBase):
                 + f", cell={self._cell!r})")
 
     def mapping(self):
-        if all(e.mapping() == "identity" for e in self._factor_elements):
-            return "identity"
-        elif all(e.mapping() == "L2 Piola" for e in self._factor_elements):
-            return "L2 Piola"
-        return "undefined"
+        maps = {e.mapping() for e in self._factor_elements}
+        return maps.pop() if maps in ({"identity"}, {"L2 Piola"}) \
+            else "undefined"
 
     @property
     def sobolev_space(self):
-        elements = self._factor_elements
-        if all(e.sobolev_space == elements[0].sobolev_space
-               for e in elements):
-            return elements[0].sobolev_space
-        orders = []
-        for e in elements:
-            orders.extend((e.sobolev_space._order,)
-                          * e.cell.topological_dimension)
+        spaces = {e.sobolev_space for e in self._factor_elements}
+        if len(spaces) == 1:
+            return spaces.pop()
+        orders = [e.sobolev_space._order
+                  for e in self._factor_elements
+                  for _ in range(e.cell.topological_dimension)]
         return DirectionalSobolevSpace(orders)
 
     @property
     def num_factor_elements(self):
-        return len(self._factor_elements)
+        return len(self.factor_elements)
 
     @property
     def factor_elements(self):
         return self._factor_elements
 
     def reconstruct(self, **kwargs):
-        cell = kwargs.pop("cell", self.cell)
-        return TensorProductElement(
-            *[e.reconstruct(**kwargs) for e in self.factor_elements],
-            cell=cell)
+        new_cell = kwargs.pop("cell", self.cell)
+        factors = [e.reconstruct(**kwargs) for e in self.factor_elements]
+        return TensorProductElement(*factors, cell=new_cell)
 
     def variant(self):
-        try:
-            variant, = {e.variant() for e in self.factor_elements}
-            return variant
-        except ValueError:
-            return None
+        variants = {e.variant() for e in self.factor_elements}
+        return variants.pop() if len(variants) == 1 else None
 
     def __str__(self):
         return ("TensorProductElement("
@@ -101,8 +86,8 @@ class TensorProductElement(FiniteElementBase):
 
     @property
     def embedded_superdegree(self):
-        return sum(self.degree())
+        return sum(d for d in self.degree())
 
     @property
     def embedded_subdegree(self):
-        return min(self.degree())
+        return min(d for d in self.degree())
