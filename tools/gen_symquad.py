@@ -378,6 +378,87 @@ def degenerations(kind, params):
     return out
 
 
+def cheap_scores(solver, d, orbits):
+    """|w| * column-norm contribution proxy, in orbit-list order (much
+    cheaper than leave-one-out; good enough to rank a redundant rule)."""
+    structure, theta, nparams = theta_from_orbits(orbits)
+    V = solver.vandermonde(d, structure, theta, nparams)
+    w, *_ = np.linalg.lstsq(V, solver.inv_data(d)[1], rcond=None)
+    s = np.abs(w) * np.linalg.norm(V, axis=0)
+    perm = sorted(range(len(orbits)), key=lambda i: KIND_ORDER[orbits[i][0]])
+    out = [None] * len(orbits)
+    for col, orig in enumerate(perm):
+        out[orig] = s[col]
+    return out
+
+
+def _exterior(orbits, margin=1e-6):
+    """Indices of orbits with a barycentric coordinate below margin
+    (box bounds cannot express a+b <= 1, so points can exit there)."""
+    return [i for i, (kind, params, w) in enumerate(orbits)
+            if orbit_bary(kind, params).min() < margin]
+
+
+def shed(solver, dim, d, orbits, target, deadline, log=lambda s: None,
+         max_nfev=2500):
+    """Drive an (unverified, usually redundant) orbit list to a VERIFIED
+    rule, then shrink it fast by removing batches of the least-important
+    orbits while the system stays heavily underdetermined.  Orbits that
+    exit the simplex during a solve are shed too -- they are redundant
+    degrees of freedom trying to die.  Returns the best verified rule
+    found, or None."""
+    m = invariant_count(dim, d)
+    best = None
+    cur = orbits
+    fails = 0
+    while time.time() < deadline and fails < 3:
+        # solve + shed exiting orbits until clean
+        for _ in range(4):
+            structure, theta, nparams = theta_from_orbits(cur)
+            theta = solver.reseed_weights(d, structure, theta, nparams)
+            sol = solver.attempt(d, structure, theta, nparams,
+                                 max_nfev=max_nfev)
+            if sol is None:
+                break
+            cur = pack(structure, sol)
+            out = _exterior(cur)
+            if not out:
+                break
+            trial = [o for i, o in enumerate(cur) if i not in set(out)]
+            if ndof(trial) < m:
+                break
+            log(f"    shed {len(out)} exterior -> {npts(trial)} pts")
+            cur = trial
+        else:
+            sol = None
+        ok = sol is not None and not _exterior(cur) \
+            and solver.verify(d, cur)[0]
+        if ok:
+            best = cur
+            fails = 0
+            slack = ndof(cur) - m
+            if npts(cur) <= target or slack <= 30:
+                break
+            drop = max(2, slack // 8)
+            ranked = sorted(range(len(cur)),
+                            key=cheap_scores(solver, d, cur).__getitem__)
+            cur = [o for i, o in enumerate(best)
+                   if i not in set(ranked[:drop])]
+            log(f"    batch rm {drop} -> {npts(cur)} pts (try)")
+        else:
+            fails += 1
+            if best is None:
+                break
+            # retreat to the last verified rule, smaller batch
+            slack = ndof(best) - m
+            drop = max(1, slack // 24)
+            ranked = sorted(range(len(best)),
+                            key=cheap_scores(solver, d, best).__getitem__)
+            cur = [o for i, o in enumerate(best)
+                   if i not in set(ranked[:drop])]
+    return best
+
+
 def eliminate(solver, dim, d, orbits, target, rng, deadline,
               log=lambda s: None):
     """Shrink a verified rule toward ``target`` points by orbit removal
@@ -679,24 +760,18 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log,
     deadline2 = deadline if d <= 25 else min(
         deadline, time.time() + 0.6 * max(deadline - time.time(), 0.0))
     if prev:
-        for outer in range(60):
-            # use the WHOLE remaining budget (the old 6-attempt cap made
-            # high degrees give up with most of their budget unspent)
+        for outer in range(8):
             if time.time() > deadline2:
                 break
             aug = list(prev)
-            while ndof(aug) < m + 5 + rng.integers(5):
+            slack = 12 + 12 * outer + rng.integers(5)
+            while ndof(aug) < m + slack:
                 aug.append(random_orbit(dim, rng))
-            structure, theta0, nparams = theta_from_orbits(aug)
-            theta0 = solver.reseed_weights(d, structure, theta0, nparams)
-            sol = solver.attempt(d, structure, theta0, nparams)
-            if sol is None:
+            got = shed(solver, dim, d, aug, target, deadline2, log)
+            if got is None:
                 continue
-            orbits = pack(structure, sol)
-            ok, err = solver.verify(d, orbits)
-            if not ok:
-                continue
-            got = eliminate(solver, dim, d, orbits, target, rng, deadline2,
+            log(f"    continuation verified at {npts(got)} pts")
+            got = eliminate(solver, dim, d, got, target, rng, deadline2,
                             log)
             if best is None or npts(got) < npts(best):
                 best = got
@@ -705,7 +780,8 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log,
 
     # Phase 3: eliminate from an exact symmetric seed -- GM while its
     # weights still verify (degree <= ~25), else the symmetrized
-    # collapsed rule RRQR-pruned to ~the invariant count
+    # collapsed rule RRQR-pruned to ~the invariant count; shed() does
+    # the fast redundant-phase shrinking before one-at-a-time clean-up
     if npts(best or [("S111", (0, 0), 0)] * 10 ** 6) > target \
             and time.time() < deadline:
         for seed_fn in (gm_orbits, collapsed_orbits):
@@ -719,6 +795,9 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log,
                 if not ok:
                     continue
                 log(f"    pruned exact seed -> {npts(orbits)} pts")
+            shrunk = shed(solver, dim, d, orbits, target, deadline, log)
+            if shrunk is not None:
+                orbits = shrunk
             got = eliminate(solver, dim, d, orbits, target, rng, deadline,
                             log)
             if best is None or npts(got) < npts(best):
