@@ -400,7 +400,7 @@ def _exterior(orbits, margin=1e-6):
 
 
 def shed(solver, dim, d, orbits, target, deadline, log=lambda s: None,
-         max_nfev=2500):
+         max_nfev=1800):
     """Drive an (unverified, usually redundant) orbit list to a VERIFIED
     rule, then shrink it fast by removing batches of the least-important
     orbits while the system stays heavily underdetermined.  Orbits that
@@ -411,9 +411,11 @@ def shed(solver, dim, d, orbits, target, deadline, log=lambda s: None,
     best = None
     cur = orbits
     fails = 0
+    batch_div = 8
     while time.time() < deadline and fails < 3:
         # solve + shed exiting orbits until clean
-        for _ in range(4):
+        sol = None
+        for _ in range(6):
             structure, theta, nparams = theta_from_orbits(cur)
             theta = solver.reseed_weights(d, structure, theta, nparams)
             sol = solver.attempt(d, structure, theta, nparams,
@@ -429,29 +431,32 @@ def shed(solver, dim, d, orbits, target, deadline, log=lambda s: None,
                 break
             log(f"    shed {len(out)} exterior -> {npts(trial)} pts")
             cur = trial
-        else:
-            sol = None
-        ok = sol is not None and not _exterior(cur) \
-            and solver.verify(d, cur)[0]
+        ok = err = None
+        if sol is not None and not _exterior(cur):
+            ok, err = solver.verify(d, cur)
         if ok:
-            best = cur
+            if best is None or npts(cur) < npts(best):
+                best = cur
+                log(f"    shed verified {npts(best)} pts")
             fails = 0
-            slack = ndof(cur) - m
-            if npts(cur) <= target or slack <= 30:
+            slack = ndof(best) - m
+            if npts(best) <= target or slack <= 30:
                 break
-            drop = max(2, slack // 8)
-            ranked = sorted(range(len(cur)),
-                            key=cheap_scores(solver, d, cur).__getitem__)
+            drop = max(2, slack // batch_div)
+            ranked = sorted(range(len(best)),
+                            key=cheap_scores(solver, d, best).__getitem__)
             cur = [o for i, o in enumerate(best)
                    if i not in set(ranked[:drop])]
-            log(f"    batch rm {drop} -> {npts(cur)} pts (try)")
         else:
             fails += 1
+            log("    shed attempt failed "
+                f"({'stall' if sol is None else err})")
             if best is None:
-                break
-            # retreat to the last verified rule, smaller batch
+                break    # unverified seed: nothing to retreat to
+            # retreat to the last verified rule with smaller batches
+            batch_div *= 3
             slack = ndof(best) - m
-            drop = max(1, slack // 24)
+            drop = max(1, slack // batch_div)
             ranked = sorted(range(len(best)),
                             key=cheap_scores(solver, d, best).__getitem__)
             cur = [o for i, o in enumerate(best)
@@ -764,7 +769,7 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log,
             if time.time() > deadline2:
                 break
             aug = list(prev)
-            slack = 12 + 12 * outer + rng.integers(5)
+            slack = 24 + 16 * outer + rng.integers(7)
             while ndof(aug) < m + slack:
                 aug.append(random_orbit(dim, rng))
             got = shed(solver, dim, d, aug, target, deadline2, log)
