@@ -82,8 +82,16 @@ def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs):
            jnp.full((1, T), np.float32(
                scale - np.float64(np.float32(scale)))))
     neg1 = FF(jnp.full((1, T), np.float32(-1.0)), zero)
-    X = [FF(hi_ref[i, :].reshape(1, T), lo_ref[i, :].reshape(1, T))
-         for i in range(sd)] + [neg1, neg1]
+    # cell map 2x-1 IN-KERNEL and error-free (pow2 scale + TwoSum):
+    # doing it outside in f64 cost more than the whole recurrence (every
+    # f64 op is emulated on TPU)
+    X = []
+    for i in range(sd):
+        two_hi = hi_ref[i, :].reshape(1, T) * np.float32(2.0)
+        two_lo = lo_ref[i, :].reshape(1, T) * np.float32(2.0)
+        s, e = two_sum(two_hi, np.float32(-1.0))
+        X.append(FF(*two_sum(s, e + two_lo)))
+    X += [neg1, neg1]
     half = np.float32(0.5)
     one = FF(np.float32(1.0), np.float32(0.0))
     for codim in range(sd):
@@ -150,6 +158,12 @@ class PallasSliceRecurrence:
         if es.variant is not None or len(es.affine_mappings) != 1:
             raise NotImplementedError(
                 "Pallas slice recurrence: plain single-cell variant only")
+        A0, b0 = es.affine_mappings[0]
+        sd0 = es.ref_el.get_spatial_dimension()
+        if not (np.allclose(np.asarray(A0), 2.0 * np.eye(sd0))
+                and np.allclose(np.asarray(b0), -1.0)):
+            raise NotImplementedError(
+                "Pallas slice recurrence: 2x-1 cell map only")
         self.es = es
         self.degree = degree
         self.nslices = nslices
@@ -195,12 +209,17 @@ class PallasSliceRecurrence:
         T = min(self._vmem_tile(), max(128, npts))
         ntiles = -(-npts // T)
         pad = ntiles * T - npts
-        # exact f64 affine map to the (-1,1) cell OUTSIDE the kernel
-        # (tiny: npts x sd), then pair-split for the f32-only kernel
-        ref = points @ jnp.asarray(self.A.T) + jnp.asarray(self.b)
-        ref = jnp.pad(ref, ((0, pad), (0, 0))).T      # (sd, ntiles*T)
-        hi = ref.astype(jnp.float32)
-        lo = (ref - hi.astype(jnp.float64)).astype(jnp.float32)
+        # pair-split FIRST (the only f64 arithmetic: one subtract); the
+        # pad/transpose run in f32 and the 2x-1 cell map happens
+        # error-free inside the kernel
+        if points.dtype == jnp.float64:
+            hi = points.astype(jnp.float32)
+            lo = (points - hi.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            hi = points.astype(jnp.float32)
+            lo = jnp.zeros_like(hi)
+        hi = jnp.pad(hi, ((0, pad), (0, 0))).T        # (sd, ntiles*T)
+        lo = jnp.pad(lo, ((0, pad), (0, 0))).T
 
         full = lambda arr: pl.BlockSpec(arr.shape, lambda i: tuple(
             i * 0 for _ in arr.shape), memory_space=pltpu.VMEM)

@@ -1,28 +1,32 @@
-"""Discontinuous wrapper in the symbolic layer (parity with
-/root/reference/finat/discontinuous.py)."""
+"""Discontinuous wrapper in the symbolic layer: the wrapped element's
+evaluations with every DoF re-attached to the cell.  Behavioural
+parity: /root/reference/finat/discontinuous.py."""
 
 from .. import elements as fe_numeric
 from .base import FiniteElementBase
 
 
+def _read_through(name):
+    get = lambda self: getattr(self.element, name)
+    get.__name__ = name
+    return property(get)
+
+
 class DiscontinuousElement(FiniteElementBase):
     """Move all DoFs of a symbolic element onto the cell."""
+
+    # the geometric/value metadata reads straight off the wrapped element
+    cell = _read_through("cell")
+    complex = _read_through("complex")
+    degree = _read_through("degree")
+    index_shape = _read_through("index_shape")
+    value_shape = _read_through("value_shape")
+    dual_basis = _read_through("dual_basis")
+    mapping = _read_through("mapping")
 
     def __init__(self, element):
         super().__init__()
         self.element = element
-
-    @property
-    def cell(self):
-        return self.element.cell
-
-    @property
-    def complex(self):
-        return self.element.complex
-
-    @property
-    def degree(self):
-        return self.element.degree
 
     @property
     def formdegree(self):
@@ -32,49 +36,34 @@ class DiscontinuousElement(FiniteElementBase):
         try:
             return self._entity_dofs_cache
         except AttributeError:
-            pass
-        result = {dim: {i: [] for i in entities}
-                  for dim, entities in self.cell.get_topology().items()}
-        result[self.cell.get_dimension()][0].extend(
-            range(self.space_dimension()))
-        self._entity_dofs_cache = result
-        return result
+            dofs = {dim: {e: [] for e in entities}
+                    for dim, entities in self.cell.get_topology().items()}
+            dofs[self.cell.get_dimension()][0] = \
+                list(range(self.space_dimension()))
+            self._entity_dofs_cache = dofs
+        return self._entity_dofs_cache
 
     @property
     def entity_permutations(self):
         if self.element.entity_dofs() == self.element.entity_closure_dofs():
             return self.element.entity_permutations
-        raise NotImplementedError(
-            f"entity_permutations not yet implemented for a general {type(self)}")
-
-    def space_dimension(self):
-        return self.element.space_dimension()
-
-    @property
-    def index_shape(self):
-        return self.element.index_shape
-
-    @property
-    def value_shape(self):
-        return self.element.value_shape
+        raise NotImplementedError("entity_permutations not yet implemented "
+                                  f"for a general {type(self)}")
 
     @property
     def fiat_equivalent(self):
-        return fe_numeric.DiscontinuousElement(self.element.fiat_equivalent)
+        return fe_numeric.DiscontinuousElement(
+            self.element.fiat_equivalent)
 
-    def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
-        return self.element.basis_evaluation(order, ps, entity,
-                                             coordinate_mapping=coordinate_mapping)
+    def basis_evaluation(self, order, ps, entity=None,
+                         coordinate_mapping=None):
+        return self.element.basis_evaluation(
+            order, ps, entity, coordinate_mapping=coordinate_mapping)
 
     def point_evaluation(self, order, refcoords, entity=None,
                          coordinate_mapping=None):
         return self.element.point_evaluation(order, refcoords, entity,
                                              coordinate_mapping)
 
-    @property
-    def dual_basis(self):
-        return self.element.dual_basis
-
-    @property
-    def mapping(self):
-        return self.element.mapping
+    def space_dimension(self):
+        return self.element.space_dimension()

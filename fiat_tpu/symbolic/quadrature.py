@@ -1,7 +1,7 @@
-"""Quadrature for the symbolic layer (parity with
-/root/reference/finat/quadrature.py): tensor-product aware rule
+"""Quadrature for the symbolic layer: tensor-product aware rule
 construction with spectrally-tagged point sets; weights are plain arrays
-(product-structured for TP rules)."""
+(product-structured for TP rules).  Behavioural parity:
+/root/reference/finat/quadrature.py."""
 
 import hashlib
 from abc import ABCMeta, abstractmethod
@@ -19,47 +19,42 @@ from .point_set import (GaussLegendrePointSet, GaussLobattoLegendrePointSet,
 def make_quadrature(ref_el, degree, scheme="default"):
     """A rule exact to ``degree`` with the appropriately tagged point set
     (tensor products of rules on tensor-product cells)."""
-    if ref_el.get_shape() == cl.TENSORPRODUCT:
-        try:
-            degree = tuple(degree)
-        except TypeError:
-            degree = (degree,) * len(ref_el.cells)
-        assert len(ref_el.cells) == len(degree)
-        quad_rules = [make_quadrature(c, d, scheme)
-                      for c, d in zip(ref_el.cells, degree)]
-        return TensorProductQuadratureRule(quad_rules, ref_el=ref_el)
-
-    if ref_el.get_shape() == cl.QUADRILATERAL:
+    shape = ref_el.get_shape()
+    if shape == cl.TENSORPRODUCT:
+        degrees = tuple(degree) if np.ndim(degree) else \
+            (degree,) * len(ref_el.cells)
+        assert len(ref_el.cells) == len(degrees)
+        return TensorProductQuadratureRule(
+            [make_quadrature(c, d, scheme)
+             for c, d in zip(ref_el.cells, degrees)], ref_el=ref_el)
+    if shape == cl.QUADRILATERAL:
         return make_quadrature(ref_el.product, degree, scheme)
-
     if degree < 0:
         raise ValueError(f"Need positive degree, not {degree}")
 
+    # pick the numeric rule and the point-set TAG together: spectral
+    # tags let consumers collapse tabulations to deltas
     if scheme.lower() in {"kmv", "lump"}:
-        fiat_rule = fiat_scheme(ref_el, degree, "KMV")
-        if ref_el.get_shape() == cl.LINE:
-            point_set = GaussLobattoLegendrePointSet(fiat_rule.get_points())
-        else:
-            point_set = KMVPointSet(fiat_rule.get_points())
-    elif ref_el.get_shape() == cl.LINE and not ref_el.is_macrocell():
-        num_points = (degree + 2) // 2
-        fiat_rule = GaussLegendreQuadratureLineRule(ref_el, num_points)
-        point_set = GaussLegendrePointSet(fiat_rule.get_points())
+        rule = fiat_scheme(ref_el, degree, "KMV")
+        tag = GaussLobattoLegendrePointSet if shape == cl.LINE \
+            else KMVPointSet
+    elif shape == cl.LINE and not ref_el.is_macrocell():
+        rule = GaussLegendreQuadratureLineRule(ref_el, (degree + 2) // 2)
+        tag = GaussLegendrePointSet
     else:
-        fiat_rule = fiat_scheme(ref_el, degree, scheme)
-        point_set = PointSet(fiat_rule.get_points())
-
+        rule = fiat_scheme(ref_el, degree, scheme)
+        tag = PointSet
     return QuadratureRule(
-        point_set, fiat_rule.get_weights(), ref_el=ref_el,
-        io_ornt_map_tuple=fiat_rule._intrinsic_orientation_permutation_map_tuple)
+        tag(rule.get_points()), rule.get_weights(), ref_el=ref_el,
+        io_ornt_map_tuple=rule._intrinsic_orientation_permutation_map_tuple)
 
 
 class AbstractQuadratureRule(metaclass=ABCMeta):
     """A point set plus weights."""
 
     def __hash__(self):
-        return int.from_bytes(hashlib.md5(repr(self).encode()).digest(),
-                              byteorder="big")
+        digest = hashlib.md5(repr(self).encode()).digest()
+        return int.from_bytes(digest, byteorder="big")
 
     def __eq__(self, other):
         return type(other) is type(self) and repr(other) == repr(self)
@@ -86,15 +81,17 @@ class AbstractQuadratureRule(metaclass=ABCMeta):
 
     @cached_property
     def intrinsic_orientation_permutation_map_tuple(self):
-        if any(m is None for m in self._intrinsic_orientation_permutation_map_tuple):
+        maps = self._intrinsic_orientation_permutation_map_tuple
+        if any(m is None for m in maps):
             raise ValueError("intrinsic orientation maps not set")
-        return self._intrinsic_orientation_permutation_map_tuple
+        return maps
 
 
 class QuadratureRule(AbstractQuadratureRule):
     """An unstructured rule."""
 
-    def __init__(self, point_set, weights, ref_el=None, io_ornt_map_tuple=(None,)):
+    def __init__(self, point_set, weights, ref_el=None,
+                 io_ornt_map_tuple=(None,)):
         weights = np.asarray(weights)
         assert len(point_set.points) == len(weights)
         self.ref_el = ref_el
@@ -103,8 +100,8 @@ class QuadratureRule(AbstractQuadratureRule):
         self._intrinsic_orientation_permutation_map_tuple = io_ornt_map_tuple
 
     def __repr__(self):
-        return (f"{type(self).__name__}({self.point_set!r}, {self.weights!r}, "
-                f"{self.ref_el!r})")
+        return (f"{type(self).__name__}({self.point_set!r}, "
+                f"{self.weights!r}, {self.ref_el!r})")
 
     @cached_property
     def point_set(self):
@@ -123,8 +120,8 @@ class TensorProductQuadratureRule(AbstractQuadratureRule):
         self.ref_el = ref_el
         self.factors = tuple(factors)
         self._intrinsic_orientation_permutation_map_tuple = tuple(
-            m for factor in factors
-            for m in factor._intrinsic_orientation_permutation_map_tuple)
+            m for q in factors
+            for m in q._intrinsic_orientation_permutation_map_tuple)
 
     def __repr__(self):
         return f"{type(self).__name__}({self.factors!r}, {self.ref_el!r})"
@@ -136,10 +133,10 @@ class TensorProductQuadratureRule(AbstractQuadratureRule):
     @property
     def weight_expression(self):
         """Dense outer product of the factor weights (points_shape)."""
-        ws = [np.asarray(q.weight_expression) for q in self.factors]
-        return reduce(np.multiply.outer, ws)
+        return reduce(np.multiply.outer, self.factor_weights)
 
     @property
     def factor_weights(self):
         """The factored weights, one vector per factor."""
-        return tuple(q.weight_expression for q in self.factors)
+        return tuple(np.asarray(q.weight_expression)
+                     for q in self.factors)
