@@ -15,8 +15,9 @@ def device_tabulator(elements, order=0, f64=True, **kw):
 
     * ``f64=True`` (default): the fused multiword pipeline
       (ops/pallas_multiword.py) -- f64-accurate tabulation on the bf16
-      MXU; on backends without Pallas/EFT support it degrades to the
-      XLA Ozaki engine transparently.
+      MXU.  The TPU Pallas kernels run natively on ``tpu`` backends and
+      in interpret mode on ``cpu``; any other backend (e.g. ``gpu``)
+      falls back to the XLA Ozaki engine (BatchedTabulator).
     * ``f64=False``: the f32 throughput engine where available
       (ops/pallas_tabulate.py), else the XLA engine in f32.
     """
@@ -25,7 +26,11 @@ def device_tabulator(elements, order=0, f64=True, **kw):
     bt = BatchedTabulator(elements, order=order,
                           **{k: v for k, v in kw.items()
                              if k in ("tile", "derivs", "matmul")})
-    interpret = kw.get("interpret", jax.default_backend() == "cpu")
+    backend = jax.default_backend()
+    interpret = kw.get("interpret", backend == "cpu")
+    if backend not in ("tpu", "cpu") and not interpret:
+        # TPU Pallas kernels would fail at runtime on other backends
+        return bt
     if not f64:
         try:
             from .pallas_tabulate import PallasZooTabulator

@@ -252,7 +252,11 @@ def eft_safe():
         return _EFT_SAFE_CACHE[platform]
     except KeyError:
         pass
-    if isinstance(jnp.zeros(1) + 0.0, jax.core.Tracer):
+    from jax._src import core as _core
+    if not _core.trace_state_clean():
+        # ops on fresh concrete arrays stay concrete inside a trace, so
+        # probing the Tracer-ness of `zeros(1)+0.0` never fires; ask the
+        # trace state directly
         return False
     h64 = np.linspace(0.11, 1.9, 64) * (1.0 + 1e-9)
     pair = ff_from_f64(h64)

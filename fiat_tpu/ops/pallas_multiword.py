@@ -87,15 +87,16 @@ class FusedMultiwordMatmul:
         hi_ref, lo_ref = refs[2 * n + 2], refs[2 * n + 3]
 
         # every dot's result joins one TwoSum accumulation chain, so
-        # only (s, e) stay live between dots.  Group 0 must accumulate
-        # EXACTLY: its 16-bit slice products fit the f32 accumulator
-        # only for K <= 256, so longer contractions split into chunks
-        # whose partials the TwoSum chain combines error-free.
+        # only (s, e) stay live between dots.  Same-quantum 16-bit slice
+        # products fit the f32 accumulator exactly only for <= 256-term
+        # contractions, so EVERY group's concatenated dot (group t has
+        # (t+1)*K columns) splits into <= 256-column chunks whose
+        # partials the TwoSum chain combines error-free.
         dots = []
-        for bi, idx in enumerate(self.batches):
+        for idx in self.batches:
             Acat = jnp.concatenate([a_refs[i][:] for i, _ in idx], axis=1)
             Bcat = jnp.concatenate([b_refs[j][:] for _, j in idx], axis=0)
-            if bi == 0 and Acat.shape[1] > 256:
+            if Acat.shape[1] > 256:
                 for k0 in range(0, Acat.shape[1], 256):
                     dots.append((Acat[:, k0:k0 + 256],
                                  Bcat[k0:k0 + 256, :]))
