@@ -1,11 +1,18 @@
-"""Flattened hypercube presentation of TP elements (parity with
-/root/reference/finat/cube.py)."""
+"""Flattened hypercube presentation of TP elements (role parity with
+/root/reference/finat/cube.py): entity dimensions of a tensor-product
+element collapse to quadrilateral/hexahedron numbering, evaluations
+forward through the unflattening map, and everything else delegates to
+the wrapped product element via a generated pass-through table."""
+
+from functools import cached_property
 
 from .. import elements as fe_numeric
 from ..core.cells import (UFCHexahedron, UFCQuadrilateral,
                           compute_unflattening_map, flatten_entities,
                           flatten_permutations)
 from .base import FiniteElementBase
+
+_CUBES = {2: UFCQuadrilateral, 3: UFCHexahedron}
 
 
 class FlattenedDimensions(FiniteElementBase):
@@ -18,35 +25,24 @@ class FlattenedDimensions(FiniteElementBase):
         self._unflatten = compute_unflattening_map(
             element.cell.get_topology())
 
-    @property
+    @cached_property
     def cell(self):
         dim = self.product.cell.get_spatial_dimension()
-        if dim == 2:
-            return UFCQuadrilateral()
-        if dim == 3:
-            return UFCHexahedron()
-        raise NotImplementedError(f"Cannot guess cell for dimension {dim}")
-
-    @property
-    def complex(self):
-        return self.product.complex
+        if dim not in _CUBES:
+            raise NotImplementedError(f"Cannot guess cell for dimension {dim}")
+        return _CUBES[dim]()
 
     @property
     def degree(self):
         unique_degree, = set(self.product.degree)
         return unique_degree
 
-    @property
-    def formdegree(self):
-        return self.product.formdegree
+    @cached_property
+    def _entity_dofs(self):
+        return flatten_entities(self.product.entity_dofs())
 
     def entity_dofs(self):
-        try:
-            return self._entity_dofs_cache
-        except AttributeError:
-            self._entity_dofs_cache = flatten_entities(
-                self.product.entity_dofs())
-            return self._entity_dofs_cache
+        return self._entity_dofs
 
     def entity_support_dofs(self):
         return flatten_entities(self.product.entity_support_dofs())
@@ -55,41 +51,41 @@ class FlattenedDimensions(FiniteElementBase):
     def entity_permutations(self):
         return flatten_permutations(self.product.entity_permutations)
 
-    def space_dimension(self):
-        return self.product.space_dimension()
-
     @property
     def fiat_equivalent(self):
         return fe_numeric.FlattenedDimensions(self.product.fiat_equivalent)
 
-    def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
+    def _cube_entity(self, entity):
         if entity is None:
             entity = (self.cell.get_spatial_dimension(), 0)
-        return self.product.basis_evaluation(order, ps, self._unflatten[entity])
+        return self._unflatten[entity]
+
+    def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
+        return self.product.basis_evaluation(order, ps,
+                                             self._cube_entity(entity))
 
     def point_evaluation(self, order, point, entity=None,
                          coordinate_mapping=None):
-        if entity is None:
-            entity = (self.cell.get_spatial_dimension(), 0)
         return self.product.point_evaluation(order, point,
-                                             self._unflatten[entity],
+                                             self._cube_entity(entity),
                                              coordinate_mapping)
-
-    @property
-    def dual_basis(self):
-        return self.product.dual_basis
-
-    @property
-    def index_shape(self):
-        return self.product.index_shape
-
-    @property
-    def value_shape(self):
-        return self.product.value_shape
-
-    @property
-    def mapping(self):
-        return self.product.mapping
 
     def dual_evaluation(self, argument, coordinate_mapping=None):
         return self.product.dual_evaluation(argument, coordinate_mapping)
+
+
+def _forward(name, call):
+    if call:
+        def fwd(self):
+            return getattr(self.product, name)()
+        return fwd
+    return property(lambda self: getattr(self.product, name))
+
+
+for _name in ("complex", "formdegree", "dual_basis", "index_shape",
+              "value_shape", "mapping"):
+    setattr(FlattenedDimensions, _name, _forward(_name, call=False))
+FlattenedDimensions.space_dimension = _forward("space_dimension", call=True)
+
+import abc  # noqa: E402
+abc.update_abstractmethods(FlattenedDimensions)

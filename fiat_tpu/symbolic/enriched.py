@@ -1,10 +1,7 @@
-"""Enriched element in the symbolic layer (parity with
-/root/reference/finat/enriched.py): tabulations of the parts concatenate
-along the (flattened) basis axis."""
-
-from functools import partial
-from itertools import chain
-from operator import add, methodcaller
+"""Enriched element in the symbolic layer (role parity with
+/root/reference/finat/enriched.py): the union element tabulates each part
+and concatenates along the flattened basis axis; reference queries reduce
+over the parts (unique / max / sum) through one aggregation table."""
 
 import numpy as np
 
@@ -14,57 +11,98 @@ from .base import FiniteElementBase
 from .point_set import _is_traced
 
 
+def _xp(arrays):
+    """numpy unless any operand is traced."""
+    if any(_is_traced(a) for a in arrays):
+        import jax.numpy as jnp
+        return jnp
+    return np
+
+
+def _the(values):
+    """The single common value of an iterable (parts must agree)."""
+    distinct, = set(values)
+    return distinct
+
+
+def _deep_max(*degrees):
+    """Elementwise max over possibly-nested degree tuples (TP elements
+    carry per-factor degrees)."""
+    if all(isinstance(d, tuple) for d in degrees):
+        return tuple(_deep_max(*slot) for slot in zip(*degrees))
+    return max(degrees)
+
+
 class EnrichedElement(FiniteElementBase):
     """Union of the basis functions of several elements."""
 
     def __new__(cls, elements, is_nodal_enriched=None):
-        elements = tuple(chain.from_iterable(
-            e.elements if isinstance(e, EnrichedElement) else (e,)
-            for e in elements))
-        if len(elements) == 1:
-            return elements[0]
+        parts = []
+        for e in elements:
+            parts.extend(e.elements if isinstance(e, EnrichedElement) else [e])
+        if len(parts) == 1:
+            return parts[0]
         self = super().__new__(cls)
-        self.elements = elements
+        self.elements = tuple(parts)
         if is_nodal_enriched is None:
             is_nodal_enriched = all(
-                is_orthogonal(elements[i], elements[j])
-                for i in range(len(elements))
-                for j in range(i + 1, len(elements)))
+                _disjoint_components(a, b)
+                for k, a in enumerate(self.elements)
+                for b in self.elements[k + 1:])
         self.is_nodal_enriched = is_nodal_enriched
         return self
 
     @property
     def cell(self):
-        result, = set(elem.cell for elem in self.elements)
-        return result
+        return _the(e.cell for e in self.elements)
 
     @property
     def complex(self):
-        return max_complex(set(elem.complex for elem in self.elements))
+        return max_complex(set(e.complex for e in self.elements))
 
     @property
     def degree(self):
-        return tree_map(max, *[elem.degree for elem in self.elements])
+        return _deep_max(*(e.degree for e in self.elements))
 
     @property
     def formdegree(self):
-        ks = set(elem.formdegree for elem in self.elements)
+        ks = set(e.formdegree for e in self.elements)
         return None if None in ks else max(ks)
 
     def entity_dofs(self):
-        return concatenate_entity_dofs(self.cell, self.elements,
-                                       methodcaller("entity_dofs"))
+        return self._merge_dofs(lambda e: e.entity_dofs())
+
+    def entity_support_dofs(self):
+        return self._merge_dofs(lambda e: e.entity_support_dofs())
 
     @property
     def entity_permutations(self):
-        return concatenate_entity_permutations(self.elements)
+        merged = {}
+        for element in self.elements:
+            for dim, by_ent in element.entity_permutations.items():
+                for ent, by_orient in by_ent.items():
+                    for orient, perm in by_orient.items():
+                        tail = (merged.setdefault(dim, {})
+                                .setdefault(ent, {}).setdefault(orient, []))
+                        base = len(tail)
+                        tail.extend(base + q for q in perm)
+        return merged
 
-    def entity_support_dofs(self):
-        return concatenate_entity_dofs(self.cell, self.elements,
-                                       methodcaller("entity_support_dofs"))
+    def _merge_dofs(self, get):
+        """Union the parts' entity dof maps, shifting each part's dof
+        numbers past the previous parts' spaces."""
+        merged = {dim: {ent: [] for ent in ents}
+                  for dim, ents in self.cell.get_topology().items()}
+        offset = 0
+        for element in self.elements:
+            for dim, by_ent in get(element).items():
+                for ent, dofs in by_ent.items():
+                    merged[dim][ent].extend(offset + d for d in dofs)
+            offset += element.space_dimension()
+        return merged
 
     def space_dimension(self):
-        return sum(elem.space_dimension() for elem in self.elements)
+        return sum(e.space_dimension() for e in self.elements)
 
     @property
     def index_shape(self):
@@ -72,8 +110,17 @@ class EnrichedElement(FiniteElementBase):
 
     @property
     def value_shape(self):
-        shape, = set(elem.value_shape for elem in self.elements)
-        return shape
+        return _the(e.value_shape for e in self.elements)
+
+    @property
+    def mapping(self):
+        kinds = set(e.mapping for e in self.elements)
+        return kinds.pop() if len(kinds) == 1 else None
+
+    @property
+    def is_mixed(self):
+        from .mixed import MixedSubElement
+        return all(isinstance(e, MixedSubElement) for e in self.elements)
 
     @property
     def fiat_equivalent(self):
@@ -84,100 +131,47 @@ class EnrichedElement(FiniteElementBase):
         return fe_numeric.EnrichedElement(
             *(e.fiat_equivalent for e in self.elements))
 
-    @property
-    def is_mixed(self):
-        from .mixed import MixedSubElement
-        return all(isinstance(e, MixedSubElement) for e in self.elements)
+    def _stack(self, per_part):
+        """Concatenate per-part tabulations along the flattened basis axis,
+        per derivative key (all parts report the same keys)."""
+        keys = _the(frozenset(d) for d in per_part)
 
-    def _compose_evaluations(self, results):
-        keys, = set(map(frozenset, results))
-        nval = len(self.value_shape)
+        def cat(tables):
+            flat = [t.reshape((-1,) + t.shape[len(e.index_shape):])
+                    for e, t in zip(self.elements, tables)]
+            return _xp(flat).concatenate(flat, axis=0)
 
-        def merge(tables):
-            tables = list(tables)
-            xp = (np if not any(_is_traced(t) for t in tables)
-                  else __import__("jax.numpy", fromlist=["x"]))
-            flat = []
-            for elem, table in zip(self.elements, tables):
-                n_idx = len(elem.index_shape)
-                flat.append(table.reshape((-1,) + table.shape[n_idx:]))
-            return xp.concatenate(flat, axis=0)
-        return {key: merge(result[key] for result in results)
-                for key in keys}
+        return {key: cat([d[key] for d in per_part]) for key in keys}
 
     def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
-        results = [element.basis_evaluation(
-            order, ps, entity, coordinate_mapping=coordinate_mapping)
-            for element in self.elements]
-        return self._compose_evaluations(results)
+        return self._stack([
+            e.basis_evaluation(order, ps, entity,
+                               coordinate_mapping=coordinate_mapping)
+            for e in self.elements])
 
     def point_evaluation(self, order, refcoords, entity=None,
                          coordinate_mapping=None):
-        results = [element.point_evaluation(order, refcoords, entity,
-                                            coordinate_mapping)
-                   for element in self.elements]
-        return self._compose_evaluations(results)
-
-    @property
-    def mapping(self):
-        mappings = set(elem.mapping for elem in self.elements)
-        if len(mappings) != 1:
-            return None
-        result, = mappings
-        return result
+        return self._stack([
+            e.point_evaluation(order, refcoords, entity, coordinate_mapping)
+            for e in self.elements])
 
     def dual_evaluation(self, argument, coordinate_mapping=None):
         if not self.is_nodal_enriched:
             raise NotImplementedError(
                 f"Dual evaluation not defined for {type(self).__name__}")
-        subs = [sub.dual_evaluation(argument,
-                                    coordinate_mapping=coordinate_mapping)
-                for sub in self.elements]
-        xp = (np if not any(_is_traced(s) for s in subs)
-              else __import__("jax.numpy", fromlist=["x"]))
-        return xp.concatenate([s.reshape(-1) for s in subs])
+        per_part = [e.dual_evaluation(argument,
+                                      coordinate_mapping=coordinate_mapping)
+                    for e in self.elements]
+        return _xp(per_part).concatenate([s.reshape(-1) for s in per_part])
 
 
-def tree_map(f, *args):
-    """map over tuple trees."""
-    nonleaf, = set(isinstance(arg, tuple) for arg in args)
-    if nonleaf:
-        return tuple(tree_map(f, *subargs) for subargs in zip(*args))
-    return f(*args)
-
-
-def concatenate_entity_dofs(ref_el, elements, method):
-    entity_dofs = {dim: {i: [] for i in entities}
-                   for dim, entities in ref_el.get_topology().items()}
-    offsets = np.cumsum([0] + [e.space_dimension() for e in elements],
-                        dtype=int)
-    for i, d in enumerate(map(method, elements)):
-        for dim, dofs in d.items():
-            for ent, off in dofs.items():
-                entity_dofs[dim][ent] += list(map(partial(add, offsets[i]), off))
-    return entity_dofs
-
-
-def concatenate_entity_permutations(elements):
-    permutations = {}
-    for element in elements:
-        for dim, e_o_p_map in element.entity_permutations.items():
-            dim_permutations = permutations.setdefault(dim, {})
-            for e, o_p_map in e_o_p_map.items():
-                e_dim_permutations = dim_permutations.setdefault(e, {})
-                for o, p in o_p_map.items():
-                    lst = e_dim_permutations.setdefault(o, [])
-                    offset = len(lst)
-                    lst += [offset + q for q in p]
-    return permutations
-
-
-def is_orthogonal(A, B):
-    """Whether two (wrapper) elements put values in disjoint components."""
+def _disjoint_components(A, B):
+    """Whether two H(div)/H(curl) wrapper elements write disjoint value
+    components (then dual evaluation decouples part by part)."""
     from .hdivcurl import HCurlElement, HDivElement
-    if isinstance(A, (HCurlElement, HDivElement)) \
-            and isinstance(B, (HCurlElement, HDivElement)):
-        apos = {i for i, sel in enumerate(A.transform) if sel is not None}
-        bpos = {i for i, sel in enumerate(B.transform) if sel is not None}
-        return not (apos & bpos)
-    return False
+    wrappers = (HCurlElement, HDivElement)
+    if not (isinstance(A, wrappers) and isinstance(B, wrappers)):
+        return False
+    slots = [{i for i, sel in enumerate(e.transform) if sel is not None}
+             for e in (A, B)]
+    return not (slots[0] & slots[1])

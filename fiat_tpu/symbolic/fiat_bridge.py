@@ -1,22 +1,33 @@
 """Bridge from the numerical element zoo to the symbolic layer.
 
-Parity with /root/reference/finat/fiat_elements.py: ``FiatElement`` wraps a
-core (Ciarlet) element; ``basis_evaluation`` packs tabulations as arrays of
-shape index_shape + value_shape + points_shape.  With a static point set
-this is host numpy; with an ``UnknownPointSet`` (traced points inside jit)
-the tabulation runs through the member-vectorized jet recurrence and
-returns traced arrays -- the XLA graph IS the symbolic tabulation.
+Role parity with /root/reference/finat/fiat_elements.py, restructured
+around this package's array encodings:
+
+* ``FiatElement`` wraps a core (Ciarlet) element.  Its reference-query
+  API is *generated* from one delegation table rather than written out
+  per attribute — the core element is the single source of truth.
+* ``basis_evaluation`` packs tabulations as arrays shaped
+  ``(space_dim, *value_shape, *points_shape)``.  With a static point set
+  this is host numpy; with an ``UnknownPointSet`` (traced points inside
+  jit) the tabulation runs through the member-vectorized jet recurrence
+  and returns traced arrays — the XLA graph IS the symbolic tabulation.
+* ``dual_basis`` flattens the whole dual set's struct-of-arrays term
+  encoding (core.functionals) into one dense weight tensor Q over a
+  merged point set, using the same lexsort-group point merging idiom as
+  ``core.macro``'s composite quadrature.
+* the ~30 per-family wrapper classes the reference spells out by hand
+  are stamped out from name tables at module import.
 
 Derivative tables beyond the polynomial degree are exact zeros (the
 reference marks them structurally with gem.Zero; here XLA constant-folds
 the zero arrays)."""
 
+import abc
 from functools import cached_property
 
 import numpy as np
 
 from .. import elements as fe
-from ..core import cells as cl
 from .base import FiniteElementBase
 from .point_set import PointSet, _is_traced, flat_points
 
@@ -29,152 +40,104 @@ class FiatElement(FiniteElementBase):
         self._element = fiat_element
 
     @property
-    def cell(self):
-        return self._element.get_reference_element()
-
-    @property
-    def complex(self):
-        return self._element.get_reference_complex()
-
-    @property
-    def degree(self):
-        return self._element.degree()
-
-    @property
-    def formdegree(self):
-        return self._element.get_formdegree()
-
-    def entity_dofs(self):
-        return self._element.entity_dofs()
-
-    def entity_closure_dofs(self):
-        return self._element.entity_closure_dofs()
-
-    @property
-    def entity_permutations(self):
-        return self._element.entity_permutations()
-
-    def space_dimension(self):
-        return self._element.space_dimension()
-
-    @property
-    def index_shape(self):
-        return (self.space_dimension(),)
-
-    @property
-    def value_shape(self):
-        return self._element.value_shape()
-
-    @property
     def fiat_equivalent(self):
         return self._element
 
-    def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
-        """{alpha: array (space_dim [+ value axes] + points_shape)}."""
-        pts = flat_points(ps)
-        if _is_traced(pts):
-            tables = self._traced_tabulate(order, pts, entity)
-        else:
-            tables = self._element.tabulate(order, pts, entity)
+    @property
+    def index_shape(self):
+        return (self._element.space_dimension(),)
 
-        # NOTE: for constrained elements (e.g. Bell) FIAT reports more basis
-        # functions than the element's space dimension; keep all rows here
-        # (the physically-mapped layer restricts after transformation).
-        value_shape = self.value_shape
-        result = {}
-        for alpha, table in tables.items():
+    @property
+    def mapping(self):
+        kinds = set(self._element.mapping())
+        return kinds.pop() if len(kinds) == 1 else None
+
+    def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
+        """{alpha: array (space_dim [+ value axes] + points_shape)}.
+
+        Constrained elements (e.g. Bell) tabulate more rows than the
+        space dimension; all rows are kept here and the physically-mapped
+        layer restricts after transformation."""
+        pts = flat_points(ps)
+        tabulate = (self._traced_tabulate if _is_traced(pts)
+                    else lambda o, p, e: self._element.tabulate(o, p, e))
+        vshape = self.value_shape
+
+        def pack(table):
             if isinstance(table, Exception):
-                result[alpha] = table
-                continue
-            shaped = table.reshape(table.shape[:1] + value_shape + ps.points_shape)
-            result[alpha] = shaped
-        return result
+                return table
+            return table.reshape(table.shape[:1] + vshape + ps.points_shape)
+
+        return {alpha: pack(t)
+                for alpha, t in tabulate(order, pts, entity).items()}
 
     def _traced_tabulate(self, order, pts, entity):
         """Tabulation with traced points: affine entity transform + the
         traceable expansion recurrence + the nodal-coefficient matmul."""
+        import jax.numpy as jnp
         element = self._element
         ref_el = element.get_reference_element()
         if entity is None:
             entity = (ref_el.get_spatial_dimension(), 0)
-        entity_dim, entity_id = entity
-        transform = ref_el.get_entity_transform(entity_dim, entity_id)
-        cell_pts = transform(pts)
+        cell_pts = ref_el.get_entity_transform(*entity)(pts)
 
         poly_set = element.get_nodal_basis()
-        base = poly_set.get_expansion_set()._tabulate(
+        raw = poly_set.get_expansion_set()._tabulate(
             poly_set.get_embedded_degree(), cell_pts, order=order)
-        import jax.numpy as jnp
         coeffs = jnp.asarray(np.asarray(poly_set.get_coeffs()))
+        lead = coeffs.shape[:-1]
         flat = coeffs.reshape(-1, coeffs.shape[-1])
-        out = {}
-        for alpha, tab in base.items():
-            vals = flat @ tab
-            out[alpha] = vals.reshape(coeffs.shape[:-1] + tab.shape[-1:])
-        return out
+        return {alpha: (flat @ tab).reshape(lead + tab.shape[-1:])
+                for alpha, tab in raw.items()}
 
     @cached_property
     def _dual_basis(self):
-        """(Q dense weights (nnodes, npts, *value_shape), unique points)."""
-        fiat_dual_basis = self._element.dual_basis()
-        if len(fiat_dual_basis) > self.space_dimension():
-            # throw away constrained degrees of freedom
-            fiat_dual_basis = fiat_dual_basis[:self.space_dimension()]
+        """(Q dense weights (nnodes, npts, *value_shape), merged points).
 
-        seen = {}
-        allpts = []
-        for dual in fiat_dual_basis:
-            if len(dual.deriv_dict) != 0:
-                raise NotImplementedError(
-                    "Dual bases with derivative nodes have no pointwise dual")
-            pts = tuple(sorted(dual.get_point_dict().keys()))
-            if pts not in seen:
-                kstart = len(allpts)
-                seen[pts] = (kstart, kstart + len(pts))
-                allpts.extend(pts)
+        Rides the struct-of-arrays functional encoding: every value term
+        of every node is one (node, point-row, component, weight) tuple;
+        coincident points across nodes are merged by lexsort grouping and
+        Q is built with a single scatter-add."""
+        nodes = self._element.dual_basis()[:self._element.space_dimension()]
+        if any(n.max_deriv_order for n in nodes):
+            raise NotImplementedError(
+                "Dual bases with derivative nodes have no pointwise dual")
 
-        # dedupe numerically coincident points
-        unique_points = []
-        unique_indices = [None] * len(allpts)
-        atol = 1e-12
-        for i in range(len(allpts)):
-            for j in reversed(range(len(unique_points))):
-                if np.allclose(unique_points[j], allpts[i], atol=atol):
-                    unique_indices[i] = j
-                    break
-            if unique_indices[i] is None:
-                unique_indices[i] = len(unique_points)
-                unique_points.append(allpts[i])
+        counts = [n.weights.size for n in nodes]
+        pts = np.concatenate([n.points[n.pt_ids] for n in nodes], axis=0)
+        node_of = np.repeat(np.arange(len(nodes)), counts)
+        comp_of = np.concatenate([n.comps for n in nodes])
+        w = np.concatenate([n.weights for n in nodes])
 
-        npts = len(unique_points)
-        Q = np.zeros((len(fiat_dual_basis), npts, *self.value_shape))
-        for i, dual in enumerate(fiat_dual_basis):
-            point_dict = dual.get_point_dict()
-            pts = tuple(sorted(point_dict.keys()))
-            kstart, kend = seen[pts]
-            for p, k in zip(pts, unique_indices[kstart:kend]):
-                for weight, cmp in point_dict[p]:
-                    Q[(i, k, *cmp)] += weight
-        return Q, np.asarray(unique_points)
+        # Merge numerically-coincident term points: lexsort rows, open a
+        # new group wherever consecutive sorted rows differ beyond atol,
+        # then renumber groups in first-occurrence order so the merged
+        # point list is stable against node ordering.
+        order = np.lexsort(pts.T[::-1])
+        sorted_pts = pts[order]
+        breaks = np.abs(np.diff(sorted_pts, axis=0)).max(axis=1) > 1e-12
+        gid = np.empty(len(pts), dtype=np.intp)
+        gid[order] = np.concatenate(([0], np.cumsum(breaks)))
+        first_row = np.full(gid.max() + 1, len(pts), dtype=np.intp)
+        np.minimum.at(first_row, gid, np.arange(len(pts)))
+        rank = np.empty_like(first_row)
+        rank[np.argsort(first_row, kind="stable")] = np.arange(len(first_row))
+        point_of = rank[gid]
+        merged = pts[np.sort(first_row)]
+
+        ncomp = max(int(np.prod(self.value_shape, dtype=int)), 1)
+        Q = np.zeros((len(nodes), len(merged), ncomp))
+        np.add.at(Q, (node_of, point_of, comp_of), w)
+        return Q.reshape(len(nodes), len(merged), *self.value_shape), merged
 
     @property
     def dual_basis(self):
         Q, pts = self._dual_basis
         return Q, PointSet(pts)
 
-    @property
-    def mapping(self):
-        mappings = set(self._element.mapping())
-        if len(mappings) != 1:
-            return None
-        result, = mappings
-        return result
-
 
 class ScalarFiatElement(FiatElement):
-    @property
-    def value_shape(self):
-        return ()
+    value_shape = ()
 
 
 class VectorFiatElement(FiatElement):
@@ -183,141 +146,62 @@ class VectorFiatElement(FiatElement):
         return (self.cell.get_spatial_dimension(),)
 
 
-# -- thin family wrappers (names match the reference finat API) -------------
-
-class Regge(FiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.Regge(cell, degree, **kwargs))
-
-
-class HellanHerrmannJohnson(FiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.HellanHerrmannJohnson(cell, degree, **kwargs))
+# The wrapped element answers every reference query; generate the
+# pass-throughs instead of hand-writing them.
+def _delegate(attr, call, as_property):
+    def fwd(self):
+        return getattr(self._element, attr)() if call \
+            else getattr(self._element, attr)
+    fwd.__name__ = attr
+    return property(fwd) if as_property else fwd
 
 
-class GopalakrishnanLedererSchoberlFirstKind(FiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.GopalakrishnanLedererSchoberlFirstKind(cell, degree,
-                                                                   **kwargs))
+for _name, _attr in [("cell", "get_reference_element"),
+                     ("complex", "get_reference_complex"),
+                     ("degree", "degree"),
+                     ("formdegree", "get_formdegree"),
+                     ("entity_permutations", "entity_permutations"),
+                     ("value_shape", "value_shape")]:
+    setattr(FiatElement, _name, _delegate(_attr, call=True, as_property=True))
+for _name in ["entity_dofs", "entity_closure_dofs", "space_dimension"]:
+    setattr(FiatElement, _name, _delegate(_name, call=True, as_property=False))
+for _cls in (FiatElement, ScalarFiatElement, VectorFiatElement):
+    abc.update_abstractmethods(_cls)
 
 
-class GopalakrishnanLedererSchoberlSecondKind(FiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.GopalakrishnanLedererSchoberlSecondKind(cell, degree,
-                                                                    **kwargs))
+# -- family wrappers (names match the reference finat API), stamped out
+#    from name tables: symbolic family == core family + packing policy.
+
+def _stamp(base, families):
+    for name in families:
+        core_cls = getattr(fe, name)
+
+        def __init__(self, cell, degree, _cls=core_cls, **kwargs):
+            FiatElement.__init__(self, _cls(cell, degree, **kwargs))
+
+        globals()[name] = type(name, (base,), {
+            "__init__": __init__, "__module__": __name__,
+            "__doc__": f"Symbolic wrapper over elements.{name}."})
 
 
-class Bernstein(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.Bernstein(cell, degree))
+_stamp(FiatElement, [
+    "Regge", "HellanHerrmannJohnson",
+    "GopalakrishnanLedererSchoberlFirstKind",
+    "GopalakrishnanLedererSchoberlSecondKind",
+])
+_stamp(ScalarFiatElement, [
+    "Bernstein", "Bubble", "FacetBubble", "CrouzeixRaviart", "Lagrange",
+    "DiscontinuousLagrange", "Histopolation", "Serendipity", "DPC",
+    "DiscontinuousTaylor", "HDivTrace",
+])
+_stamp(VectorFiatElement, [
+    "RaviartThomas", "BrezziDouglasMarini", "TrimmedSerendipityEdge",
+    "TrimmedSerendipityFace", "TrimmedSerendipityDiv",
+    "TrimmedSerendipityCurl", "BrezziDouglasMariniCubeEdge",
+    "BrezziDouglasMariniCubeFace", "BrezziDouglasFortinMarini",
+    "Nedelec", "NedelecSecondKind",
+])
 
 
-class Bubble(ScalarFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.Bubble(cell, degree, **kwargs))
-
-
-class FacetBubble(ScalarFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.FacetBubble(cell, degree, **kwargs))
-
-
-class CrouzeixRaviart(ScalarFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.CrouzeixRaviart(cell, degree, **kwargs))
-
-
-class Lagrange(ScalarFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.Lagrange(cell, degree, **kwargs))
-
-
-class DiscontinuousLagrange(ScalarFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.DiscontinuousLagrange(cell, degree, **kwargs))
-
-
-class Histopolation(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.Histopolation(cell, degree))
-
-
-class Real(DiscontinuousLagrange):
+class Real(DiscontinuousLagrange):  # noqa: F821
     ...
-
-
-class Serendipity(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.Serendipity(cell, degree))
-
-
-class DPC(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.DPC(cell, degree))
-
-
-class DiscontinuousTaylor(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.DiscontinuousTaylor(cell, degree))
-
-
-class HDivTrace(ScalarFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.HDivTrace(cell, degree, **kwargs))
-
-
-class RaviartThomas(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.RaviartThomas(cell, degree, **kwargs))
-
-
-class BrezziDouglasMarini(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.BrezziDouglasMarini(cell, degree, **kwargs))
-
-
-class TrimmedSerendipityEdge(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.TrimmedSerendipityEdge(cell, degree, **kwargs))
-
-
-class TrimmedSerendipityFace(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.TrimmedSerendipityFace(cell, degree, **kwargs))
-
-
-class TrimmedSerendipityDiv(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.TrimmedSerendipityDiv(cell, degree, **kwargs))
-
-
-class TrimmedSerendipityCurl(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.TrimmedSerendipityCurl(cell, degree, **kwargs))
-
-
-class BrezziDouglasMariniCubeEdge(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.BrezziDouglasMariniCubeEdge(cell, degree,
-                                                        **kwargs))
-
-
-class BrezziDouglasMariniCubeFace(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.BrezziDouglasMariniCubeFace(cell, degree,
-                                                        **kwargs))
-
-
-class BrezziDouglasFortinMarini(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.BrezziDouglasFortinMarini(cell, degree, **kwargs))
-
-
-class Nedelec(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.Nedelec(cell, degree, **kwargs))
-
-
-class NedelecSecondKind(VectorFiatElement):
-    def __init__(self, cell, degree, **kwargs):
-        super().__init__(fe.NedelecSecondKind(cell, degree, **kwargs))

@@ -1,16 +1,21 @@
 """Physical-geometry-aware ("zany") element machinery.
 
-Parity with /root/reference/finat/physically_mapped.py, TPU-first: the
-basis transformation matrix M is built as a numpy OBJECT array whose
-entries are scalars -- python floats for constants, traced jnp scalars for
-geometry-dependent entries (the geometry callbacks return arrays, traced
-under jit).  Applying M to a tabulation is then one dense matmul that XLA
-folds/fuses; the reference's hand-rolled sparse matvec over gem nodes is
-unnecessary on the MXU.
+Role parity with /root/reference/finat/physically_mapped.py, TPU-first:
+the basis transformation matrix M is assembled as a numpy OBJECT array
+whose entries are scalars — python floats for constants, traced jnp
+scalars for geometry-dependent entries (the geometry callbacks return
+arrays, traced under jit).  Once assembled it is densified and applied
+as one dense matmul that XLA folds/fuses; likewise the dual
+transformation inverts the *dense* matrix with real linalg.  The
+reference needs symbolic cofactor/block-partition inversion because gem
+has no linalg; here arrays are values, so only the tiny Jacobian-sized
+object matrices (built before densification) keep scalar-level algebra,
+done by Leibniz expansion.
 """
 
 from abc import ABCMeta, abstractmethod
 from collections.abc import Mapping
+from itertools import permutations
 
 import numpy as np
 
@@ -21,19 +26,19 @@ def _is_traced(x):
     return type(x).__module__.startswith("jax")
 
 
-def _is_zero(x):
-    return isinstance(x, (int, float)) and x == 0
-
-
 def to_dense(M):
-    """Convert an object matrix of (possibly traced) scalars into a dense
-    array: numpy if all entries are static, stacked jnp otherwise."""
-    M = np.asarray(M, dtype=object)
+    """Densify an object matrix of (possibly traced) scalars: numpy f64 if
+    every entry is static, stacked jnp otherwise.  Real arrays pass
+    through untouched."""
+    if _is_traced(M):
+        return M
+    M = np.asarray(M)
+    if M.dtype != object:
+        return M.astype(np.float64)
     if any(_is_traced(v) for v in M.flat):
         import jax.numpy as jnp
-        rows = [jnp.stack([jnp.asarray(v, dtype=jnp.float64) for v in row])
-                for row in M]
-        return jnp.stack(rows)
+        return jnp.stack([jnp.stack([jnp.asarray(v, dtype=jnp.float64)
+                                     for v in row]) for row in M])
     return M.astype(np.float64)
 
 
@@ -47,36 +52,30 @@ class NeedsCoordinateMappingElement(metaclass=ABCMeta):
 
 
 class MappedTabulation(Mapping):
-    """Lazy tabulation dict applying the basis transformation per requested
-    derivative: result[alpha] = M @ ref[alpha] (a dense [n x n] matmul)."""
+    """Lazy tabulation view applying a (dense, row-restricted) basis
+    transformation per requested derivative table."""
 
     def __init__(self, M, ref_tabulation, indices=None):
-        self.M = to_dense(M)
-        self.ref_tabulation = ref_tabulation
-        if indices is None:
-            indices = list(range(self.M.shape[0]))
-        self.indices = indices
+        M = to_dense(M)
+        self.M = M if indices is None else M[list(indices)]
+        self.tables = ref_tabulation
         self._cache = {}
 
-    def matvec(self, table):
-        M = self.M[self.indices]
-        if _is_traced(table) or _is_traced(M):
-            import jax.numpy as jnp
-            return jnp.tensordot(M, jnp.asarray(table), (1, 0))
-        return np.tensordot(M, table, (1, 0))
-
     def __getitem__(self, alpha):
-        try:
-            return self._cache[alpha]
-        except KeyError:
-            result = self.matvec(self.ref_tabulation[alpha])
-            return self._cache.setdefault(alpha, result)
+        if alpha not in self._cache:
+            table = self.tables[alpha]
+            xp = np
+            if _is_traced(table) or _is_traced(self.M):
+                import jax.numpy as xp
+            self._cache[alpha] = xp.tensordot(self.M, xp.asarray(table),
+                                              axes=(1, 0))
+        return self._cache[alpha]
 
     def __iter__(self):
-        return iter(self.ref_tabulation)
+        return iter(self.tables)
 
     def __len__(self):
-        return len(self.ref_tabulation)
+        return len(self.tables)
 
 
 class PhysicallyMappedElement(NeedsCoordinateMappingElement):
@@ -84,8 +83,8 @@ class PhysicallyMappedElement(NeedsCoordinateMappingElement):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        cite("Kirby2018zany")
-        cite("Kirby2019zany")
+        for paper in ("Kirby2018zany", "Kirby2019zany"):
+            cite(paper)
         self.restriction_indices = None
 
     @abstractmethod
@@ -94,25 +93,30 @@ class PhysicallyMappedElement(NeedsCoordinateMappingElement):
 
     def map_tabulation(self, ref_tabulation, coordinate_mapping):
         assert coordinate_mapping is not None
-        M = self.basis_transformation(coordinate_mapping)
-        return MappedTabulation(M, ref_tabulation,
+        return MappedTabulation(self.basis_transformation(coordinate_mapping),
+                                ref_tabulation,
                                 indices=self.restriction_indices)
 
     def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
-        result = super().basis_evaluation(order, ps, entity=entity)
-        return self.map_tabulation(result, coordinate_mapping)
+        return self.map_tabulation(
+            super().basis_evaluation(order, ps, entity=entity),
+            coordinate_mapping)
 
     def dual_transformation(self, Q, coordinate_mapping=None):
-        M = np.asarray(self.basis_transformation(coordinate_mapping),
-                       dtype=object)
-        if M.shape[1] > M.shape[0]:
-            M = M[:, :M.shape[0]]
-        M_dual = inverse(M.T)
-        if self.restriction_indices is not None:
-            indices = self.restriction_indices
-            M_dual = M_dual[np.ix_(indices, indices)]
-        key = None
-        return MappedTabulation(M_dual, {key: Q})[key]
+        """Dual weights transform by inv(M).T — computed densely: constrained
+        columns (beyond the square part) drop first, then one real matrix
+        inverse instead of the reference's symbolic block inversion."""
+        M = to_dense(self.basis_transformation(coordinate_mapping))
+        square = M[:, :M.shape[0]]
+        if _is_traced(square):
+            import jax.numpy as xp
+        else:
+            xp = np
+        M_dual = xp.linalg.inv(xp.transpose(square))
+        keep = self.restriction_indices
+        if keep is not None:
+            M_dual = M_dual[list(keep)][:, list(keep)]
+        return MappedTabulation(M_dual, {None: Q})[None]
 
 
 class DirectlyDefinedElement(NeedsCoordinateMappingElement):
@@ -167,69 +171,48 @@ class PhysicalGeometry(metaclass=ABCMeta):
             f"normalized_reference_edge_tangents not provided by {type(self)}")
 
 
-# -- object-matrix linear algebra over (possibly traced) scalars -------------
+# -- scalar-level algebra for tiny (Jacobian-sized) object matrices ----------
+#
+# Only determinants/adjugates of 2x2 and 3x3 geometry matrices are ever
+# formed symbolically (inside basis_transformation assembly, before
+# densification), so Leibniz expansion over signed permutations is both
+# the simplest and an exactly-sized algorithm.
 
 def identity(*shape):
-    V = np.eye(*shape, dtype=object)
-    for idx in np.ndindex(V.shape):
-        V[idx] = 0.0 if V[idx] == 0 else 1.0
+    V = np.empty(shape * 2 if len(shape) == 1 else shape, dtype=object)
+    for ij in np.ndindex(V.shape):
+        V[ij] = 1.0 if ij[0] == ij[1] else 0.0
     return V
 
 
+def _signed_perms(n):
+    for p in permutations(range(n)):
+        inversions = sum(a > b for k, a in enumerate(p) for b in p[k + 1:])
+        yield (-1.0) ** inversions, p
+
+
 def determinant(A):
-    """Determinant by cofactor expansion (entries are scalars)."""
+    """det(A) by Leibniz expansion (entries are scalars, n is tiny)."""
     n = A.shape[0]
-    if n == 0:
-        return 1
-    if n == 1:
-        return A[0, 0]
-    if n == 2:
-        return A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-    detA = A[0, 0] * determinant(A[1:, 1:])
-    cols = np.ones(A.shape[1], dtype=bool)
-    for j in range(1, n):
-        cols[j] = False
-        detA += (-1) ** j * A[0, j] * determinant(A[1:][:, cols])
-        cols[j] = True
-    return detA
+    det = 1.0 if n == 0 else 0.0
+    for sgn, p in _signed_perms(n):
+        term = sgn
+        for row, col in enumerate(p):
+            term = term * A[row, col]
+        det = det + term
+    return det
 
 
 def adjugate(A):
-    A = np.asarray(A)
-    C = np.zeros_like(A)
-    rows = np.ones(A.shape[0], dtype=bool)
-    cols = np.ones(A.shape[1], dtype=bool)
-    for i in range(A.shape[0]):
-        rows[i] = False
-        for j in range(A.shape[1]):
-            cols[j] = False
-            C[j, i] = (-1) ** (i + j) * determinant(A[rows, :][:, cols])
-            cols[j] = True
-        rows[i] = True
+    """adj(A), via the entrywise derivative of the Leibniz sum:
+    d det / dA[i, j] is the (i, j) cofactor, i.e. adj(A)[j, i]."""
+    n = A.shape[0]
+    C = np.full((n, n), 0.0, dtype=object)
+    for sgn, p in _signed_perms(n):
+        for hole in range(n):
+            term = sgn
+            for row, col in enumerate(p):
+                if row != hole:
+                    term = term * A[row, col]
+            C[p[hole], hole] = C[p[hole], hole] + term
     return C
-
-
-def inverse(A):
-    """Inverse of an object matrix, exploiting block-diagonal structure
-    with repeated blocks (symbolic sparsity on the zero entries)."""
-    m, n = A.shape
-    if m != n:
-        raise ValueError("A must be square.")
-    M = A.copy()
-    candidates = set(range(m))
-    while candidates:
-        seed = {min(candidates)}
-        while True:
-            ids = set(seed)
-            for i in seed:
-                ids.update(j for j in candidates if not _is_zero(M[j, i]))
-                ids.update(j for j in candidates if not _is_zero(M[i, j]))
-            if len(ids) == len(seed):
-                break
-            seed = ids
-        candidates -= ids
-        ids = sorted(ids)
-        Mii = M[np.ix_(ids, ids)]
-        Minv = adjugate(Mii) / determinant(Mii)
-        M[np.ix_(ids, ids)] = Minv
-    return M

@@ -1,19 +1,36 @@
 """Point set abstractions for the symbolic element layer.
 
-Parity with /root/reference/finat/point_set.py, TPU-first: where FInAT
-attaches GEM free indices and expressions, a fiat_tpu point set carries an
-ARRAY of points -- static numpy for compile-time-known points, or a traced
-jnp array (``UnknownPointSet``) for runtime points inside ``jax.jit``.  The
-"expression" of a point set is the array itself; structure (tensor product,
-facet batches) lives in ``points_shape``.
-"""
+Role parity with /root/reference/finat/point_set.py, TPU-first: where
+FInAT attaches GEM free indices and expressions, a fiat_tpu point set
+carries an ARRAY of points — static numpy for compile-time-known points,
+or a traced jnp array (``UnknownPointSet``) for runtime points inside
+``jax.jit``.  The "expression" of a point set is the array itself;
+structure (tensor product, facet batches) lives in ``points_shape``.
+
+Design notes vs the reference: equality/matching goes through one
+``almost_equal`` protocol on the base class with a per-subclass
+``_matches`` hook; the tensor-product point grid is built by iterated
+kron-style repeat/tile instead of a python cartesian product; the tagged
+spectral point families are stamped out from a name list."""
 
 import abc
-import hashlib
+import zlib
 from functools import cached_property
-from itertools import chain, product
 
 import numpy as np
+
+
+def _is_traced(x):
+    """Is x a traced/jax array (as opposed to host numpy)?"""
+    return type(x).__module__.startswith("jax")
+
+
+def flat_points(ps):
+    """The (N, dim) flattened point array of any point set."""
+    pts = ps.points
+    # explicit leading size: reshape(-1, 0) is ambiguous for 0-dim cells
+    npts = int(np.prod(pts.shape[:-1], dtype=int))
+    return pts.reshape(npts, pts.shape[-1])
 
 
 class AbstractPointSet(abc.ABC):
@@ -21,13 +38,13 @@ class AbstractPointSet(abc.ABC):
 
     ``points`` has shape points_shape + (dimension,)."""
 
-    def __hash__(self):
-        return int.from_bytes(hashlib.md5(repr(self).encode()).digest(),
-                              byteorder="big")
-
     @abc.abstractmethod
     def __repr__(self):
         pass
+
+    def __hash__(self):
+        # deterministic across processes (feeds persistent cache keys)
+        return zlib.crc32(repr(self).encode())
 
     @property
     @abc.abstractmethod
@@ -49,13 +66,24 @@ class AbstractPointSet(abc.ABC):
         """The points array itself (the TPU-native 'symbolic' form)."""
         return self.points
 
+    def almost_equal(self, other, tolerance=1e-12):
+        """Same structure and (numerically) the same points."""
+        return type(self) is type(other) and self._matches(other, tolerance)
+
+    def _matches(self, other, tol):
+        mine, theirs = self.points, other.points
+        return (mine.shape == theirs.shape
+                and not _is_traced(mine) and not _is_traced(theirs)
+                and np.allclose(mine, theirs, rtol=0, atol=tol))
+
 
 class PointSingleton(AbstractPointSet):
     """A single point; tabulations have no point axis."""
 
     def __init__(self, point):
-        point = np.asarray(point) if not _is_traced(point) else point
-        assert len(point.shape) == 1
+        if not _is_traced(point):
+            point = np.asarray(point)
+        assert point.ndim == 1
         self.point = point
 
     def __repr__(self):
@@ -65,17 +93,16 @@ class PointSingleton(AbstractPointSet):
     def points(self):
         return self.point.reshape(1, -1)
 
-    @property
-    def points_shape(self):
-        return ()
+    points_shape = ()
 
 
 class PointSet(AbstractPointSet):
     """An unstructured vector of known points."""
 
     def __init__(self, points):
-        points = np.asarray(points) if not _is_traced(points) else points
-        assert len(points.shape) == 2
+        if not _is_traced(points):
+            points = np.asarray(points)
+        assert points.ndim == 2
         self._points = points
 
     def __repr__(self):
@@ -85,12 +112,6 @@ class PointSet(AbstractPointSet):
     def points(self):
         return self._points
 
-    def almost_equal(self, other, tolerance=1e-12):
-        return (type(self) is type(other)
-                and self.points.shape == other.points.shape
-                and not _is_traced(self.points) and not _is_traced(other.points)
-                and np.allclose(self.points, other.points, rtol=0, atol=tolerance))
-
 
 class UnknownPointSet(PointSet):
     """Runtime points: a traced jnp array flowing through jit.  Tabulating
@@ -98,7 +119,7 @@ class UnknownPointSet(PointSet):
     runtime points (the role of FInAT's runtime gem.Variable points)."""
 
     def __init__(self, points_expr):
-        assert len(points_expr.shape) == 2
+        assert points_expr.ndim == 2
         self._points = points_expr
 
     def __repr__(self):
@@ -108,24 +129,24 @@ class UnknownPointSet(PointSet):
         return self is other
 
 
-class GaussLegendrePointSet(PointSet):
-    """Tagged interval Gauss-Legendre points (spectral DG shortcut)."""
-
-    def __init__(self, points):
-        super().__init__(points)
-        assert self.points.shape[1] == 1
-
-
-class GaussLobattoLegendrePointSet(PointSet):
-    """Tagged interval GLL points (spectral CG shortcut)."""
-
-    def __init__(self, points):
-        super().__init__(points)
-        assert self.points.shape[1] == 1
-
-
 class KMVPointSet(PointSet):
     """Tagged KMV lumped points on a simplex."""
+
+
+class _IntervalPointSet(PointSet):
+    """Tagged 1D point family (spectral-identity shortcut marker)."""
+
+    def __init__(self, points):
+        super().__init__(points)
+        assert self.dimension == 1
+
+
+class GaussLegendrePointSet(_IntervalPointSet):
+    """Tagged interval Gauss-Legendre points (spectral DG shortcut)."""
+
+
+class GaussLobattoLegendrePointSet(_IntervalPointSet):
+    """Tagged interval GLL points (spectral CG shortcut)."""
 
 
 class TensorPointSet(AbstractPointSet):
@@ -140,19 +161,23 @@ class TensorPointSet(AbstractPointSet):
 
     @cached_property
     def points(self):
-        return np.asarray([list(chain(*pt_tuple))
-                           for pt_tuple in product(*[ps.points
-                                                     for ps in self.factors])])
+        """Full grid by iterated repeat/tile: rows of the running grid
+        repeat over each new factor's rows, coordinates concatenate."""
+        grid = np.zeros((1, 0))
+        for factor in self.factors:
+            rows = flat_points(factor)
+            grid = np.hstack([np.repeat(grid, len(rows), axis=0),
+                              np.tile(rows, (len(grid), 1))])
+        return grid
 
     @property
     def points_shape(self):
-        return tuple(chain(*[ps.points_shape for ps in self.factors]))
+        return sum((f.points_shape for f in self.factors), ())
 
-    def almost_equal(self, other, tolerance=1e-12):
-        return (type(self) is type(other)
-                and len(self.factors) == len(other.factors)
-                and all(s.almost_equal(o, tolerance=tolerance)
-                        for s, o in zip(self.factors, other.factors)))
+    def _matches(self, other, tol):
+        return (len(self.factors) == len(other.factors)
+                and all(a.almost_equal(b, tolerance=tol)
+                        for a, b in zip(self.factors, other.factors)))
 
 
 class FacetPointSet(AbstractPointSet):
@@ -168,38 +193,24 @@ class FacetPointSet(AbstractPointSet):
 
     @cached_property
     def entities(self):
-        def to_int(x):
-            return sum(x) if isinstance(x, tuple) else x
-        top = self.cell.topology
-        return [(dim, entity)
-                for dim in sorted(top)
-                for entity in sorted(top[dim])
-                if to_int(dim) == self.ps.dimension]
+        """All (dim, entity) of the cell whose dimension matches the
+        reference points (TP dims count by their sum)."""
+        want = self.ps.dimension
+        return [(dim, ent)
+                for dim, ents in sorted(self.cell.topology.items())
+                for ent in sorted(ents)
+                if (sum(dim) if isinstance(dim, tuple) else dim) == want]
 
     @cached_property
     def points(self):
-        ref_pts = self.ps.points
-        pts = [self.cell.get_entity_transform(dim, entity)(ref_pts)
-               for dim, entity in self.entities]
-        return np.concatenate(pts)
+        ref = self.ps.points
+        return np.concatenate([self.cell.get_entity_transform(*e)(ref)
+                               for e in self.entities])
 
     @property
     def points_shape(self):
         return (len(self.entities),) + self.ps.points_shape
 
-    def almost_equal(self, other, tolerance=1e-12):
-        return (type(self) is type(other) and self.cell == other.cell
-                and self.ps.almost_equal(other.ps, tolerance=tolerance))
-
-
-def _is_traced(x):
-    """Is x a traced/jax array (as opposed to host numpy)?"""
-    return type(x).__module__.startswith("jax")
-
-
-def flat_points(ps):
-    """The (N, dim) flattened point array of any point set."""
-    pts = ps.points
-    # explicit leading size: reshape(-1, 0) is ambiguous for 0-dim cells
-    npts = int(np.prod(pts.shape[:-1], dtype=int))
-    return pts.reshape(npts, pts.shape[-1])
+    def _matches(self, other, tol):
+        return (self.cell == other.cell
+                and self.ps.almost_equal(other.ps, tolerance=tol))

@@ -1,9 +1,10 @@
-"""Spectral shortcut elements (parity with
-/root/reference/finat/spectral.py): when the evaluation point set is tagged
-as the element's own node family (GL/GLL/KMV), the 0th-derivative table is
-replaced by an EXACT identity -- a structural Kronecker delta that XLA
-constant-folds out of downstream contractions (diagonal mass without
-computation)."""
+"""Spectral shortcut elements (role parity with
+/root/reference/finat/spectral.py): when the evaluation point set is
+tagged as the element's own node family (GL/GLL/KMV), the 0th-derivative
+table is replaced by an EXACT identity — a structural Kronecker delta
+that XLA constant-folds out of downstream contractions (diagonal mass
+without computation).  The modal Legendre / FDM families carry no
+shortcut and are stamped out from a name list."""
 
 from abc import ABCMeta, abstractmethod
 
@@ -26,17 +27,18 @@ class SpectralElement(metaclass=ABCMeta):
         """The PointSet subclass on which this element tabulates to a
         delta."""
 
+    def _is_nodal_points(self, ps, entity):
+        whole_cell = entity in (None, (self.cell.get_dimension(), 0))
+        return (whole_cell and isinstance(ps, self.point_set_family)
+                and len(ps.points) == self.space_dimension())
+
     def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
-        result = super().basis_evaluation(order, ps, entity=entity,
-                                          coordinate_mapping=coordinate_mapping)
-        cell_dimension = self.cell.get_dimension()
-        if entity is None or entity == (cell_dimension, 0):
-            space_dim = self.space_dimension()
-            if isinstance(ps, self.point_set_family) \
-                    and len(ps.points) == space_dim:
-                spatial_dim = self.cell.get_spatial_dimension()
-                result[(0,) * spatial_dim] = np.eye(space_dim)
-        return result
+        tables = super().basis_evaluation(
+            order, ps, entity=entity, coordinate_mapping=coordinate_mapping)
+        if self._is_nodal_points(ps, entity):
+            alpha0 = (0,) * self.cell.get_spatial_dimension()
+            tables[alpha0] = np.eye(self.space_dimension())
+        return tables
 
 
 class GaussLobattoLegendre(SpectralElement, Lagrange):
@@ -63,49 +65,25 @@ class KongMulderVeldhuizen(SpectralElement, ScalarFiatElement):
     def __init__(self, cell, degree):
         super(ScalarFiatElement, self).__init__(
             fe.KongMulderVeldhuizen(cell, degree))
-        cite("ChinJoeKong1999")
-        cite("Geevers2018")
+        for paper in ("ChinJoeKong1999", "Geevers2018"):
+            cite(paper)
 
 
-class Legendre(ScalarFiatElement):
-    """DG modal Legendre element."""
-
-    def __init__(self, cell, degree, variant=None):
-        super().__init__(fe.Legendre(cell, degree, variant=variant))
-
-
-class IntegratedLegendre(ScalarFiatElement):
-    """CG integrated-Legendre element."""
-
-    def __init__(self, cell, degree, variant=None):
-        super().__init__(fe.IntegratedLegendre(cell, degree, variant=variant))
-
-
-class FDMLagrange(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.FDMLagrange(cell, degree))
+def _plain_scalar(name, doc, variant_kwarg):
+    core_cls = getattr(fe, name)
+    if variant_kwarg:
+        def __init__(self, cell, degree, variant=None):
+            ScalarFiatElement.__init__(self, core_cls(cell, degree,
+                                                      variant=variant))
+    else:
+        def __init__(self, cell, degree):
+            ScalarFiatElement.__init__(self, core_cls(cell, degree))
+    globals()[name] = type(name, (ScalarFiatElement,), {
+        "__init__": __init__, "__doc__": doc, "__module__": __name__})
 
 
-class FDMDiscontinuousLagrange(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.FDMDiscontinuousLagrange(cell, degree))
-
-
-class FDMQuadrature(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.FDMQuadrature(cell, degree))
-
-
-class FDMBrokenH1(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.FDMBrokenH1(cell, degree))
-
-
-class FDMBrokenL2(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.FDMBrokenL2(cell, degree))
-
-
-class FDMHermite(ScalarFiatElement):
-    def __init__(self, cell, degree):
-        super().__init__(fe.FDMHermite(cell, degree))
+_plain_scalar("Legendre", "DG modal Legendre element.", True)
+_plain_scalar("IntegratedLegendre", "CG integrated-Legendre element.", True)
+for _fdm in ("FDMLagrange", "FDMDiscontinuousLagrange", "FDMQuadrature",
+             "FDMBrokenH1", "FDMBrokenL2", "FDMHermite"):
+    _plain_scalar(_fdm, f"{_fdm} fast-diagonalisation 1D element.", False)
