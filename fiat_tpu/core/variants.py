@@ -1,26 +1,27 @@
-"""Variant-string parsing (parity with
+"""Variant-string parsing (role parity with
 /root/reference/FIAT/check_format_variant.py): '"integral(q)"', '"point"',
 '"equispaced,Iso(2)"', '"Alfeld"', '"gll"', and quadrature-scheme strings.
-"""
+
+One option grammar drives everything: a variant string is a comma list
+whose entries are either a macro-split name (possibly parameterised,
+``iso(2)``) or a point/moment family; each context (CG / DG / moment
+duals / quadrature schemes) supplies its own family-resolution table."""
 
 import re
 
-CG_VARIANTS = {
-    "spectral": "gll",
-    "chebyshev": "lgc",
-    "equispaced": "equispaced",
-    "gll": "gll"}
 
-DG_VARIANTS = {
-    "spectral": "gl",
-    "chebyshev": "gc",
-    "equispaced": "equispaced",
-    "equispaced_interior": "equispaced_interior",
-    "gll": "gll",
-    "gl": "gl"}
+def _families(discontinuous):
+    """Point-family table: alias -> canonical recursive-nodes family."""
+    table = {"equispaced": "equispaced",
+             "gll": "gll",
+             "spectral": "gl" if discontinuous else "gll",
+             "chebyshev": "gc" if discontinuous else "lgc"}
+    if discontinuous:
+        table.update(gl="gl", equispaced_interior="equispaced_interior")
+    return table
 
 
-def _supported_splits():
+def _split_table():
     try:
         from .macro import (AlfeldSplit, IsoSplit, PowellSabin12Split,
                             PowellSabinSplit, WorseyFarinSplit)
@@ -35,86 +36,87 @@ def _supported_splits():
     }
 
 
-def check_format_variant(variant, degree):
-    """Parse moment-dual variants: (splitting, 'point'|'integral',
-    interpolant degree)."""
-    splitting, variant = parse_lagrange_variant(variant, integral=True)
-    if variant is None:
-        variant = "integral"
-    interpolant_degree = None
-    match = re.match(r"^integral(?:\((-?\d+)\))?$", variant)
-    if match:
-        variant = "integral"
-        extra, = match.groups()
-        interpolant_degree = degree + (int(extra) if extra is not None else 0)
-        if interpolant_degree < degree:
-            raise ValueError(f"Quadrature degree should be at least {degree}")
-    if variant not in {"point", "integral"}:
-        raise ValueError(
-            'Choose variant="point", variant="integral" or variant="integral(q)"')
-    return splitting, variant, interpolant_degree
+def _parse_options(variant, families, default):
+    """Split a variant string into (splitting ctor or None, family name).
+
+    ``families`` maps recognised family spellings to canonical names;
+    spellings starting with 'integral' pass through verbatim (the moment
+    parser inspects the argument itself)."""
+    options = (variant or default).replace(" ", "").split(",")
+    if len(options) > 2:
+        raise ValueError("At most two comma-separated variant options")
+
+    splits = _split_table()
+    splitting = None
+    iso_k = None
+    family = families.get(default, default)
+    for raw in options:
+        opt = raw.lower()
+        iso_match = re.fullmatch(r"iso\((\d+)\)", opt)
+        if opt in splits:
+            splitting = splits[opt]
+        elif iso_match:
+            iso_k = int(iso_match.group(1))
+        elif opt.startswith("integral"):
+            family = opt
+        elif opt in families:
+            family = families[opt]
+        else:
+            raise ValueError(f"Illegal variant option {raw!r}")
+    if iso_k is not None:
+        # bind after the loop so the family option may come in either order
+        iso, k, fam = splits["iso"], iso_k, family
+
+        def splitting(T):
+            return iso(T, k, fam or "gll")
+    return splitting, family
 
 
 def parse_lagrange_variant(variant, discontinuous=False, integral=False):
     """Parse a Lagrange variant string into (splitting constructor or None,
     point-family name)."""
-    if variant is None:
-        variant = "integral" if integral else "equispaced"
-    options = variant.replace(" ", "").split(",")
-    if len(options) > 2:
-        raise ValueError("At most two comma-separated variant options")
-
-    default = "integral" if integral else "spectral"
     if integral:
-        supported = {"integral": None, "point": "point"}
-    elif discontinuous:
-        supported = DG_VARIANTS
+        families = {"integral": None, "point": "point"}
+        default = "integral"
     else:
-        supported = CG_VARIANTS
-
-    splits = _supported_splits()
-    splitting = None
-    splitting_args = ()
-    call_split = None
-    point_variant = supported[default]
-
-    for raw in options:
-        opt = raw.lower()
-        if opt in splits:
-            splitting = splits[opt]
-        elif opt.startswith("iso"):
-            match = re.match(r"^iso(?:\((\d+)\))?$", opt)
-            k, = match.groups()
-            call_split = splits["iso"]
-            splitting_args = (int(k),)
-        elif opt.startswith("integral"):
-            point_variant = opt
-        elif opt in supported:
-            point_variant = supported[opt]
-        else:
-            raise ValueError(f"Illegal variant option {raw!r}")
-
-    if discontinuous and splitting is not None and point_variant in CG_VARIANTS.values():
+        families = _families(discontinuous)
+        default = "spectral"
+    splitting, family = _parse_options(variant, families, default)
+    if discontinuous and splitting is not None \
+            and family in ("equispaced", "gll", "lgc"):
         raise ValueError("DG macroelements with DOFs on subcell boundaries "
                          "are not unisolvent.")
-    if splitting_args:
-        splitting = lambda T: call_split(T, *splitting_args, point_variant or "gll")
-    return splitting, point_variant
+    return splitting, family
+
+
+def check_format_variant(variant, degree):
+    """Parse moment-dual variants: (splitting, 'point'|'integral',
+    interpolant degree)."""
+    splitting, family = parse_lagrange_variant(variant, integral=True)
+    moment = re.fullmatch(r"integral(?:\((-?\d+)\))?", family or "integral")
+    if moment:
+        interpolant_degree = degree + int(moment.group(1) or 0)
+        if interpolant_degree < degree:
+            raise ValueError(f"Quadrature degree should be at least {degree}")
+        return splitting, "integral", interpolant_degree
+    if family != "point":
+        raise ValueError(
+            'Choose variant="point", variant="integral" or variant="integral(q)"')
+    return splitting, "point", None
 
 
 def parse_quadrature_scheme(ref_el, degree, quad_scheme=None):
     """Build a quadrature rule from a scheme string, possibly with a
     splitting prefix or 'KMV(p)' degree override."""
     from .quadrature_schemes import create_quadrature
-    splits = _supported_splits()
+    splits = _split_table()
     scheme = None
     for opt in (quad_scheme or "").split(","):
+        kmv = re.fullmatch(r"KMV\((\d+)\)", opt)
         if opt in splits:
             ref_el = splits[opt](ref_el)
-        elif opt.startswith("KMV") and opt != "KMV":
-            match = re.match(r"^KMV(?:\((\d+)\))?$", opt)
-            deg, = match.groups()
-            degree = int(deg)
+        elif kmv:
+            degree = int(kmv.group(1))
             scheme = "KMV"
         else:
             scheme = opt

@@ -1,22 +1,23 @@
-"""Discontinuous Lagrange (parity with
+"""Discontinuous Lagrange (behavioural parity with
 /root/reference/FIAT/discontinuous_lagrange.py): all DoFs attached to the
 cell interior; points either on the full boundary-including lattice
 ('broken' numbering with geometric DG orientation permutations) or on
-interior point families (gl/gc)."""
+interior point families (gl/gc).  Duals ride the declarative builder."""
 
 import math
+from itertools import permutations as _permutations
 
 import numpy as np
 
 from ..core import cells as cl
-from ..core import finite_element, functionals, polyset
+from ..core import finite_element, polyset
 from ..core.barycentric import LagrangePolynomialSet, get_lagrange_points
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.expansions import mis
+from ..core.functionals import PointEvaluation
 from ..core.orientation import make_entity_permutations_simplex
 from ..core.variants import parse_lagrange_variant
 from .p0 import P0
-from itertools import permutations as _permutations
 
 
 def make_entity_permutations(dim, npoints):
@@ -48,49 +49,41 @@ def make_entity_permutations(dim, npoints):
     return perms
 
 
-class BrokenLagrangeDualSet(DualSet):
-    """Lagrange points with every DoF attached to the cell interior."""
-
-    def __init__(self, ref_el, degree, point_variant="equispaced"):
-        nodes = []
-        entity_ids = {}
-        entity_permutations = {}
-        top = ref_el.get_topology()
-        for dim in sorted(top):
-            entity_ids[dim] = {}
-            perms = make_entity_permutations(
-                dim, degree + 1 if dim == len(top) - 1 else -1)
-            entity_permutations[dim] = {}
-            for entity in sorted(top[dim]):
-                pts = ref_el.make_points(dim, entity, degree, variant=point_variant)
-                nodes.extend(functionals.PointEvaluation(ref_el, x) for x in pts)
-                entity_ids[dim][entity] = []
-                entity_permutations[dim][entity] = perms
-        entity_ids[dim][0] = list(range(len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids, entity_permutations)
+def _per_dim_perms(b, make_perms, degree):
+    """{dim: {entity: perms}} with live permutations only on the cell."""
+    cell_dim = max(b.top)
+    return {dim: {e: make_perms(dim, degree + 1 if dim == cell_dim else -1)
+                  for e in b.entities(dim)}
+            for dim in sorted(b.top)}
 
 
-class DiscontinuousLagrangeDualSet(DualSet):
-    """Interior point families (gl/gc): one lattice per cell."""
+def _broken_dual(ref_el, degree, point_variant):
+    """Boundary-including lattice walked in CG (dim, entity) order, every
+    DoF credited to the cell interior."""
+    b = DualBuilder(ref_el)
+    cell_dim = max(b.top)
+    b.tag(cell_dim, 0,
+          (PointEvaluation(ref_el, x)
+           for dim in sorted(b.top)
+           for e in b.entities(dim)
+           for x in b.lattice(dim, e, degree, variant=point_variant)))
+    return b.dual_set(
+        permutations=_per_dim_perms(b, make_entity_permutations, degree))
 
-    def __init__(self, ref_el, degree, point_variant="equispaced"):
-        nodes = []
-        entity_ids = {}
-        entity_permutations = {}
-        sd = ref_el.get_dimension()
-        top = ref_el.get_topology()
-        for dim in sorted(top):
-            perms = make_entity_permutations_simplex(
-                dim, degree + 1 if dim == sd else -1)
-            entity_ids[dim] = {e: [] for e in sorted(top[dim])}
-            entity_permutations[dim] = {e: perms for e in sorted(top[dim])}
-        for entity in top[sd]:
-            cur = len(nodes)
-            pts = cl.make_lattice(ref_el.get_vertices_of_subcomplex(top[sd][entity]),
-                                  degree, variant=point_variant)
-            nodes.extend(functionals.PointEvaluation(ref_el, x) for x in pts)
-            entity_ids[sd][entity] = list(range(cur, len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids, entity_permutations)
+
+def _interior_dual(ref_el, degree, point_variant):
+    """Interior point families (gl/gc): one lattice per top-level cell
+    (macro complexes have several)."""
+    b = DualBuilder(ref_el)
+    cell_dim = max(b.top)
+    for e in b.entities(cell_dim):
+        verts = ref_el.get_vertices_of_subcomplex(b.top[cell_dim][e])
+        b.tag(cell_dim, e,
+              (PointEvaluation(ref_el, x)
+               for x in cl.make_lattice(verts, degree, variant=point_variant)))
+    return b.dual_set(
+        permutations=_per_dim_perms(b, make_entity_permutations_simplex,
+                                    degree))
 
 
 class DiscontinuousLagrange(finite_element.CiarletElement):
@@ -104,18 +97,17 @@ class DiscontinuousLagrange(finite_element.CiarletElement):
         return super().__new__(cls)
 
     def __init__(self, ref_el, degree, variant="equispaced"):
-        splitting, point_variant = parse_lagrange_variant(variant, discontinuous=True)
+        splitting, point_variant = parse_lagrange_variant(variant,
+                                                          discontinuous=True)
         if splitting is not None:
             ref_el = splitting(ref_el)
         if point_variant in ("equispaced", "gll", "lgc"):
-            dual = BrokenLagrangeDualSet(ref_el, degree, point_variant=point_variant)
+            dual = _broken_dual(ref_el, degree, point_variant)
         else:
-            dual = DiscontinuousLagrangeDualSet(ref_el, degree,
-                                                point_variant=point_variant)
+            dual = _interior_dual(ref_el, degree, point_variant)
         if ref_el.shape == cl.LINE:
-            points = get_lagrange_points(dual)
-            poly_set = LagrangePolynomialSet(ref_el, points)
+            poly_set = LagrangePolynomialSet(ref_el, get_lagrange_points(dual))
         else:
             poly_set = polyset.ONPolynomialSet(ref_el, degree)
-        formdegree = ref_el.get_spatial_dimension()
-        super().__init__(poly_set, dual, degree, formdegree)
+        super().__init__(poly_set, dual, degree,
+                         formdegree=ref_el.get_spatial_dimension())

@@ -1,6 +1,13 @@
-"""FDM elements (parity with /root/reference/FIAT/fdm_element.py): 1D bases
-whose interior shape functions diagonalize the Laplacian/biharmonic with the
-given boundary conditions (fast-diagonalization preconditioning)."""
+"""FDM elements (behavioural parity with
+/root/reference/FIAT/fdm_element.py): 1D bases whose interior shape
+functions diagonalize the Laplacian/biharmonic with the given boundary
+conditions (fast-diagonalization preconditioning).
+
+Structure: ``_fdm_basis`` computes the (poly set, quadrature rule,
+moment-weight table, kept-row selector) tuple as pure array algebra;
+``FDMFiniteElement`` turns that into a dual set on the declarative
+builder.  Generalized eigensolves whiten with an eigendecomposition of
+the metric (no scipy dependency)."""
 
 import abc
 
@@ -9,114 +16,115 @@ import numpy as np
 from ..core import cells as cl
 from ..core import finite_element, functionals, quadrature
 from ..core.barycentric import LagrangePolynomialSet
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.polyset import ONPolynomialSet
 from .p0 import P0
 
 
+def _canonical_signs(V):
+    """Flip each eigenvector so its largest-magnitude entry is positive.
+    LAPACK's sign choice is an input-bit-pattern accident (the reference
+    inherits it; its FDM mode signs differ between builds) — a fixed
+    convention makes tabulations deterministic across platforms."""
+    lead = np.take_along_axis(V, np.abs(V).argmax(axis=0)[None, :], axis=0)
+    return V * np.where(lead < 0, -1.0, 1.0)
+
+
 def sym_eig(A, B):
-    """Generalized symmetric eigensolve (numpy-only scipy.linalg.eigh)."""
+    """Solve A v = lam B v (A sym, B spd) by Cholesky whitening; returned
+    vectors are B-orthonormal with canonical signs."""
     Linv = np.linalg.inv(np.linalg.cholesky(B))
-    C = Linv @ A @ Linv.T
-    Z, V = np.linalg.eigh(C, "U")
-    return Z, Linv.T @ V
+    lam, Y = np.linalg.eigh(Linv @ A @ Linv.T, "U")
+    return lam, _canonical_signs(Linv.T @ Y)
 
 
 def tridiag_eig(A, B):
-    """sym_eig with A diagonal and B tridiagonal."""
+    """sym_eig specialised to diagonal A: fold the diagonal scaling in
+    analytically and solve the reciprocal problem for B."""
     a = np.sqrt(np.reciprocal(A.diagonal()))
-    C = a * B * a[:, None]
-    Z, V = np.linalg.eigh(C, "U")
-    Z = np.reciprocal(Z)
-    V = np.sqrt(Z) * V * a[:, None]
-    return Z[::-1], V[:, ::-1]
+    lam, V = np.linalg.eigh(a * B * a[:, None], "U")
+    lam = np.reciprocal(lam)
+    V = np.sqrt(lam) * V * a[:, None]
+    return lam[::-1], _canonical_signs(V[:, ::-1])
 
 
-class FDMDual(DualSet):
-    """Jet DoFs at the vertices + moments against the FDM eigenbasis."""
+def _vertex_constraints(P, ref_el, bc_order):
+    """C[i, j]: i-th endpoint condition (vertex jets up to bc_order-1)
+    applied to basis function j; empty for free (broken) elements."""
+    if bc_order == 0:
+        return np.empty((0, len(P)))
+    jets = P.tabulate(ref_el.get_vertices(), bc_order - 1)
+    return np.column_stack(list(jets.values())).T
 
-    def __init__(self, ref_el, degree, bc_order=1, formdegree=0,
-                 orthogonalize=False):
-        P = ONPolynomialSet(ref_el, degree + formdegree, variant="bubble")
-        Pdim = len(P)
-        P = P.take([*range(2), *range(2, Pdim, 2), *range(3, Pdim, 2)])
-        self.poly_set = P
 
-        if bc_order == 1 and formdegree == 0:
-            rule = quadrature.GaussLobattoLegendreQuadratureLineRule(ref_el, Pdim + 1)
-        else:
-            rule = quadrature.GaussLegendreQuadratureLineRule(ref_el, Pdim)
-        self.rule = rule
+def _homogenize(C, n):
+    """Basis change E with C @ E = [I 0]: trailing (interior) columns
+    satisfy the homogeneous conditions, leading columns interpolate them."""
+    nb = C.shape[0]
+    E = np.eye(n)
+    if nb:
+        # one combined solve (not inv + solve): downstream eigenvector
+        # signs are sensitive to the bit pattern, and sign parity with
+        # the reference is part of the tabulation contract
+        E[:nb, nb:] = -C[:, nb:]
+        E[:nb, :] = np.linalg.solve(C[:, :nb], E[:nb, :])
+    return E
 
-        solve_eig = tridiag_eig if bc_order == 1 else sym_eig
 
+def _fdm_basis(ref_el, degree, bc_order, formdegree, orthogonalize):
+    """(poly set, rule, moment table, interior selector, #bc rows).
+
+    The moment table rows are the FDM dual functions tabulated at the
+    rule's points; the selector picks which rows become moment DoFs."""
+    P = ONPolynomialSet(ref_el, degree + formdegree, variant="bubble")
+    n = len(P)
+    # vertex-first order: the two endpoint-supported functions lead
+    P = P.take([*range(2), *range(2, n, 2), *range(3, n, 2)])
+
+    if bc_order == 1 and formdegree == 0:
+        rule = quadrature.GaussLobattoLegendreQuadratureLineRule(ref_el, n + 1)
+    else:
+        rule = quadrature.GaussLegendreQuadratureLineRule(ref_el, n)
+
+    C = _vertex_constraints(P, ref_el, bc_order)
+    nb = C.shape[0]
+    E = _homogenize(C, n)
+
+    k = max(1, bc_order)
+    tab = P.tabulate(rule.get_points(), k)
+    wts = rule.get_weights()
+    E0 = E.T @ tab[(0,)]
+    Ek = E.T @ tab[(k,)]
+    B = (E0 * wts) @ E0.T
+    A = (Ek * wts) @ Ek.T
+
+    S = np.eye(n)
+    lam = np.ones(n)
+    if n > nb:
+        ii = slice(nb, None)
+        solver = tridiag_eig if bc_order == 1 else sym_eig
+        lam[ii], Sii = solver(A[ii, ii], B[ii, ii])
+        S[ii, ii] = Sii
+        S[ii, :nb] = Sii @ (Sii.T @ -B[ii, :nb])
+
+    if orthogonalize:
+        Sb = S[:, :nb]
+        _, Qbb = sym_eig(Sb.T @ A @ Sb, Sb.T @ B @ Sb)
+        S[:, :nb] = Sb @ Qbb
+
+    if formdegree == 0:
+        table = S.T @ E0
+        keep = slice(None) if orthogonalize else slice(nb, None)
+    else:
+        keep = slice(formdegree, None)
         if bc_order == 0:
-            C = np.empty((0, Pdim))
-        else:
-            constraints = P.tabulate(ref_el.get_vertices(), bc_order - 1)
-            C = np.transpose(np.column_stack(list(constraints.values())))
-        bdof = slice(None, C.shape[0])
-        idof = slice(C.shape[0], None)
-
-        E = np.eye(Pdim)
-        E[bdof, idof] = -C[:, idof]
-        E[bdof, :] = np.linalg.solve(C[:, bdof], E[bdof, :])
-
-        k = max(1, bc_order)
-        phi = P.tabulate(rule.get_points(), k)
-        wts = rule.get_weights()
-        E0 = E.T @ phi[(0,)]
-        Ek = E.T @ phi[(k,)]
-        B = (E0 * wts) @ E0.T
-        A = (Ek * wts) @ Ek.T
-
-        S = np.eye(A.shape[0])
-        lam = np.ones(A.shape[0])
-        if S.shape[0] > C.shape[0]:
-            lam[idof], Sii = solve_eig(A[idof, idof], B[idof, idof])
-            S[idof, idof] = Sii
-            S[idof, bdof] = Sii @ (Sii.T @ -B[idof, bdof])
-
-        if orthogonalize:
-            Abb = S[:, bdof].T @ A @ S[:, bdof]
-            Bbb = S[:, bdof].T @ B @ S[:, bdof]
-            _, Qbb = sym_eig(Abb, Bbb)
-            S[:, bdof] = S[:, bdof] @ Qbb
-
-        if formdegree == 0:
-            basis = S.T @ E0
-        else:
-            if bc_order == 0:
-                idof = lam > 1e-12
-                lam[~idof] = 1.0
-            lam = np.sqrt(np.reciprocal(lam))
-            S = S * lam
-            basis = S.T @ Ek
-
-        sd = ref_el.get_spatial_dimension()
-        top = ref_el.get_topology()
-        entity_ids = {dim: {e: [] for e in top[dim]} for dim in top}
-        nodes = []
-        if formdegree == 0:
-            if orthogonalize:
-                idof = slice(None)
-            elif bc_order > 0:
-                for v in sorted(top[0]):
-                    cur = len(nodes)
-                    x, = ref_el.make_points(0, v, 0)
-                    nodes.append(functionals.PointEvaluation(ref_el, x))
-                    nodes.extend(functionals.PointDerivative(ref_el, x, (alpha,))
-                                 for alpha in range(1, bc_order))
-                    entity_ids[0][v].extend(range(cur, len(nodes)))
-        elif bc_order > 0:
-            basis[bdof] = np.sqrt(1.0 / ref_el.volume())
-            idof = slice(formdegree, None)
-
-        cur = len(nodes)
-        nodes.extend(functionals.IntegralMoment(ref_el, rule, f)
-                     for f in basis[idof])
-        entity_ids[sd][0].extend(range(cur, len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids)
+            nonnull = lam > 1e-12
+            lam = np.where(nonnull, lam, 1.0)
+            keep = nonnull
+        table = (S * np.sqrt(np.reciprocal(lam))).T @ Ek
+        if bc_order > 0:
+            table[:nb] = np.sqrt(1.0 / ref_el.volume())
+    return P, rule, table, keep, nb
 
 
 class FDMFiniteElement(finite_element.CiarletElement):
@@ -142,49 +150,46 @@ class FDMFiniteElement(finite_element.CiarletElement):
     def __init__(self, ref_el, degree):
         if ref_el.shape != cl.LINE:
             raise ValueError(f"{type(self)} is only defined in one dimension.")
-        dual = FDMDual(ref_el, degree, bc_order=self._bc_order,
-                       formdegree=self._formdegree,
-                       orthogonalize=self._orthogonalize)
+        P, rule, table, keep, nb = _fdm_basis(
+            ref_el, degree, self._bc_order, self._formdegree,
+            self._orthogonalize)
+
+        b = DualBuilder(ref_el)
+        vertex_jets = (self._formdegree == 0 and self._bc_order > 0
+                       and not self._orthogonalize)
+        if vertex_jets:
+            for v in b.entities(0):
+                x, = ref_el.make_points(0, v, 0)
+                b.tag(0, v, [functionals.PointEvaluation(ref_el, x)]
+                      + [functionals.PointDerivative(ref_el, x, (a,))
+                         for a in range(1, self._bc_order)])
+        b.tag(1, 0, (functionals.IntegralMoment(ref_el, rule, f)
+                     for f in table[keep]))
+
         if self._formdegree == 0:
-            poly_set = dual.poly_set
+            poly_set = P
         else:
             lr = quadrature.GaussLegendreQuadratureLineRule(ref_el, degree + 1)
             poly_set = LagrangePolynomialSet(ref_el, lr.get_points())
-        super().__init__(poly_set, dual, degree, self._formdegree)
+        super().__init__(poly_set, b.dual_set(), degree, self._formdegree)
 
 
-class FDMLagrange(FDMFiniteElement):
-    """CG with interior functions diagonalizing the Laplacian."""
-    _bc_order = 1
-    _formdegree = 0
+def _fdm_family(name, doc, bc_order, formdegree, orthogonalize=False):
+    globals()[name] = type(name, (FDMFiniteElement,), {
+        "__doc__": doc, "__module__": __name__, "_bc_order": bc_order,
+        "_formdegree": formdegree, "_orthogonalize": orthogonalize})
 
 
-class FDMDiscontinuousLagrange(FDMFiniteElement):
-    """DG from derivatives of the interior CG FDM functions."""
-    _bc_order = 1
-    _formdegree = 1
-
-
-class FDMQuadrature(FDMFiniteElement):
-    """CG FDM interior functions with orthogonalized vertex modes."""
-    _bc_order = 1
-    _formdegree = 0
-    _orthogonalize = True
-
-
-class FDMBrokenH1(FDMFiniteElement):
-    """DG functions diagonalizing the Laplacian."""
-    _bc_order = 0
-    _formdegree = 0
-
-
-class FDMBrokenL2(FDMFiniteElement):
-    """Derivatives of the DG FDM functions."""
-    _bc_order = 0
-    _formdegree = 1
-
-
-class FDMHermite(FDMFiniteElement):
-    """CG with interior functions diagonalizing the biharmonic operator."""
-    _bc_order = 2
-    _formdegree = 0
+_fdm_family("FDMLagrange",
+            "CG with interior functions diagonalizing the Laplacian.", 1, 0)
+_fdm_family("FDMDiscontinuousLagrange",
+            "DG from derivatives of the interior CG FDM functions.", 1, 1)
+_fdm_family("FDMQuadrature",
+            "CG FDM interior functions with orthogonalized vertex modes.",
+            1, 0, orthogonalize=True)
+_fdm_family("FDMBrokenH1",
+            "DG functions diagonalizing the Laplacian.", 0, 0)
+_fdm_family("FDMBrokenL2",
+            "Derivatives of the DG FDM functions.", 0, 1)
+_fdm_family("FDMHermite",
+            "CG with interior functions diagonalizing the biharmonic.", 2, 0)

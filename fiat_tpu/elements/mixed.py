@@ -1,5 +1,7 @@
 """Mixed element: concatenated subelements with block-diagonal tabulation
-(parity with /root/reference/FIAT/mixed.py)."""
+(role parity with /root/reference/FIAT/mixed.py).  Tabulation places each
+subelement's table into its (dof rows x flattened-component cols) block,
+with the block grid precomputed once from the subelement sizes."""
 
 import numpy as np
 
@@ -8,15 +10,30 @@ from ..core.finite_element import FiniteElement
 
 
 def concatenate_entity_dofs(ref_el, elements):
-    """Concatenate entity_dofs of elements with running DoF offsets."""
-    entity_dofs = {dim: {i: [] for i in entities}
-                   for dim, entities in ref_el.get_topology().items()}
-    offsets = np.cumsum([0] + [e.space_dimension() for e in elements], dtype=int)
-    for i, e in enumerate(elements):
-        for dim, dofs in e.entity_dofs().items():
-            for ent, off in dofs.items():
-                entity_dofs[dim][ent] += [offsets[i] + dof for dof in off]
-    return entity_dofs
+    """Union the parts' entity dof maps, shifting each part's dof numbers
+    past the previous parts' spaces (shared with EnrichedElement)."""
+    dofs = {dim: {ent: [] for ent in ents}
+            for dim, ents in ref_el.get_topology().items()}
+    offset = 0
+    for e in elements:
+        for dim, by_ent in e.entity_dofs().items():
+            for ent, ids in by_ent.items():
+                dofs[dim][ent].extend(offset + i for i in ids)
+        offset += e.space_dimension()
+    return dofs
+
+
+def _block_grid(elements):
+    """Row/col slices of each subelement's block in the (dof, flat
+    component) plane."""
+    slices = []
+    row = col = 0
+    for e in elements:
+        nrow = e.space_dimension()
+        ncol = max(int(np.prod(e.value_shape(), dtype=int)), 1)
+        slices.append((slice(row, row + nrow), slice(col, col + ncol)))
+        row, col = row + nrow, col + ncol
+    return slices, row, col
 
 
 class MixedElement(FiniteElement):
@@ -24,19 +41,18 @@ class MixedElement(FiniteElement):
     (dof, flattened component) plane."""
 
     def __init__(self, elements, ref_el=None):
-        elements = tuple(elements)
-        cells = set(e.get_reference_element() for e in elements)
+        self._elements = tuple(elements)
+        cells = set(e.get_reference_element() for e in self._elements)
         if ref_el is not None:
             cells.add(ref_el)
         ref_el, = cells
 
         # The concatenated nodes act on differently-shaped functions; they
         # are only coherent as labels, mirroring the reference behaviour.
-        nodes = [L for e in elements for L in e.dual_basis()]
-        entity_dofs = concatenate_entity_dofs(ref_el, elements)
-        dual = DualSet(nodes, ref_el, entity_dofs)
-        super().__init__(ref_el, dual, None, mapping=None)
-        self._elements = elements
+        nodes = [L for e in self._elements for L in e.dual_basis()]
+        dofs = concatenate_entity_dofs(ref_el, self._elements)
+        super().__init__(ref_el, DualSet(nodes, ref_el, dofs), None,
+                         mapping=None)
 
     def elements(self):
         return self._elements
@@ -45,8 +61,8 @@ class MixedElement(FiniteElement):
         return len(self._elements)
 
     def value_shape(self):
-        return (sum(int(np.prod(e.value_shape(), dtype=int))
-                    for e in self._elements),)
+        _, _, ncols = _block_grid(self._elements)
+        return (ncols,)
 
     def mapping(self):
         return [m for e in self._elements for m in e.mapping()]
@@ -54,21 +70,17 @@ class MixedElement(FiniteElement):
     def get_nodal_basis(self):
         raise NotImplementedError("get_nodal_basis not implemented")
 
-    def tabulate(self, order, points, entity=None):
-        shape = (self.space_dimension(),) + self.value_shape() + (len(points),)
-        output = {}
-        irange = np.cumsum([0] + [e.space_dimension() for e in self._elements])
-        crange = np.cumsum([0] + [int(np.prod(e.value_shape(), dtype=int))
-                                  for e in self._elements])
-        for i, e in enumerate(self._elements):
-            table = e.tabulate(order, points, entity)
-            for d, tab in table.items():
-                if d not in output:
-                    output[d] = np.zeros(shape, dtype=tab.dtype)
-                tab = tab.reshape(irange[i + 1] - irange[i],
-                                  crange[i + 1] - crange[i], -1)
-                output[d][irange[i]:irange[i + 1], crange[i]:crange[i + 1]] = tab
-        return output
-
     def is_nodal(self):
         return all(e.is_nodal() for e in self._elements)
+
+    def tabulate(self, order, points, entity=None):
+        blocks, nrows, ncols = _block_grid(self._elements)
+        out = {}
+        for (rows, cols), e in zip(blocks, self._elements):
+            for alpha, tab in e.tabulate(order, points, entity).items():
+                if alpha not in out:
+                    out[alpha] = np.zeros((nrows, ncols, len(points)),
+                                          dtype=tab.dtype)
+                out[alpha][rows, cols] = tab.reshape(
+                    rows.stop - rows.start, cols.stop - cols.start, -1)
+        return out
