@@ -1,16 +1,24 @@
-"""Serendipity S_k elements on quads/hexes (parity with
-/root/reference/FIAT/serendipity.py, after Arnold & Awanou): the basis is
-constructed symbolically (host-side sympy) from vertex/edge/face/interior
-lambda functions, tabulation by lambdified numpy, and the dual recovered
-pointwise at unisolvent lattice points."""
+"""Serendipity S_k on quadrilaterals and hexahedra (Arnold & Awanou).
 
-import numbers
-from itertools import chain
+Array-native design (behavioural parity with
+/root/reference/FIAT/serendipity.py): every S_k basis function is a
+*rank-1 separable* polynomial — a product of one univariate factor per
+axis, drawn from a tiny vocabulary (linear vertex hats ``h0/h1``, the
+quadratic bubble ``h0*h1``, and Legendre polynomials in the axis
+midpoint coordinate).  Instead of carrying symbolic expressions through
+sympy and lambdifying them at tabulation time, each univariate factor is
+stored as its values on a per-axis Chebyshev–Lobatto node set.
+Tabulating any derivative order is then one barycentric-Lagrange table
+per axis (``core.barycentric``) contracted against the factor-value
+matrices — dense matmuls multiplied across axes, with arbitrary
+derivative order for free and no symbolic algebra anywhere.
+"""
+
+from itertools import product
 
 import numpy as np
-import sympy
-from sympy import Array, diff, lambdify, legendre, symbols
 
+from ..core.barycentric import barycentric_interpolation, make_dmat
 from ..core.cells import flatten_reference_cube, make_lattice
 from ..core.dualset import DualSet
 from ..core.expansions import mis
@@ -18,34 +26,91 @@ from ..core.finite_element import FiniteElement
 from ..core.pointwise_dual import compute_pointwise_dual
 from .lagrange import Lagrange
 
-x, y, z = symbols("x y z")
-variables = (x, y, z)
-leg = legendre
+
+def _superlinear_count(k):
+    """Dofs on a quad face of S_k: bidegree pairs of total degree 4..k."""
+    return (k - 2) * (k - 3) // 2 if k > 3 else 0
 
 
-def tr(n):
-    return ((n - 3) * (n - 2)) // 2 if n > 1 else 0
+class _AxisBasis:
+    """Univariate factor vocabulary for one coordinate axis, held as
+    values on a Chebyshev–Lobatto node set over the axis interval."""
+
+    def __init__(self, lo, hi, degree):
+        n = max(degree, 1)
+        t = lo + (hi - lo) * 0.5 * (1.0 - np.cos(np.pi * np.arange(n + 1) / n))
+        self.nodes = t
+        self.dmat, self.wts = make_dmat(t)
+        span = hi - lo
+        self.hat = ((hi - t) / span, (t - lo) / span)
+        self.bubble = self.hat[0] * self.hat[1]
+        # P_j evaluated in the midpoint coordinate 2t - (lo + hi).
+        mid = 2.0 * t - (lo + hi)
+        self.leg = np.polynomial.legendre.legvander(mid, degree).T
+        self.one = np.ones_like(t)
+
+    def tables(self, pts, order):
+        """Lagrange-basis derivative tables at ``pts`` up to ``order``."""
+        tabs = barycentric_interpolation(self.nodes, self.wts, self.dmat,
+                                         np.asarray(pts)[:, None], order)
+        return {r: tabs[(r,)] for r in range(order + 1)}
 
 
-def _symbolize_numbers(polynomials):
-    """Replace bare numbers in the Array with symbols (numpy>=1.24
-    lambdify workaround)."""
-    extra_vars = {}
-    out = []
-    for poly in polynomials.tolist():
-        if isinstance(poly, numbers.Real):
-            if poly not in extra_vars:
-                extra_vars[poly] = symbols(f"num_{len(extra_vars)}")
-            out.append(extra_vars[poly])
-        elif isinstance(poly, sympy.core.Expr):
-            out.append(poly)
-        else:
-            raise TypeError(f"Unexpected type: {type(poly)}")
-    return Array(out), extra_vars
+def _emit_basis(axes, degree):
+    """The S_k generators, in reference dof order, as one per-axis
+    factor-value matrix each: returns [F_0, ..., F_{d-1}] with
+    F_u of shape (nbasis, len(axes[u].nodes))."""
+    dim = len(axes)
+    rows = []                      # each row: tuple of per-axis vectors
+
+    # Vertex hats: one per sign pattern, x-major (matches UFC vertex ids).
+    for signs in product((0, 1), repeat=dim):
+        rows.append(tuple(axes[u].hat[s] for u, s in enumerate(signs)))
+
+    # Edge functions: tangent axes in descending order, the remaining
+    # axes pinned to a hat, ascending-major over their sign patterns.
+    for t_ax in reversed(range(dim)):
+        others = [u for u in range(dim) if u != t_ax]
+        for signs in product((0, 1), repeat=dim - 1):
+            for j in range(degree - 1):
+                row = [None] * dim
+                row[t_ax] = -axes[t_ax].bubble * axes[t_ax].leg[j]
+                for u, s in zip(others, signs):
+                    row[u] = axes[u].hat[s]
+                rows.append(tuple(row))
+
+    # Face functions: Legendre bidegree pairs of total degree 4..k on the
+    # cyclic tangent pair of each normal axis (2D: the single face).
+    normals = range(dim) if dim == 3 else (2,)
+    for n_ax in normals:
+        ta, tb = (n_ax + 1) % 3, (n_ax + 2) % 3
+        hats = (axes[n_ax].hat if dim == 3 else (None,))
+        for s in range(len(hats)):
+            for ktot in range(4, degree + 1):
+                for j in range(ktot - 3):
+                    row = [None] * dim
+                    if dim == 3:
+                        row[n_ax] = hats[s]
+                    row[ta] = axes[ta].bubble * axes[ta].leg[j]
+                    row[tb] = axes[tb].bubble * axes[tb].leg[ktot - 4 - j]
+                    rows.append(tuple(row))
+
+    # Interior functions (3D): Legendre tridegree of total degree 6..k.
+    if dim == 3:
+        for ltot in range(6, degree + 1):
+            for j in range(ltot - 5):
+                for k in range(j + 1):
+                    jdeg = (ltot - 6 - j, j - k, k)
+                    rows.append(tuple(-axes[u].bubble * axes[u].leg[jdeg[u]]
+                                      if u == 0 else
+                                      axes[u].bubble * axes[u].leg[jdeg[u]]
+                                      for u in range(dim)))
+
+    return [np.stack([row[u] for row in rows]) for u in range(dim)]
 
 
 class Serendipity(FiniteElement):
-    """The serendipity element S_k."""
+    """The serendipity element S_k (quad/hex)."""
 
     def __new__(cls, ref_el, degree):
         dim = ref_el.get_spatial_dimension()
@@ -58,196 +123,113 @@ class Serendipity(FiniteElement):
     def __init__(self, ref_el, degree):
         flat_el = flatten_reference_cube(ref_el)
         dim = flat_el.get_spatial_dimension()
-        flat_topology = flat_el.get_topology()
-        verts = flat_el.get_vertices()
+        verts = np.asarray(flat_el.get_vertices())
+        lo, hi = verts[0], verts[-1]
 
-        dx = ((verts[-1][0] - x) / (verts[-1][0] - verts[0][0]),
-              (x - verts[0][0]) / (verts[-1][0] - verts[0][0]))
-        dy = ((verts[-1][1] - y) / (verts[-1][1] - verts[0][1]),
-              (y - verts[0][1]) / (verts[-1][1] - verts[0][1]))
-        x_mid = 2 * x - (verts[-1][0] + verts[0][0])
-        y_mid = 2 * y - (verts[-1][1] + verts[0][1])
-        if dim == 3:
-            dz = ((verts[-1][2] - z) / (verts[-1][2] - verts[0][2]),
-                  (z - verts[0][2]) / (verts[-1][2] - verts[0][2]))
-            z_mid = 2 * z - (verts[-1][2] + verts[0][2])
-        else:
-            dz = None
-            z_mid = None
+        self._axes = [_AxisBasis(lo[u], hi[u], degree) for u in range(dim)]
+        self._factors = _emit_basis(self._axes, degree)
+        nbasis = self._factors[0].shape[0]
 
-        entity_ids = {d: {e: [] for e in ents}
-                      for d, ents in flat_topology.items()}
-        cur = 0
-        for j in sorted(flat_topology[0]):
-            entity_ids[0][j] = [cur]
-            cur += 1
-        for j in sorted(flat_topology[1]):
-            entity_ids[1][j] = list(range(cur, cur + degree - 1))
-            cur += degree - 1
-        for j in sorted(flat_topology[2]):
-            entity_ids[2][j] = list(range(cur, cur + tr(degree)))
-            cur += tr(degree)
-
-        if dim == 3:
-            IL = i_lambda_0(degree, dx, dy, dz, x_mid, y_mid, z_mid)
-            entity_ids[3] = {0: list(range(cur, cur + len(IL)))}
-            cur += len(IL)
-        else:
-            IL = []
-
-        VL = v_lambda_0(dim, dx, dy, dz)
-        EL = e_lambda_0(degree, dim, dx, dy, dz, x_mid, y_mid, z_mid)
-        FL = f_lambda_0(degree, dim, dx, dy, dz, x_mid, y_mid, z_mid)
-        s_list = list(chain(VL, EL, FL, IL))
-        assert len(s_list) == cur
-
-        self.basis = {(0,) * dim: Array(s_list)}
-        polynomials, extra_vars = _symbolize_numbers(Array(s_list))
-        self.basis_callable = {(0,) * dim: [
-            lambdify(variables[:dim], polynomials, modules="numpy", dummify=True),
-            extra_vars]}
+        # Entity dof ids follow the emission order above: vertices, then
+        # edges, faces, interior, with per-entity dof counts fixed by k.
+        per_dim = {0: 1, 1: degree - 1, 2: _superlinear_count(degree)}
+        topology = flat_el.get_topology()
+        entity_ids, cursor = {}, 0
+        for d in sorted(topology):
+            entity_ids[d] = {}
+            width = per_dim.get(d)
+            for e in sorted(topology[d]):
+                if width is None:        # 3D interior: everything left
+                    width = nbasis - cursor
+                entity_ids[d][e] = list(range(cursor, cursor + width))
+                cursor += width
+        assert cursor == nbasis
 
         self.flat_el = flat_el
-        dual = DualSet([None] * cur, ref_el, entity_ids)
-        super().__init__(ref_el=ref_el, dual=dual, order=degree, formdegree=0)
-        self.dual = compute_pointwise_dual(self, unisolvent_pts(ref_el, degree))
+        dual = DualSet([None] * nbasis, ref_el, entity_ids)
+        super().__init__(ref_el=ref_el, dual=dual, order=degree,
+                         formdegree=0)
+        self.dual = compute_pointwise_dual(
+            self, unisolvent_pts(ref_el, degree))
 
     def degree(self):
         return self.order + 1
 
     def get_coeffs(self):
-        raise NotImplementedError("get_coeffs not implemented for Serendipity")
-
-    def tabulate(self, order, points, entity=None):
-        if entity is None:
-            entity = (self.ref_el.get_dimension(), 0)
-        entity_dim, entity_id = entity
-        transform = self.ref_el.get_entity_transform(entity_dim, entity_id)
-        points = np.asarray(transform(points))
-
-        dim = self.ref_el.get_spatial_dimension()
-        if dim <= 1 or dim >= 4:
-            raise NotImplementedError(
-                "Serendipity tabulation only supports dimensions 2 and 3")
-        npoints, pointdim = points.shape
-        phivals = {}
-        for o in range(order + 1):
-            for alpha in mis(dim, o):
-                try:
-                    fn, extra_vars = self.basis_callable[alpha]
-                except KeyError:
-                    polynomials = diff(self.basis[(0,) * dim],
-                                       *zip(variables, alpha))
-                    polynomials, extra_vars = _symbolize_numbers(polynomials)
-                    fn = lambdify(variables[:dim] + tuple(extra_vars.values()),
-                                  polynomials, modules="numpy", dummify=True)
-                    self.basis[alpha] = polynomials
-                    self.basis_callable[alpha] = [fn, extra_vars]
-                extra = [np.ones(npoints, dtype=points.dtype) * float(key)
-                         for key in extra_vars]
-                phivals[alpha] = fn(*([points[:, i] for i in range(pointdim)]
-                                      + extra))
-        return phivals
+        raise NotImplementedError(
+            "get_coeffs not implemented for Serendipity")
 
     def value_shape(self):
         return ()
 
+    def tabulate(self, order, points, entity=None):
+        if entity is None:
+            entity = (self.ref_el.get_dimension(), 0)
+        transform = self.ref_el.get_entity_transform(*entity)
+        points = np.asarray(transform(points))
 
-def v_lambda_0(dim, dx, dy, dz):
-    if dim == 2:
-        return [a * b for a in dx for b in dy]
-    return [a * b * c for a in dx for b in dy for c in dz]
-
-
-def e_lambda_0(i, dim, dx, dy, dz, x_mid, y_mid, z_mid):
-    if dim == 2:
-        return tuple(
-            [-leg(j, y_mid) * dy[0] * dy[1] * a for a in dx for j in range(i - 1)]
-            + [-leg(j, x_mid) * dx[0] * dx[1] * b for b in dy for j in range(i - 1)])
-    return tuple(
-        [-leg(j, z_mid) * dz[0] * dz[1] * a * b
-         for b in dx for a in dy for j in range(i - 1)]
-        + [-leg(j, y_mid) * dy[0] * dy[1] * a * c
-           for a in dx for c in dz for j in range(i - 1)]
-        + [-leg(j, x_mid) * dx[0] * dx[1] * b * c
-           for c in dy for b in dz for j in range(i - 1)])
-
-
-def f_lambda_0(i, dim, dx, dy, dz, x_mid, y_mid, z_mid):
-    if dim == 2:
-        return tuple(
-            [leg(j, x_mid) * leg(k - 4 - j, y_mid) * dx[0] * dx[1] * dy[0] * dy[1]
-             for k in range(4, i + 1) for j in range(k - 3)])
-    return tuple(
-        [leg(j, y_mid) * leg(k - 4 - j, z_mid) * dy[0] * dy[1] * dz[0] * dz[1] * a
-         for a in dx for k in range(4, i + 1) for j in range(k - 3)]
-        + [leg(j, z_mid) * leg(k - 4 - j, x_mid) * dx[0] * dx[1] * dz[0] * dz[1] * b
-           for b in dy for k in range(4, i + 1) for j in range(k - 3)]
-        + [leg(j, x_mid) * leg(k - 4 - j, y_mid) * dx[0] * dx[1] * dy[0] * dy[1] * c
-           for c in dz for k in range(4, i + 1) for j in range(k - 3)])
+        dim = self.ref_el.get_spatial_dimension()
+        if not 2 <= dim <= 3:
+            raise NotImplementedError(
+                "Serendipity tabulation only supports dimensions 2 and 3")
+        # Per-axis Lagrange tables once, then every derivative multi-index
+        # is a product of (factors @ table) across axes.
+        tabs = [self._axes[u].tables(points[:, u], order)
+                for u in range(dim)]
+        values = {}
+        for total in range(order + 1):
+            for alpha in mis(dim, total):
+                parts = [self._factors[u] @ tabs[u][alpha[u]]
+                         for u in range(dim)]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out * p
+                values[alpha] = out
+        return values
 
 
-def i_lambda_0(i, dx, dy, dz, x_mid, y_mid, z_mid):
-    return tuple(
-        [-leg(l - 6 - j, x_mid) * leg(j - k, y_mid) * leg(k, z_mid)
-         * dx[0] * dx[1] * dy[0] * dy[1] * dz[0] * dz[1]
-         for l in range(6, i + 1) for j in range(l - 5) for k in range(j + 1)])
+def _box_lattice(n, dim, total):
+    """Multi-indices with every component >= 1 and sum <= ``total``,
+    as fractions of ``n`` (vectorised; lexicographic)."""
+    if total < dim:
+        return np.zeros((0, dim))
+    idx = np.indices((total,) * dim).reshape(dim, -1).T + 1
+    return idx[idx.sum(axis=1) <= total] / n
 
 
 def unisolvent_pts(K, deg):
+    """A unisolvent (not dual) point set for S_deg on a quad/hex."""
     flat_el = flatten_reference_cube(K)
     dim = flat_el.get_spatial_dimension()
-    if dim == 2:
-        return unisolvent_pts_quad(flat_el, deg)
-    if dim == 3:
-        return unisolvent_pts_hex(flat_el, deg)
-    raise ValueError("Serendipity only defined for quads and hexes")
+    if not 2 <= dim <= 3:
+        raise ValueError("Serendipity only defined for quads and hexes")
+    top = flat_el.get_topology()
+    pts = [tuple(v) for v in flat_el.get_vertices()]
 
+    line = flat_el.construct_subelement(1)
+    edge_pts = make_lattice(line.get_vertices(), deg, 1)
+    for e in sorted(top[1]):
+        fmap = flat_el.get_entity_transform(1, e)
+        pts.extend(tuple(fmap(p)) for p in edge_pts)
 
-def unisolvent_pts_quad(K, deg):
-    """Unisolvent (not dual) points for quad serendipity."""
-    L = K.construct_subelement(1)
-    vs = np.asarray(K.vertices)
-    pts = [pt for pt in K.vertices]
-    Lpts = make_lattice(L.vertices, deg, 1)
-    for e in K.topology[1]:
-        Fmap = K.get_entity_transform(1, e)
-        pts.extend(tuple(Fmap(pt)) for pt in Lpts)
     if deg > 3:
-        dx0 = (vs[1, :] - vs[0, :]) / (deg - 2)
-        dx1 = (vs[2, :] - vs[0, :]) / (deg - 2)
-        pts.extend(tuple(vs[0, :] + dx0 * i + dx1 * j)
-                   for i in range(1, deg - 2)
-                   for j in range(1, deg - 1 - i))
-    return pts
+        frac = _box_lattice(deg - 2, 2, deg - 2)
+        if dim == 2:
+            vs = np.asarray(flat_el.get_vertices())
+            span = np.stack([vs[1] - vs[0], vs[2] - vs[0]])
+            pts.extend(tuple(p) for p in vs[0] + frac @ span)
+        else:
+            face = flat_el.construct_subelement(2)
+            fvs = np.asarray(face.get_vertices())
+            span = np.stack([fvs[1] - fvs[0], fvs[2] - fvs[0]])
+            face_pts = fvs[0] + frac @ span
+            for f in sorted(top[2]):
+                fmap = flat_el.get_entity_transform(2, f)
+                pts.extend(tuple(fmap(p)) for p in face_pts)
 
-
-def unisolvent_pts_hex(K, deg):
-    """Unisolvent (not dual) points for hex serendipity."""
-    L = K.construct_subelement(1)
-    F = K.construct_subelement(2)
-    vs = np.asarray(K.vertices)
-    pts = [pt for pt in K.vertices]
-    Lpts = make_lattice(L.vertices, deg, 1)
-    for e in K.topology[1]:
-        Fmap = K.get_entity_transform(1, e)
-        pts.extend(tuple(Fmap(pt)) for pt in Lpts)
-    if deg > 3:
-        fvs = np.asarray(F.vertices)
-        dx0 = (fvs[1, :] - fvs[0, :]) / (deg - 2)
-        dx1 = (fvs[2, :] - fvs[0, :]) / (deg - 2)
-        Fpts = [tuple(fvs[0, :] + dx0 * i + dx1 * j)
-                for i in range(1, deg - 2)
-                for j in range(1, deg - 1 - i)]
-        for f in K.topology[2]:
-            Fmap = K.get_entity_transform(2, f)
-            pts.extend(tuple(Fmap(pt)) for pt in Fpts)
-    if deg > 5:
-        dx0 = np.asarray([1.0, 0, 0]) / (deg - 4)
-        dx1 = np.asarray([0, 1.0, 0]) / (deg - 4)
-        dx2 = np.asarray([0, 0, 1.0]) / (deg - 4)
-        pts.extend(tuple(vs[0, :] + dx0 * i + dx1 * j + dx2 * k)
-                   for i in range(1, deg - 4)
-                   for j in range(1, deg - 3 - i)
-                   for k in range(1, deg - 2 - i - j))
+    if dim == 3 and deg > 5:
+        frac = _box_lattice(deg - 4, 3, deg - 3)
+        vs = np.asarray(flat_el.get_vertices())
+        span = np.stack([vs[4] - vs[0], vs[2] - vs[0], vs[1] - vs[0]])
+        pts.extend(tuple(p) for p in vs[0] + frac @ span)
     return pts
