@@ -172,6 +172,6 @@ def _disjoint_components(A, B):
     wrappers = (HCurlElement, HDivElement)
     if not (isinstance(A, wrappers) and isinstance(B, wrappers)):
         return False
-    slots = [{i for i, sel in enumerate(e.transform) if sel is not None}
+    slots = [{i for i, sel in enumerate(e.rows) if sel is not None}
              for e in (A, B)]
     return not (slots[0] & slots[1])

@@ -1,6 +1,11 @@
-"""H(div)/H(curl) wrapper elements for TP elements in the symbolic layer
-(parity with /root/reference/finat/hdivcurl.py): component transformers
-embed the TP values as normal/tangential vector components."""
+"""H(div)/H(curl) wrappers for symbolic TP elements (behavioural parity
+with /root/reference/finat/hdivcurl.py).
+
+A wrapper embeds the scalar/2-vector TP tabulation into a spatial-vector
+field by a fixed per-component row table: each output component is
+either zero or (sign x one wrappee component).  The embedding is one
+stack over component rows applied uniformly to tabulations and to the
+dual weight tensor."""
 
 import numpy as np
 
@@ -12,194 +17,157 @@ from .tensor_product import TensorProductElement
 
 
 def _xp(t):
-    return np if not _is_traced(t) else __import__("jax.numpy", fromlist=["x"])
+    return np if not _is_traced(t) else __import__("jax.numpy",
+                                                   fromlist=["x"])
+
+
+def _read_through(name):
+    get = lambda self: getattr(self.wrappee, name)  # noqa: E731
+    get.__name__ = name
+    return property(get)
+
+
+def _call_through(name):
+    def call(self):
+        return getattr(self.wrappee, name)()
+    call.__name__ = name
+    return call
+
+
+def _embed(table, rows, at):
+    """Stack component ``rows`` into axis ``at`` of ``table``.  A row is
+    None (zero component) or ``(sign, comp)`` with ``comp`` indexing the
+    wrappee's component axes at position ``at``."""
+    xp = _xp(table)
+    n_comp = max((len(c) for r in rows if r for _, c in (r,)), default=0)
+    zeros = None
+    parts = []
+    for row in rows:
+        if row is None:
+            if zeros is None:
+                zeros = xp.zeros(table.shape[:at] + table.shape[at + n_comp:])
+            parts.append(zeros)
+        else:
+            sign, comp = row
+            parts.append(sign * table[(slice(None),) * at + comp])
+    return xp.stack(parts, axis=at)
 
 
 class WrapperElementBase(FiniteElementBase):
-    """Common base for H(div) and H(curl) wrappers."""
+    """Shared machinery of the H(div)/H(curl) embeddings."""
 
-    def __init__(self, wrappee, transform):
+    #: target form degree as a function of spatial dimension
+    target_formdegree = None
+
+    cell = _read_through("cell")
+    complex = _read_through("complex")
+    degree = _read_through("degree")
+    index_shape = _read_through("index_shape")
+    entity_permutations = _read_through("entity_permutations")
+    entity_dofs = _call_through("entity_dofs")
+    entity_closure_dofs = _call_through("entity_closure_dofs")
+    entity_support_dofs = _call_through("entity_support_dofs")
+    space_dimension = _call_through("space_dimension")
+
+    def __init__(self, wrappee):
         super().__init__()
+        assert isinstance(wrappee, TensorProductElement)
+        kind = type(self).__name__[:-len("Element")]
+        degrees = [f.formdegree for f in wrappee.factors]
+        if None in degrees:
+            raise ValueError(
+                f"Form degree of subelement is None, cannot {kind}!")
+        dim = wrappee.cell.get_spatial_dimension()
+        if sum(degrees) != self.target_formdegree(dim):
+            raise ValueError(f"{kind} wrapper needs a "
+                             f"{self.target_formdegree(dim)}-form element!")
         self.wrappee = wrappee
-        self.transform = transform
+        self.rows = self.component_rows(wrappee)
 
     @property
-    def cell(self):
-        return self.wrappee.cell
-
-    @property
-    def complex(self):
-        return self.wrappee.complex
-
-    @property
-    def degree(self):
-        return self.wrappee.degree
-
-    def entity_dofs(self):
-        return self.wrappee.entity_dofs()
-
-    @property
-    def entity_permutations(self):
-        return self.wrappee.entity_permutations
-
-    def entity_closure_dofs(self):
-        return self.wrappee.entity_closure_dofs()
-
-    def entity_support_dofs(self):
-        return self.wrappee.entity_support_dofs()
-
-    def space_dimension(self):
-        return self.wrappee.space_dimension()
-
-    @property
-    def index_shape(self):
-        return self.wrappee.index_shape
+    def formdegree(self):
+        return self.target_formdegree(self.cell.get_spatial_dimension())
 
     @property
     def value_shape(self):
         return (self.cell.get_spatial_dimension(),)
 
-    def _transform_evaluation(self, core_eval):
-        n_idx = len(self.wrappee.index_shape)
-        n_val = len(self.wrappee.value_shape)
-        result = {}
-        for alpha, table in core_eval.items():
-            xp = _xp(table)
-            idx_shape = table.shape[:n_idx]
-            val_shape = table.shape[n_idx:n_idx + n_val]
-            pts_shape = table.shape[n_idx + n_val:]
+    def _embed_tables(self, tables):
+        at = len(self.wrappee.index_shape)
+        return {alpha: _embed(tab, self.rows, at)
+                for alpha, tab in tables.items()}
 
-            def comp(sel):
-                """Either a component of the table, or zeros."""
-                if sel is None:
-                    return xp.zeros(idx_shape + pts_shape)
-                factor, index = sel
-                if index == ():
-                    v = table
-                else:
-                    v = table[(slice(None),) * n_idx + index]
-                return factor * v
-
-            rows = [comp(sel) for sel in self.transform]
-            out = xp.stack(rows, axis=n_idx)
-            result[alpha] = out
-        return result
-
-    def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
-        return self._transform_evaluation(
+    def basis_evaluation(self, order, ps, entity=None,
+                         coordinate_mapping=None):
+        return self._embed_tables(
             self.wrappee.basis_evaluation(order, ps, entity))
 
     def point_evaluation(self, order, refcoords, entity=None,
                          coordinate_mapping=None):
-        return self._transform_evaluation(
+        return self._embed_tables(
             self.wrappee.point_evaluation(order, refcoords, entity))
 
     @property
     def dual_basis(self):
         Q, x = self.wrappee.dual_basis
-        xp = _xp(Q)
-        n_idx = len(self.wrappee.index_shape)
-        npt = len(x.points_shape)
-        n_val = len(self.wrappee.value_shape)
-        idx_pts = Q.shape[:n_idx + npt]
-
-        def comp(sel):
-            if sel is None:
-                return xp.zeros(idx_pts)
-            factor, index = sel
-            if index == ():
-                v = Q
-            else:
-                v = Q[(slice(None),) * (n_idx + npt) + index]
-            return factor * v
-
-        rows = [comp(sel) for sel in self.transform]
-        return xp.stack(rows, axis=len(idx_pts)), x
-
-
-#: transform entries: None (zero component) or (sign, component index tuple)
-def select_hdiv_transformer(element):
-    assert len(element.factors) == 2
-    assert element.factors[1].cell.get_shape() == cl.LINE
-    ks = tuple(fe.formdegree for fe in element.factors)
-    if ks == (0, 1):
-        return [(-1.0, ()), None]
-    if ks == (1, 0):
-        return [None, (1.0, ())]
-    if ks == (2, 0):
-        return [None, None, (1.0, ())]
-    if ks == (1, 1):
-        if element.mapping == "contravariant piola":
-            return [(1.0, (0,)), (1.0, (1,)), None]
-        if element.mapping == "covariant piola":
-            return [(1.0, (1,)), (-1.0, (0,)), None]
-        raise AssertionError("Unexpected original mapping!")
-    raise AssertionError("Unexpected form degree combination!")
-
-
-def select_hcurl_transformer(element):
-    assert len(element.factors) == 2
-    assert element.factors[1].cell.get_shape() == cl.LINE
-    dim = element.cell.get_spatial_dimension()
-    ks = tuple(fe.formdegree for fe in element.factors)
-    if element.mapping == "affine":
-        if ks == (1, 0):
-            return [(1.0, ()), None]
-        if ks == (0, 1):
-            return [None] * (dim - 1) + [(1.0, ())]
-        raise AssertionError
-    if element.mapping == "covariant piola":
-        return [(1.0, (0,)), (1.0, (1,)), None]
-    if element.mapping == "contravariant piola":
-        return [(-1.0, (1,)), (1.0, (0,)), None]
-    raise AssertionError("Unexpected original mapping!")
+        at = len(self.wrappee.index_shape) + len(x.points_shape)
+        return _embed(Q, self.rows, at), x
 
 
 class HDivElement(WrapperElementBase):
-    """H(div) wrapper for TP elements."""
+    """Embed an (n-1)-form TP element as an H(div) vector field."""
 
-    def __init__(self, wrappee):
-        assert isinstance(wrappee, TensorProductElement)
-        if any(fe.formdegree is None for fe in wrappee.factors):
-            raise ValueError("Form degree of subelement is None, cannot H(div)!")
-        formdegree = sum(fe.formdegree for fe in wrappee.factors)
-        if formdegree != wrappee.cell.get_spatial_dimension() - 1:
-            raise ValueError("H(div) requires (n-1)-form element!")
-        super().__init__(wrappee, select_hdiv_transformer(wrappee))
+    target_formdegree = staticmethod(lambda dim: dim - 1)
+    mapping = "contravariant piola"
 
-    @property
-    def formdegree(self):
-        return self.cell.get_spatial_dimension() - 1
+    #: rows keyed by the factor form-degree pair (scalar-valued cases)
+    _SCALAR_ROWS = {
+        (0, 1): [(-1.0, ()), None],
+        (1, 0): [None, (1.0, ())],
+        (2, 0): [None, None, (1.0, ())],
+    }
+    #: 3D (1,1) case: rows keyed by the wrappee's own Piola mapping
+    _VECTOR_ROWS = {
+        "contravariant piola": [(1.0, (0,)), (1.0, (1,)), None],
+        "covariant piola": [(1.0, (1,)), (-1.0, (0,)), None],
+    }
+
+    @classmethod
+    def component_rows(cls, element):
+        assert element.factors[1].cell.get_shape() == cl.LINE
+        ks = tuple(f.formdegree for f in element.factors)
+        if ks == (1, 1):
+            return cls._VECTOR_ROWS[element.mapping]
+        return cls._SCALAR_ROWS[ks]
 
     @property
     def fiat_equivalent(self):
         return fe_numeric.Hdiv(self.wrappee.fiat_equivalent)
 
-    @property
-    def mapping(self):
-        return "contravariant piola"
-
 
 class HCurlElement(WrapperElementBase):
-    """H(curl) wrapper for TP elements."""
+    """Embed a 1-form TP element as an H(curl) vector field."""
 
-    def __init__(self, wrappee):
-        assert isinstance(wrappee, TensorProductElement)
-        if any(fe.formdegree is None for fe in wrappee.factors):
-            raise ValueError("Form degree of subelement is None, cannot H(curl)!")
-        formdegree = sum(fe.formdegree for fe in wrappee.factors)
-        if formdegree != 1:
-            raise ValueError("H(curl) requires 1-form element!")
-        super().__init__(wrappee, select_hcurl_transformer(wrappee))
+    target_formdegree = staticmethod(lambda dim: 1)
+    mapping = "covariant piola"
 
-    @property
-    def formdegree(self):
-        return 1
+    _VECTOR_ROWS = {
+        "covariant piola": [(1.0, (0,)), (1.0, (1,)), None],
+        "contravariant piola": [(-1.0, (1,)), (1.0, (0,)), None],
+    }
+
+    @classmethod
+    def component_rows(cls, element):
+        assert element.factors[1].cell.get_shape() == cl.LINE
+        if element.mapping == "affine":
+            dim = element.cell.get_spatial_dimension()
+            ks = tuple(f.formdegree for f in element.factors)
+            if ks == (1, 0):
+                return [(1.0, ()), None]
+            assert ks == (0, 1)
+            return [None] * (dim - 1) + [(1.0, ())]
+        return cls._VECTOR_ROWS[element.mapping]
 
     @property
     def fiat_equivalent(self):
         return fe_numeric.Hcurl(self.wrappee.fiat_equivalent)
-
-    @property
-    def mapping(self):
-        return "covariant piola"

@@ -1,4 +1,4 @@
-"""Symbolic tensor-product elements (parity with
+"""Symbolic tensor-product elements (behavioural parity with
 /root/reference/finat/tensor_product.py).
 
 THE sum-factorisation structure: each factor tabulates on its own point
@@ -32,38 +32,34 @@ class TensorProductElement(FiniteElementBase):
     def __init__(self, factors):
         super().__init__()
         self.factors = tuple(factors)
-        shapes = [fe.value_shape for fe in self.factors if fe.value_shape != ()]
-        if len(shapes) == 0:
-            self._value_shape = ()
-        elif len(shapes) == 1:
-            self._value_shape = shapes[0]
-        else:
+        nonscalar = {f.value_shape for f in self.factors} - {()}
+        if len(nonscalar) > 1:
             raise NotImplementedError("Only one nonscalar factor permitted!")
+        self._value_shape = nonscalar.pop() if nonscalar else ()
 
     @property
     def cell(self):
-        return TensorProductCell(*(fe.cell for fe in self.factors))
+        return TensorProductCell(*(f.cell for f in self.factors))
 
     @property
     def complex(self):
-        return TensorProductCell(*(fe.complex for fe in self.factors))
+        return TensorProductCell(*(f.complex for f in self.factors))
 
     @property
     def degree(self):
-        return tuple(fe.degree for fe in self.factors)
+        return tuple(f.degree for f in self.factors)
 
     @property
     def formdegree(self):
-        if any(fe.formdegree is None for fe in self.factors):
-            return None
-        return sum(fe.formdegree for fe in self.factors)
+        degrees = [f.formdegree for f in self.factors]
+        return None if None in degrees else sum(degrees)
 
     def entity_dofs(self):
         try:
             return self._entity_dofs_cache
         except AttributeError:
-            self._entity_dofs_cache = productise(self.factors,
-                                                 methodcaller("entity_dofs"))
+            self._entity_dofs_cache = productise(
+                self.factors, methodcaller("entity_dofs"))
             return self._entity_dofs_cache
 
     def entity_support_dofs(self):
@@ -74,11 +70,15 @@ class TensorProductElement(FiniteElementBase):
         return compose_permutations(self.factors)
 
     def space_dimension(self):
-        return int(np.prod([fe.space_dimension() for fe in self.factors]))
+        n = 1
+        for f in self.factors:
+            n *= f.space_dimension()
+        return n
 
     @property
     def index_shape(self):
-        return tuple(chain.from_iterable(fe.index_shape for fe in self.factors))
+        return tuple(chain.from_iterable(f.index_shape
+                                         for f in self.factors))
 
     @property
     def value_shape(self):
@@ -91,14 +91,13 @@ class TensorProductElement(FiniteElementBase):
                                                B.fiat_equivalent)
 
     def _factor_entity(self, entity):
-        if entity is None:
-            entity = (self.cell.get_dimension(), 0)
-        entity_dim, entity_id = entity
-        assert isinstance(entity_dim, tuple)
-        assert len(entity_dim) == len(self.factors)
-        shape = tuple(len(c.get_topology()[d])
-                      for c, d in zip(self.cell.cells, entity_dim))
-        return list(zip(entity_dim, np.unravel_index(entity_id, shape)))
+        """(dim, id) per factor for a product-cell entity spec."""
+        dims, flat_id = entity if entity is not None \
+            else (self.cell.get_dimension(), 0)
+        counts = [len(c.get_topology()[d])
+                  for c, d in zip(self.cell.cells, dims)]
+        ids = np.unravel_index(flat_id, tuple(counts))
+        return list(zip(dims, ids))
 
     def _merge_evaluations(self, factor_results, shared_points):
         """Outer-product the factor tabulations.
@@ -106,77 +105,71 @@ class TensorProductElement(FiniteElementBase):
         :arg shared_points: True when all factors were evaluated at the SAME
             point axis (unstructured points split by coordinate); False for
             a TensorPointSet (each factor has its own point axis)."""
-        dimension = self.cell.get_spatial_dimension()
         order = max(map(sum, chain(*factor_results)))
         dim_slices = TensorProductCell._split_slices(
             [c.get_spatial_dimension() for c in self.cell.cells])
 
-        n_idx = [len(fe.index_shape) for fe in self.factors]
-        n_val = [len(fe.value_shape) for fe in self.factors]
+        n_idx = [len(f.index_shape) for f in self.factors]
+        n_val = [len(f.value_shape) for f in self.factors]
 
         result = {}
-        for derivative in range(order + 1):
-            for Delta in mis(dimension, derivative):
-                deltas = [Delta[s] for s in dim_slices]
-                tabs = [fr[delta] for fr, delta in zip(factor_results, deltas)]
-                result[Delta] = _outer_merge(tabs, n_idx, n_val, shared_points)
+        dim = self.cell.get_spatial_dimension()
+        for Delta in chain(*(mis(dim, o) for o in range(order + 1))):
+            tabs = [fr[Delta[s]]
+                    for fr, s in zip(factor_results, dim_slices)]
+            result[Delta] = _outer_merge(tabs, n_idx, n_val, shared_points)
         return result
 
-    def basis_evaluation(self, order, ps, entity=None, coordinate_mapping=None):
+    def basis_evaluation(self, order, ps, entity=None,
+                         coordinate_mapping=None):
         entities = self._factor_entity(entity)
-        entity_dim, _ = zip(*entities)
-        ps_factors = factor_point_set(self.cell, entity_dim, ps)
+        ps_factors = factor_point_set(self.cell,
+                                      [d for d, _ in entities], ps)
         shared_points = not (isinstance(ps, TensorPointSet)
                              and len(self.cell.cells) == len(ps.factors))
-        factor_results = [fe.basis_evaluation(order, ps_, e)
-                          for fe, ps_, e in zip(self.factors, ps_factors,
-                                                entities)]
+        factor_results = [f.basis_evaluation(order, fps, e)
+                          for f, fps, e in zip(self.factors, ps_factors,
+                                               entities)]
         return self._merge_evaluations(factor_results, shared_points)
 
     def point_evaluation(self, order, point, entity=None,
                          coordinate_mapping=None):
         entities = self._factor_entity(entity)
-        entity_dim, _ = zip(*entities)
-        point_dims = [cell.construct_subelement(dim).get_spatial_dimension()
-                      for cell, dim in zip(self.cell.cells, entity_dim)]
-        assert point.shape == (sum(point_dims),)
-        slices = TensorProductCell._split_slices(point_dims)
-        factor_results = [fe.point_evaluation(order, point[s], e)
-                          for fe, s, e in zip(self.factors, slices, entities)]
+        widths = [c.construct_subelement(d).get_spatial_dimension()
+                  for c, (d, _) in zip(self.cell.cells, entities)]
+        assert point.shape == (sum(widths),)
+        factor_results = [f.point_evaluation(order, point[s], e)
+                          for f, s, e in zip(
+                              self.factors,
+                              TensorProductCell._split_slices(widths),
+                              entities)]
         return self._merge_evaluations(factor_results, shared_points=True)
 
     @property
     def dual_basis(self):
-        qs, pss = zip(*(factor.dual_basis for factor in self.factors))
-        ps = TensorPointSet(pss)
+        qs, pss = zip(*(f.dual_basis for f in self.factors))
         # Q factors have shape (idx_f..., npts_f, vshape_f...); merged
         # Q: (idx..., npts..., vshape...)
         xp = _xp(*qs)
-        n_idx = [len(fe.index_shape) for fe in self.factors]
-        n_val = [len(fe.value_shape) for fe in self.factors]
         letters = iter("abcdefghijklmnopqrstuvwxyz")
         specs, out_idx, out_pts, out_val = [], [], [], []
-        for q, ni, nv, fss in zip(qs, n_idx, n_val, pss):
-            npts_axes = len(fss.points_shape)
-            idx = [next(letters) for _ in range(ni)]
-            pts = [next(letters) for _ in range(npts_axes)]
-            val = [next(letters) for _ in range(nv)]
+        for q, f, fss in zip(qs, self.factors, pss):
+            idx = [next(letters) for _ in f.index_shape]
+            pts = [next(letters) for _ in fss.points_shape]
+            val = [next(letters) for _ in f.value_shape]
             specs.append("".join(idx + pts + val))
             out_idx += idx
             out_pts += pts
             out_val += val
         spec = ",".join(specs) + "->" + "".join(out_idx + out_pts + out_val)
-        Q = xp.einsum(spec, *qs)
-        return Q, ps
+        return xp.einsum(spec, *qs), TensorPointSet(pss)
 
     @property
     def mapping(self):
-        mappings = [fe.mapping for fe in self.factors if fe.mapping != "affine"]
-        if len(mappings) == 0:
+        nonaffine = {f.mapping for f in self.factors} - {"affine"}
+        if not nonaffine:
             return "affine"
-        if len(mappings) == 1:
-            return mappings[0]
-        return None
+        return nonaffine.pop() if len(nonaffine) == 1 else None
 
 
 def _outer_merge(tabs, n_idx, n_val, shared_points):
@@ -207,61 +200,61 @@ def _outer_merge(tabs, n_idx, n_val, shared_points):
     return xp.einsum(spec, *tabs)
 
 
+def _entity_product(tables, combine):
+    """Walk the cartesian product of per-factor per-dimension entity
+    tables.  For each dimension tuple, product entities are numbered
+    flat in lexicographic factor-entity order and mapped to
+    ``combine(dims, per-factor values)``."""
+    out = {}
+    for dims in product(*map(sorted, tables)):
+        rows = [t[d] for t, d in zip(tables, dims)]
+        combos = product(*(sorted(r) for r in rows))
+        out[dims] = {
+            flat: combine(dims, [r[e] for r, e in zip(rows, ent)])
+            for flat, ent in enumerate(combos)}
+    return out
+
+
 def productise(factors, method):
-    """Tensor-product entity-dof maps across factors."""
-    shape = tuple(fe.space_dimension() for fe in factors)
-    dofs = {}
-    for dim in product(*[fe.cell.get_topology().keys() for fe in factors]):
-        dim_dofs = []
-        topds = [method(fe)[d] for fe, d in zip(factors, dim)]
-        for tuple_ei in product(*[sorted(topd) for topd in topds]):
-            tuple_vs = list(product(*[topd[ei]
-                                      for topd, ei in zip(topds, tuple_ei)]))
-            if tuple_vs:
-                vs = list(np.ravel_multi_index(np.transpose(tuple_vs), shape))
-                dim_dofs.append((tuple_ei, vs))
-            else:
-                dim_dofs.append((tuple_ei, []))
-        dofs[dim] = dict(enumerate(v for k, v in sorted(dim_dofs)))
-    return dofs
+    """Entity→dof maps of a product element.  The product dof numbering
+    is the row-major ravel of the factor dof grid, so each product
+    entity's dofs are one block gather ``grid[ix_(dofsA, dofsB, ...)]``."""
+    grid = np.arange(int(np.prod([f.space_dimension() for f in factors])))
+    grid = grid.reshape([f.space_dimension() for f in factors])
+
+    def gather(_dims, dof_lists):
+        block = grid[np.ix_(*[np.asarray(d, dtype=int) for d in dof_lists])]
+        return block.ravel().tolist()
+
+    return _entity_product([method(f) for f in factors], gather)
 
 
 def compose_permutations(factors):
-    """Compose factor orientation-permutation maps (extrinsic axis swaps x
-    intrinsic factor orientations)."""
-    permutations = {}
-    cells = [fe.cell for fe in factors]
-    for dim in product(*[cell.get_topology().keys() for cell in cells]):
-        dim_permutations = []
-        e_o_p_maps = [fe.entity_permutations[d] for fe, d in zip(factors, dim)]
-        for e_tuple in product(*[sorted(m) for m in e_o_p_maps]):
-            o_p_maps = [m[e] for m, e in zip(e_o_p_maps, e_tuple)]
-            o_tuple_perm_map = make_entity_permutations_tensorproduct(
-                cells, dim, o_p_maps)
-            dim_permutations.append((e_tuple, o_tuple_perm_map))
-        permutations[dim] = dict(enumerate(v for k, v in
-                                           sorted(dim_permutations)))
-    return permutations
+    """Orientation→dof-permutation maps of a product element: extrinsic
+    axis swaps composed with the factors' intrinsic orientation maps."""
+    cells = [f.cell for f in factors]
+
+    def compose(dims, o_p_maps):
+        return make_entity_permutations_tensorproduct(cells, dims, o_p_maps)
+
+    return _entity_product([f.entity_permutations for f in factors], compose)
 
 
 def factor_point_set(product_cell, product_dim, point_set):
     """Split a point set across the factor cells."""
-    assert len(product_cell.cells) == len(product_dim)
-    point_dims = [cell.construct_subelement(dim).get_spatial_dimension()
-                  for cell, dim in zip(product_cell.cells, product_dim)]
+    widths = [c.construct_subelement(d).get_spatial_dimension()
+              for c, d in zip(product_cell.cells, product_dim)]
 
-    if isinstance(point_set, TensorPointSet) and \
-            len(product_cell.cells) == len(point_set.factors):
-        assert all(ps.dimension == dim
-                   for ps, dim in zip(point_set.factors, point_dims))
+    if isinstance(point_set, TensorPointSet) \
+            and len(point_set.factors) == len(product_cell.cells):
+        assert [ps.dimension for ps in point_set.factors] == widths
         return point_set.factors
 
-    assert point_set.dimension == sum(point_dims)
-    slices = TensorProductCell._split_slices(point_dims)
+    assert point_set.dimension == sum(widths)
+    slices = TensorProductCell._split_slices(widths)
     if isinstance(point_set, PointSingleton):
         return [PointSingleton(point_set.point[s]) for s in slices]
     if isinstance(point_set, (PointSet, TensorPointSet)):
-        pts = point_set.points
-        return [PointSet(pts[:, s]) for s in slices]
+        return [PointSet(point_set.points[:, s]) for s in slices]
     raise NotImplementedError(
         f"How to tabulate TensorProductElement on {type(point_set).__name__}?")
