@@ -1,9 +1,11 @@
-"""Tensor-product elements (parity with
+"""Tensor-product elements (behavioural parity with
 /root/reference/FIAT/tensor_product.py): product cell, product DoFs (B
-fastest), dual product by functional-type case analysis, and tabulation as
-outer products of factor tabulations -- written as single einsum
-contractions per derivative multi-index (the explicit sum-factorised
-structure the TPU batched tabulator consumes)."""
+fastest), dual product by functional-type dispatch, and tabulation as
+outer products of factor tabulations -- single einsum contractions per
+derivative multi-index (the explicit sum-factorised structure the TPU
+batched tabulator consumes)."""
+
+from itertools import product
 
 import numpy as np
 
@@ -26,11 +28,11 @@ def _extrude_node(Anode, Bnode, ref_el, name, pad_component):
     keeps the full product-cell component stencil."""
     Bpoint = _first_point(Bnode)
     if len(Bpoint) > 1:
-        raise NotImplementedError(f"{name} x PointEval needs a 1D second factor")
+        raise NotImplementedError(
+            f"{name} x PointEval needs a 1D second factor")
     sd = ref_el.get_spatial_dimension()
     points = np.hstack([Anode.points,
                         np.tile(Bpoint, (Anode.points.shape[0], 1))])
-    n = Anode.weights.shape[0]
     npad = points.shape[0] if pad_component else 0
     return functionals.Functional(
         ref_el, (sd,), name, points,
@@ -39,85 +41,78 @@ def _extrude_node(Anode, Bnode, ref_el, name, pad_component):
         comps=np.concatenate([Anode.comps, np.full(npad, sd - 1, np.intp)]))
 
 
+#: vector functional kinds liftable against a point evaluation:
+#: type -> (lifted name, pad a zero-weight component slot)
+_LIFTABLE = (
+    (functionals.PointScaledNormalEvaluation, "PointScaledNormalEval", True),
+    (functionals.PointEdgeTangentEvaluation, "PointEdgeTangent", True),
+    (functionals.FrobeniusIntegralMoment, "FrobeniusIntegralMoment", True),
+    (functionals.IntegralMoment, "IntegralMoment", False),
+)
+
+
 def _product_node(Anode, Bnode, ref_el):
     """The product functional of two factor functionals, where defined;
     a placeholder 'Undefined' functional otherwise."""
-    undefined = functionals.Functional(None, (), "Undefined", np.zeros((1, 0)))
+    B_is_point = isinstance(Bnode, functionals.PointEvaluation)
     if isinstance(Anode, functionals.PointEvaluation):
-        if isinstance(Bnode, functionals.PointEvaluation):
+        if B_is_point:
             return functionals.PointEvaluation(
                 ref_el, _first_point(Anode) + _first_point(Bnode))
-        return undefined
-    if isinstance(Anode, functionals.PointScaledNormalEvaluation):
-        if isinstance(Bnode, functionals.PointEvaluation):
-            return _extrude_node(Anode, Bnode, ref_el,
-                                 "PointScaledNormalEval", True)
-        raise NotImplementedError("unsupported functional type")
-    if isinstance(Anode, functionals.PointEdgeTangentEvaluation):
-        if isinstance(Bnode, functionals.PointEvaluation):
-            return _extrude_node(Anode, Bnode, ref_el, "PointEdgeTangent", True)
-        raise NotImplementedError("unsupported functional type")
-    if isinstance(Anode, functionals.ComponentPointEvaluation):
-        if isinstance(Bnode, functionals.PointEvaluation):
-            sd = ref_el.get_spatial_dimension()
-            return functionals.ComponentPointEvaluation(
-                ref_el, Anode.comp, (sd,), _first_point(Anode) + _first_point(Bnode))
-        raise NotImplementedError("unsupported functional type")
-    if isinstance(Anode, functionals.FrobeniusIntegralMoment):
-        if isinstance(Bnode, functionals.PointEvaluation):
-            return _extrude_node(Anode, Bnode, ref_el,
-                                 "FrobeniusIntegralMoment", True)
-        raise NotImplementedError("unsupported functional type")
-    if isinstance(Anode, functionals.IntegralMoment):
-        if isinstance(Bnode, functionals.PointEvaluation):
-            return _extrude_node(Anode, Bnode, ref_el, "IntegralMoment", False)
-        raise NotImplementedError("unsupported functional type")
-    if isinstance(Anode, functionals.Functional):
-        return undefined
-    raise NotImplementedError("unsupported functional type")
+    elif isinstance(Anode, functionals.ComponentPointEvaluation):
+        if not B_is_point:
+            raise NotImplementedError("unsupported functional type")
+        return functionals.ComponentPointEvaluation(
+            ref_el, Anode.comp, (ref_el.get_spatial_dimension(),),
+            _first_point(Anode) + _first_point(Bnode))
+    else:
+        for kind, name, pad in _LIFTABLE:
+            if isinstance(Anode, kind):
+                if not B_is_point:
+                    raise NotImplementedError("unsupported functional type")
+                return _extrude_node(Anode, Bnode, ref_el, name, pad)
+        if not isinstance(Anode, functionals.Functional):
+            raise NotImplementedError("unsupported functional type")
+    return functionals.Functional(None, (), "Undefined", np.zeros((1, 0)))
+
+
+def _outer_tables(Atab, Btab, widths, order, npts):
+    """Per-multi-index outer products of two factor tabulations, with
+    the A/B member axes merged (B fastest) and at most one value axis."""
+    result = {}
+    for total in range(order + 1):
+        for alpha in mis(sum(widths), total):
+            a = Atab[alpha[:widths[0]]]
+            b = Btab[alpha[widths[0]:]]
+            spec = ("a" + "d" * (a.ndim - 2) + "p,"
+                    "b" + "e" * (b.ndim - 2) + "p->"
+                    "ab" + "d" * (a.ndim - 2) + "e" * (b.ndim - 2) + "p")
+            merged = np.einsum(spec, a, b)
+            result[alpha] = merged.reshape(-1, *merged.shape[2:])
+    return result
 
 
 class TensorProductElement(FiniteElement):
     """The tensor product of two elements on the product cell."""
 
     def __init__(self, A, B):
-        order = min(A.get_order(), B.get_order())
-        if A.get_formdegree() is None or B.get_formdegree() is None:
-            formdegree = None
-        else:
-            formdegree = A.get_formdegree() + B.get_formdegree()
+        nonaffine = [m for m in (A.mapping()[0], B.mapping()[0])
+                     if m != "affine"]
+        if len(nonaffine) > 1:
+            raise ValueError("at least one factor must have an affine mapping")
+        degrees = (A.get_formdegree(), B.get_formdegree())
+
         ref_el = TensorProductCell(A.get_reference_element(),
                                    B.get_reference_element())
-
-        mapA, mapB = A.mapping()[0], B.mapping()[0]
-        if mapA != "affine" and mapB == "affine":
-            mapping = mapA
-        elif mapB != "affine" and mapA == "affine":
-            mapping = mapB
-        elif mapA == mapB == "affine":
-            mapping = "affine"
-        else:
-            raise ValueError("at least one factor must have an affine mapping")
-
-        # product entity ids: B's dofs run fastest
-        Adofs, Bdofs = A.entity_dofs(), B.entity_dofs()
-        Bsdim = B.space_dimension()
-        entity_ids = {}
-        for dimA in Adofs:
-            for dimB in Bdofs:
-                entity_ids[(dimA, dimB)] = {}
-                cur = 0
-                for eA in Adofs[dimA]:
-                    for eB in Bdofs[dimB]:
-                        entity_ids[(dimA, dimB)][cur] = [
-                            x * Bsdim + y
-                            for x in Adofs[dimA][eA] for y in Bdofs[dimB][eB]]
-                        cur += 1
-
-        nodes = [_product_node(Anode, Bnode, ref_el)
-                 for Anode in A.dual_basis() for Bnode in B.dual_basis()]
-        dual = DualSet(nodes, ref_el, entity_ids)
-        super().__init__(ref_el, dual, order, formdegree, mapping)
+        nodes = [_product_node(An, Bn, ref_el)
+                 for An in A.dual_basis() for Bn in B.dual_basis()]
+        dual = DualSet(nodes, ref_el,
+                       _product_entity_ids(A.entity_dofs(), B.entity_dofs(),
+                                           B.space_dimension()))
+        super().__init__(ref_el, dual,
+                         min(A.get_order(), B.get_order()),
+                         None if None in degrees else sum(degrees),
+                         nonaffine[0] if nonaffine else "affine")
         self.A = A
         self.B = B
         self.polydegree = max(A.degree(), B.degree())
@@ -125,94 +120,85 @@ class TensorProductElement(FiniteElement):
     def degree(self):
         return self.polydegree
 
-    def get_nodal_basis(self):
-        raise NotImplementedError("get_nodal_basis not implemented")
-
-    def get_coeffs(self):
-        raise NotImplementedError("get_coeffs not implemented")
-
     def tabulate(self, order, points, entity=None):
         """Tabulate as an outer product of the factor tabulations: one
         einsum per derivative multi-index."""
         if entity is None:
             entity = (self.ref_el.get_dimension(), 0)
-        entity_dim, entity_id = entity
+        dims, flat_id = entity
+        counts = [len(c.get_topology()[d])
+                  for c, d in zip(self.ref_el.cells, dims)]
+        idA, idB = np.unravel_index(flat_id, tuple(counts))
 
-        shape = tuple(len(c.get_topology()[d])
-                      for c, d in zip(self.ref_el.cells, entity_dim))
-        idA, idB = np.unravel_index(entity_id, shape)
-        entityA = (entity_dim[0], idA)
-        entityB = (entity_dim[1], idB)
-
-        pdimA, pdimB = [c.get_spatial_dimension()
-                        for c in self.ref_el.construct_subelement(entity_dim).cells]
+        pdims = [c.get_spatial_dimension()
+                 for c in self.ref_el.construct_subelement(dims).cells]
         points = np.asarray(points)
-        pointsA = points[..., :pdimA]
-        pointsB = points[..., pdimA:pdimA + pdimB]
+        Atab = self.A.tabulate(order, points[..., :pdims[0]],
+                               (dims[0], idA))
+        Btab = self.B.tabulate(order, points[..., pdims[0]:sum(pdims)],
+                               (dims[1], idB))
 
-        Asdim = self.A.ref_el.get_spatial_dimension()
-        Bsdim = self.B.ref_el.get_spatial_dimension()
-        Atab = self.A.tabulate(order, pointsA, entityA)
-        Btab = self.B.tabulate(order, pointsB, entityB)
-
-        nA = len(self.A.value_shape())
-        nB = len(self.B.value_shape())
-        if nA + nB > 1:
+        if len(self.A.value_shape()) + len(self.B.value_shape()) > 1:
             raise NotImplementedError(
                 "tabulate does not support two vector-valued factors")
-        npts = len(points)
-        result = {}
-        for i in range(order + 1):
-            for alpha in mis(Asdim + Bsdim, i):
-                a, b = Atab[alpha[:Asdim]], Btab[alpha[Asdim:]]
-                if nA == 0 and nB == 0:
-                    out = np.einsum("ap,bp->abp", a, b).reshape(-1, npts)
-                elif nA == 1:
-                    d = a.shape[1]
-                    out = (np.einsum("adp,bp->abdp", a, b)
-                           .reshape(-1, d, npts))
-                else:
-                    d = b.shape[1]
-                    out = (np.einsum("ap,bdp->abdp", a, b)
-                           .reshape(-1, d, npts))
-                result[alpha] = out
-        return result
+        widths = [c.get_spatial_dimension() for c in self.ref_el.cells]
+        return _outer_tables(Atab, Btab, widths, order, len(points))
 
     def value_shape(self):
-        shpA, shpB = self.A.value_shape(), self.B.value_shape()
-        if len(shpA) == 0 and len(shpB) == 0:
-            return ()
-        if len(shpA) == 1 and len(shpB) == 0:
-            return (shpA[0],)
-        if len(shpA) == 0 and len(shpB) == 1:
-            return (shpB[0],)
-        raise NotImplementedError("value_shape not implemented")
-
-    def dmats(self):
-        raise NotImplementedError("dmats not implemented")
-
-    def get_num_members(self, arg):
-        raise NotImplementedError("get_num_members not implemented")
+        shape = self.A.value_shape() + self.B.value_shape()
+        if len(shape) > 1:
+            raise NotImplementedError("value_shape not implemented")
+        return shape
 
     def is_nodal(self):
         return self.A.is_nodal() and self.B.is_nodal()
+
+
+def _product_entity_ids(Adofs, Bdofs, Bsdim):
+    """Product entity→dof tables: flat product entities in B-fastest
+    order, dof blocks as one broadcast add per entity pair."""
+    entity_ids = {}
+    for dimA, dimB in product(Adofs, Bdofs):
+        pairs = product(Adofs[dimA].values(), Bdofs[dimB].values())
+        entity_ids[(dimA, dimB)] = {
+            flat: (np.multiply.outer(np.asarray(a, dtype=int), Bsdim)
+                   [:, None] + np.asarray(b, dtype=int)).ravel().tolist()
+            for flat, (a, b) in enumerate(pairs)}
+    return entity_ids
+
+
+def _unimplemented(name):
+    def stub(self, *args):
+        raise NotImplementedError(f"{name} not implemented")
+    stub.__name__ = name
+    return stub
+
+
+def _via_element(name):
+    def fwd(self, *args):
+        return getattr(self.element, name)(*args)
+    fwd.__name__ = name
+    return fwd
+
+
+for _n in ("get_nodal_basis", "get_coeffs", "dmats", "get_num_members"):
+    setattr(TensorProductElement, _n, _unimplemented(_n))
 
 
 class FlattenedDimensions(FiniteElement):
     """Present a tensor-product-of-intervals element with flattened
     (quadrilateral/hexahedron) entity dimensions."""
 
+    _FLAT_CELLS = {2: UFCQuadrilateral, 3: UFCHexahedron}
+
     def __init__(self, element):
-        nodes = element.dual.nodes
         dim = element.ref_el.get_spatial_dimension()
-        if dim == 2:
-            ref_el = UFCQuadrilateral()
-        elif dim == 3:
-            ref_el = UFCHexahedron()
-        else:
+        try:
+            ref_el = self._FLAT_CELLS[dim]()
+        except KeyError:
             raise ValueError(f"Illegal element dimension {dim}")
-        flat_entity_ids = flatten_entities(element.dual.entity_ids)
-        dual = DualSet(nodes, ref_el, flat_entity_ids)
+        dual = DualSet(element.dual.nodes, ref_el,
+                       flatten_entities(element.dual.entity_ids))
         super().__init__(ref_el, dual, element.get_order(),
                          element.get_formdegree(), element._mapping)
         self.element = element
@@ -224,25 +210,11 @@ class FlattenedDimensions(FiniteElement):
 
     def tabulate(self, order, points, entity=None):
         if entity is None:
-            entity = (self.get_reference_element().get_spatial_dimension(), 0)
-        entity_dim, entity_id = entity
-        product_entity = self.unflattening_map[(entity_dim, entity_id)]
-        return self.element.tabulate(order, points, product_entity)
+            entity = (self.ref_el.get_spatial_dimension(), 0)
+        return self.element.tabulate(order, points,
+                                     self.unflattening_map[entity])
 
-    def value_shape(self):
-        return self.element.value_shape()
 
-    def get_nodal_basis(self):
-        return self.element.get_nodal_basis()
-
-    def get_coeffs(self):
-        return self.element.get_coeffs()
-
-    def dmats(self):
-        return self.element.dmats()
-
-    def get_num_members(self, arg):
-        return self.element.get_num_members(arg)
-
-    def is_nodal(self):
-        return self.element.is_nodal()
+for _n in ("value_shape", "get_nodal_basis", "get_coeffs", "dmats",
+           "get_num_members", "is_nodal"):
+    setattr(FlattenedDimensions, _n, _via_element(_n))
