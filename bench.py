@@ -71,15 +71,20 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
     float(np.asarray(probe(arg))[0])
     est = max((time.perf_counter() - t0) / K, 1e-6)
     length = min(512, max(K, int(target_s / est + 0.5)))
-    chained = probe if length == K else make(length)
-    if length != K:
-        float(np.asarray(chained(arg))[0])      # re-warm (same body compile)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(np.asarray(chained(arg))[0])
-        times.append(time.perf_counter() - t0)
-    return min(times) / length
+    # time at L and 2L and difference: the constant per-fetch round-trip
+    # (~30 ms through the axon tunnel) cancels exactly, so small configs
+    # aren't charged the tunnel latency the reference CPU never pays
+    runs = []
+    for n in (length, 2 * length):
+        chained = probe if n == K else make(n)
+        float(np.asarray(chained(arg))[0])      # warm (fresh scan length)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(arg))[0])
+            best = min(best, time.perf_counter() - t0)
+        runs.append(best)
+    return max((runs[1] - runs[0]) / length, 1e-9)
 
 
 def host_timer(fn, reps=1):

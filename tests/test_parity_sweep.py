@@ -1,0 +1,88 @@
+"""Tabulation-parity sweep vs the live reference across the full
+nodality-sweep instance list (reference strategy:
+test/FIAT/unit/test_fiat.py:140-445, extended from nodality checks to
+value + derivative parity).
+
+Every constructible spec from tests/test_nodality_sweep.py is built both
+here and in the reference, tabulated at interior random points (order 2
+for the C1/C2 plate families, order 1 otherwise), and compared table by
+table; entity dofs and, where both sides define them, entity
+permutations must agree exactly."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_nodality_sweep import SPECS, _build, _label  # noqa: E402
+
+RNG = np.random.default_rng(11)
+
+#: plate families whose contract includes second derivatives
+_SECOND_ORDER = {"CubicHermite", "Morley", "Argyris", "WuXuH3NC",
+                 "WuXuRobustH3NC", "HsiehCloughTocher", "BrambleZlamalC2",
+                 "AlfeldC2"}
+
+#: high-degree / high-conditioning families: both sides solve the same
+#: ill-conditioned Vandermonde, but through different factorizations
+_ATOL = {"BrambleZlamalC2": 1e-6, "AlfeldC2": 1e-7, "WuXuRobustH3NC": 1e-7,
+         "Argyris": 1e-8, "KongMulderVeldhuizen": 1e-8, "HuZhang": 1e-8,
+         "ArnoldWinther": 1e-8, "GuzmanNeilanFirstKindH1": 1e-8,
+         "GuzmanNeilanSecondKindH1": 1e-8}
+
+
+def _ref_build(spec):
+    import FIAT
+    family, args, kw = spec
+    rargs = [FIAT.ufc_simplex(a.get_spatial_dimension())
+             if hasattr(a, "get_topology") else a for a in args]
+    return getattr(FIAT, family)(*rargs, **kw)
+
+
+def _interior_points(dim, n=6):
+    """Random points strictly inside the unit simplex (barycentric)."""
+    b = RNG.dirichlet(np.ones(dim + 1), size=n) * 0.9 + 0.1 / (dim + 1)
+    return b[:, 1:] / b.sum(axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=map(_label, SPECS))
+def test_tabulation_parity(spec):
+    family = spec[0]
+    mine = _build(spec)
+    dim = mine.get_reference_element().get_spatial_dimension()
+    if dim == 0:
+        pytest.skip("point cell has no tabulation axis")
+    ref = _ref_build(spec)
+
+    assert mine.space_dimension() == ref.space_dimension()
+    assert {d: {e: list(v) for e, v in ent.items()}
+            for d, ent in mine.entity_dofs().items()} == ref.entity_dofs()
+
+    order = 2 if family in _SECOND_ORDER else 1
+    pts = _interior_points(dim)
+    table = mine.tabulate(order, pts)
+    ref_table = ref.tabulate(order, pts)
+    assert set(table) == set(ref_table)
+    atol = _ATOL.get(family, 1e-10)
+    for alpha in ref_table:
+        a = np.asarray(table[alpha], dtype=float)
+        b = np.asarray(ref_table[alpha], dtype=float)
+        assert a.shape == b.shape, alpha
+        assert np.allclose(a, b, atol=atol), \
+            (alpha, np.abs(a - b).max())
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=map(_label, SPECS))
+def test_entity_permutation_parity(spec):
+    mine = _build(spec)
+    try:
+        theirs = _ref_build(spec).dual.get_entity_permutations()
+    except (NotImplementedError, AttributeError):
+        pytest.skip("reference defines no permutations here")
+    ours = mine.get_dual_set().get_entity_permutations()
+    clean = {d: {e: {o: list(p) for o, p in om.items()}
+                 for e, om in ent.items()}
+             for d, ent in ours.items()}
+    assert clean == theirs
