@@ -59,7 +59,10 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
             def body(c, _):
                 out = fn(a * (1.0 + c.astype(a.dtype) * eps))
                 leaves = jax.tree_util.tree_leaves(out)
-                s = sum(jnp.sum(v) for v in leaves)
+                # f32 liveness sink: summing the f64 tables directly
+                # costs a full emulated-f64 reduction per iteration,
+                # which for the big zoos is comparable to the workload
+                s = sum(jnp.sum(v.astype(jnp.float32)) for v in leaves)
                 return c + 1e-300 * s.astype(jnp.float64), s
             _, ss = jax.lax.scan(body, jnp.asarray(0.0, jnp.float64),
                                  None, length=length)

@@ -48,13 +48,23 @@ class FusedMultiwordMatmul:
     computes A @ B to f64 accuracy as an exact two-float pair, fusing the
     whole group-dot + combine pipeline in one Pallas kernel."""
 
+    #: first order group accumulated with plain f32 adds (see _kernel)
+    TAIL = 3
+
     def __init__(self, A, nslices=DEFAULT_SLICES, order=DEFAULT_ORDER,
-                 row_block=512, point_tile=None, interpret=False):
+                 row_block=None, point_tile=None, interpret=False):
         self.shape = A.shape
         self.nslices = nslices
         self.order = order
         self.interpret = interpret
         rows, self.K = A.shape
+        # narrow contractions fit longer point tiles in VMEM, and the
+        # smaller row block + longer tile measured ~18% faster on the
+        # bucketed zoo kernels; wide (macro) contractions keep 512/512
+        if row_block is None:
+            row_block = 256 if self.K <= 128 else 512
+        if point_tile is None and self.K <= 128:
+            point_tile = 1024
         # even 128-aligned row blocks (the MXU's systolic tile; a
         # non-128-multiple block measured 2.4x slower) with minimal
         # padding: ceil(rows/row_block) blocks of ceil-even size, NOT
@@ -93,25 +103,37 @@ class FusedMultiwordMatmul:
         # (t+1)*K columns) splits into <= 256-column chunks whose
         # partials the TwoSum chain combines error-free.
         dots = []
-        for idx in self.batches:
+        for t, idx in enumerate(self.batches):
             Acat = jnp.concatenate([a_refs[i][:] for i, _ in idx], axis=1)
             Bcat = jnp.concatenate([b_refs[j][:] for _, j in idx], axis=0)
             if Acat.shape[1] > 256:
                 for k0 in range(0, Acat.shape[1], 256):
-                    dots.append((Acat[:, k0:k0 + 256],
+                    dots.append((t, Acat[:, k0:k0 + 256],
                                  Bcat[k0:k0 + 256, :]))
             else:
-                dots.append((Acat, Bcat))
-        s = e = None
-        for Acat, Bcat in dots:
+                dots.append((t, Acat, Bcat))
+        # groups t >= TAIL are <= 2^(-8*TAIL) of the leading magnitude:
+        # plain f32 adds there round at <= 2^-24 of their OWN size, i.e.
+        # ~2^-(24 + 8*TAIL) of the result -- far below the pair budget --
+        # so the tail skips the 6-op TwoSum and joins the chain once
+        TAIL = self.TAIL
+        s = e = acc = None
+        for t, Acat, Bcat in dots:
             g = jnp.dot(Acat, Bcat, preferred_element_type=jnp.float32)
             if s is None:
                 s, e = g, jnp.zeros_like(g)
+            elif t >= TAIL:
+                acc = g if acc is None else acc + g
             else:
-                t = s + g
-                bp = t - s
-                e = e + ((s - (t - bp)) + (g - bp))   # Knuth TwoSum error
-                s = t
+                tt = s + g
+                bp = tt - s
+                e = e + ((s - (tt - bp)) + (g - bp))  # Knuth TwoSum error
+                s = tt
+        if acc is not None:
+            tt = s + acc
+            bp = tt - s
+            e = e + ((s - (tt - bp)) + (acc - bp))
+            s = tt
         scale = sa_ref[:] * sb_ref[:]             # pow2 * pow2: exact in f32
         hi_ref[:] = s * scale
         lo_ref[:] = e * scale
@@ -179,22 +201,75 @@ class FusedMultiwordMatmul:
         return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
+def _plan_buckets(widths_rows, nalpha, order, nslices, align):
+    """Contiguous partition of the distinct contraction widths
+    minimizing total padded-rows x contraction-columns MXU work (plus a
+    per-kernel fixed cost).  ``widths_rows``: {K: row count}.  Returns
+    the list of bucket K caps, ascending."""
+    ws = sorted(widths_rows)
+
+    def ncols(K):
+        cols = 0
+        for t in range(order + 1):
+            c = min(t + 1, nslices) * K
+            cols += c + 128 * (-(-c // 256) - 1)   # chunk-split penalty
+        return cols
+
+    def rpad(rows):
+        tall = nalpha * (-(-rows // align) * align)
+        nblocks = max(1, -(-tall // 512))
+        return nblocks * max(128, -(-(-(-tall // nblocks)) // 128) * 128)
+
+    fixed = 128 * ncols(ws[-1])
+    best = {0: (0.0, [])}           # prefix length -> (cost, K caps)
+    for j in range(1, len(ws) + 1):
+        options = []
+        for i in range(j):
+            rows = sum(widths_rows[w] for w in ws[i:j])
+            cost = best[i][0] + rpad(rows) * ncols(ws[j - 1]) + fixed
+            options.append((cost, best[i][1] + [ws[j - 1]]))
+        best[j] = min(options)
+    return best[len(ws)][1]
+
+
+class _Bucket:
+    """One fused kernel covering the zoo rows whose contraction width
+    fits ``K``: the tall per-alpha change-of-basis blocks, the member
+    element row ranges, and the row padding bookkeeping."""
+
+    def split(self, hi, lo, alphas):
+        """Aligned per-alpha (hi, lo) views of the padded kernel out."""
+        r = self.block_rows
+        return {a: (hi[k * r:(k + 1) * r], lo[k * r:(k + 1) * r])
+                for k, a in enumerate(alphas)}
+
+
 class FusedZooTabulator:
     """The f64 accuracy path of a BatchedTabulator with the multiword
     change of basis fused in Pallas.
 
     Preferred surface: ``blocks = fz.block_tables(points)`` +
-    ``fz.unpack(blocks)`` -- per-source f64 tables (plain block + one
-    block per macro element) with no fused concatenation.
-    ``fz(points)`` matches ``batched(points)`` (one concatenated
-    {alpha: (rows, npts)} array, f64) at the cost of an extra HBM
-    round-trip per table; ``fz.pair_tables(points)`` returns exact
-    (hi, lo) f32 pairs, skipping the final f64 promotion for
-    pair-aware consumers.  Macro side programs (split-complex
-    expansions) run through their own fused kernels: the masked parent
-    tabulation rides the slice-recurrence kernel with {0,1} masks
-    applied in bf16 slice space, and their tall change-of-basis GEMM is
-    a second FusedMultiwordMatmul, so no emulated-f64 GEMM remains."""
+    ``fz.unpack(blocks)`` -- per-source f64 tables (one block per
+    degree bucket + one block per macro element) with no fused
+    concatenation.  ``fz(points)`` matches ``batched(points)`` (one
+    concatenated {alpha: (rows, npts)} array, f64) at the cost of an
+    extra HBM round-trip per table; ``fz.pair_tables(points)`` returns
+    exact (hi, lo) f32 pairs, skipping the final f64 promotion for
+    pair-aware consumers.
+
+    Rows are BUCKETED by contraction width: a degree-d element's
+    change-of-basis rows only touch the degree-d morton prefix of the
+    expansion basis, so low-degree zoo members contract against K =
+    nexp(d) columns instead of the full nexp(max degree) -- for the
+    mixed-degree full zoo that cuts the MXU work ~2.5x.  Every bucket
+    kernel consumes the SAME slice-recurrence output (row prefixes of
+    the bf16 slices share the per-point column scale).
+
+    Macro side programs (split-complex expansions) run through their
+    own fused kernels: the masked parent tabulation rides the
+    slice-recurrence kernel with {0,1} masks applied in bf16 slice
+    space, and their tall change-of-basis GEMM is a further
+    FusedMultiwordMatmul, so no emulated-f64 GEMM remains."""
 
     #: per-alpha row blocks are padded to this multiple so the _split
     #: slices start sublane-aligned (an unaligned-offset row slice of
@@ -205,16 +280,66 @@ class FusedZooTabulator:
         self.batched = batched
         self.sd = batched.sd
         self.rows = batched.stacked.shape[0]
-        self.block_rows = -(-self.rows // self.ROW_ALIGN) * self.ROW_ALIGN
-        pad = ((0, self.block_rows - self.rows), (0, 0))
         if batched.alpha_mats:
             self.alphas = batched._alpha_order
-            tall = np.vstack([np.pad(batched.alpha_mats[a], pad)
-                              for a in self.alphas])
+            mats = batched.alpha_mats
         else:
             self.alphas = [(0,) * self.sd]
-            tall = np.pad(batched.stacked, pad)
-        self.fm = FusedMultiwordMatmul(tall, interpret=interpret, **kw)
+            mats = {self.alphas[0]: batched.stacked}
+        nexp_full = batched.stacked.shape[1]
+
+        # ---- degree buckets ------------------------------------------
+        # per plain element: its global row range and contraction width
+        plain_nexp = getattr(batched, "plain_nexp", None)
+        if plain_nexp is None:       # widths unknown: one full bucket
+            specials = {i for i, _ in batched.special}
+            plain_nexp = {i: nexp_full
+                          for i in range(len(batched.elements))
+                          if i not in specials}
+        entries = [(i, lo, hi, plain_nexp[i])
+                   for i, (lo, hi, _shape) in enumerate(batched.slices)
+                   if i in plain_nexp]
+        widths_rows = {}
+        for _, lo, hi, w in entries:
+            widths_rows[w] = widths_rows.get(w, 0) + (hi - lo)
+        caps = _plan_buckets(widths_rows, len(self.alphas),
+                             kw.get("order", DEFAULT_ORDER),
+                             kw.get("nslices", DEFAULT_SLICES),
+                             self.ROW_ALIGN)
+
+        self.buckets = []
+        self._plain_loc = {}            # element index -> (bucket, lo, hi)
+        lo_cap = 0
+        for pos, cap in enumerate(caps):
+            elems, gslices, cursor = [], [], 0
+            for i, lo, hi, w in entries:
+                if lo_cap < w <= cap:
+                    elems.append((i, cursor, cursor + hi - lo))
+                    gslices.append((i, lo, hi))
+                    self._plain_loc[i] = (pos, cursor, cursor + hi - lo)
+                    cursor += hi - lo
+            bucket = _Bucket.__new__(_Bucket)
+            bucket.K = cap
+            bucket.elems = elems
+            bucket.gslices = gslices
+            bucket.rows = cursor
+            bucket.block_rows = -(-cursor // self.ROW_ALIGN) * self.ROW_ALIGN
+            pad = ((0, bucket.block_rows - cursor), (0, 0))
+            parts = []
+            for a in self.alphas:
+                rows = np.vstack([mats[a][glo:ghi]
+                                  for (_, glo, ghi) in gslices])
+                dropped = rows[:, cap:]
+                if dropped.size:
+                    limit = 1e-8 * (np.abs(rows).max() + 1.0)
+                    assert np.abs(dropped).max() <= limit, \
+                        "bucket truncation would drop real coefficients"
+                parts.append(np.pad(rows, pad)[:, :cap])
+            bucket.fm = FusedMultiwordMatmul(np.vstack(parts),
+                                             interpret=interpret, **kw)
+            self.buckets.append(bucket)
+            lo_cap = cap
+        self.fm = self.buckets[-1].fm
         # eager: the EFT-safety probe jit-compiles, so it cannot run
         # while the fused pipeline itself is being traced
         from .doublefloat import supports_ff
@@ -250,6 +375,7 @@ class FusedZooTabulator:
         self._jit_pairs = jax.jit(self._pairs)
         self._jit_f64 = jax.jit(self._f64)
         self._jit_blocks = jax.jit(self._f64_blocks)
+        self._jit_pair_blocks = jax.jit(self._pair_blocks)
 
     def _phi(self, points):
         from .tabulate import _tiled_apply
@@ -272,13 +398,6 @@ class FusedZooTabulator:
         out = _tiled_apply(body, points, b.tile)
         return FF(out["hi"], out["lo"])
 
-    def _split(self, hi, lo):
-        """Aligned per-alpha views of the PADDED kernel outputs; each
-        entry still carries the row/column padding (trim fuses into the
-        consumer's convert, avoiding an eager HBM round-trip)."""
-        r = self.block_rows
-        return {a: (hi[k * r:(k + 1) * r], lo[k * r:(k + 1) * r])
-                for k, a in enumerate(self.alphas)}
 
     def _macro_prepared_B(self, prog, ff_ok, rec, points):
         """Ozaki slice preparation of a macro program's masked parent
@@ -360,30 +479,62 @@ class FusedZooTabulator:
         return parts
 
     def _padded_pairs(self, points):
-        """{alpha: padded (hi, lo)} straight off the fused kernel."""
+        """{alpha: [per-bucket padded (hi, lo)]} off the fused kernels.
+        One slice-recurrence pass feeds every bucket: bucket K_b takes
+        the leading K_b slice rows (shared per-point column scale)."""
         from .doublefloat import prepare_B_ff
         if self._slice_rec is not None and points.dtype == jnp.float64:
-            Bp = self._slice_rec._apply(points)
+            slices, sB = self._slice_rec._apply(points)
         elif self._ff_ok and points.dtype == jnp.float64:
-            Bp = prepare_B_ff(self._phi_pair(points))
+            slices, sB = prepare_B_ff(self._phi_pair(points))
         else:
-            Bp = prepare_B(self._phi(points))
-        hi, lo = self.fm.apply_pair(Bp, trim=False)
-        return self._split(hi, lo)
+            slices, sB = prepare_B(self._phi(points))
+        out = {a: [] for a in self.alphas}
+        for bucket in self.buckets:
+            Bp = ([s[:bucket.K] for s in slices], sB)
+            hi, lo = bucket.fm.apply_pair(Bp, trim=False)
+            for a, pair in bucket.split(hi, lo, self.alphas).items():
+                out[a].append(pair)
+        return out
+
+    def _plain_f64_blocks(self, points):
+        """{alpha: [per-bucket f64 block]}, trimmed; the slice-then-
+        convert fuses the trim into the f32->f64 promote, so the padded
+        kernel outputs cross HBM exactly once."""
+        npts = points.shape[0]
+        return {a: [h[:b.rows, :npts].astype(jnp.float64)
+                    + l[:b.rows, :npts].astype(jnp.float64)
+                    for b, (h, l) in zip(self.buckets, pairs)]
+                for a, pairs in self._padded_pairs(points).items()}
+
+    def _gather_plain(self, blocks_a):
+        """Per-bucket blocks -> one (plain_rows, npts) array in the
+        BatchedTabulator's row order."""
+        parts = []
+        for i, (lo, hi, _shape) in enumerate(self.batched.slices):
+            loc = self._plain_loc.get(i)
+            if loc is not None:
+                pos, blo, bhi = loc
+                parts.append(blocks_a[pos][blo:bhi])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+            else parts[0]
 
     def _pairs(self, points):
+        """{alpha: (hi, lo)} trimmed, in stacked row order."""
         npts = points.shape[0]
-        return {a: (h[:self.rows, :npts], l[:self.rows, :npts])
-                for a, (h, l) in self._padded_pairs(points).items()}
+        out = {}
+        for a, pairs in self._padded_pairs(points).items():
+            his = [h[:b.rows, :npts] for b, (h, _) in zip(self.buckets,
+                                                          pairs)]
+            los = [l[:b.rows, :npts] for b, (_, l) in zip(self.buckets,
+                                                          pairs)]
+            out[a] = (self._gather_plain(his), self._gather_plain(los))
+        return out
 
     def _f64(self, points):
-        npts = points.shape[0]
-        r = self.rows
-        # slice-then-convert: the trim fuses into the f32->f64 promote,
-        # so the padded kernel outputs cross HBM exactly once
-        out = {a: (h[:r, :npts].astype(jnp.float64)
-                   + l[:r, :npts].astype(jnp.float64))
-               for a, (h, l) in self._padded_pairs(points).items()}
+        """Concatenated {alpha: (rows, npts)} matching batched(points)."""
+        out = {a: self._gather_plain(blocks)
+               for a, blocks in self._plain_f64_blocks(points).items()}
         if self.batched.special_progs:
             specials = self._specials(points)
             out = {a: jnp.concatenate([out[a]] + specials[a], axis=0)
@@ -391,20 +542,52 @@ class FusedZooTabulator:
         return out
 
     def _f64_blocks(self, points):
-        """{alpha: [plain_block, macro_block...]} f64 without the final
-        concatenate -- the concatenated layout costs a full extra HBM
+        """{alpha: [bucket_block..., macro_block...]} f64 without any
+        concatenate -- a concatenated layout costs a full extra HBM
         round-trip of every table, and consumers (unpack, moments) are
         block-agnostic; the reference likewise emits per-element arrays
         (FIAT/finite_element.py:181), never a fused concatenation."""
-        npts = points.shape[0]
-        r = self.rows
-        out = {a: [h[:r, :npts].astype(jnp.float64)
-                   + l[:r, :npts].astype(jnp.float64)]
-               for a, (h, l) in self._padded_pairs(points).items()}
+        out = self._plain_f64_blocks(points)
         if self.batched.special_progs:
             for a, blocks in self._specials(points).items():
                 out[a].extend(blocks)
         return out
+
+    def _pair_blocks(self, points):
+        """{alpha: [bucket (hi, lo) pair..., macro f64 block...]} -- the
+        native output representation of the engine: hi + lo equals the
+        f64 table exactly to the pair budget, with no extra HBM
+        round-trip through an emulated-f64 convert (pairs leave padded;
+        ``unpack`` trims).  TPU consumers should prefer this surface:
+        f64 arithmetic is emulated on TPU, so a downstream moment or
+        interpolation contraction is cheaper on the pair too."""
+        out = {a: list(pairs)
+               for a, pairs in self._padded_pairs(points).items()}
+        if self.batched.special_progs:
+            for a, blocks in self._specials(points).items():
+                out[a].extend(blocks)
+        return out
+
+    def pair_blocks(self, points):
+        return self._jit_pair_blocks(jnp.asarray(points))
+
+    def unpack_pairs(self, pair_blocks, npts):
+        """Host-side: per-element {alpha: f64 array} from pair_blocks
+        (hi + lo summed in f64, padding trimmed)."""
+        nb = len(self.buckets)
+        f64_blocks = {}
+        for a, blocks in pair_blocks.items():
+            conv = []
+            for k, blk in enumerate(blocks):
+                if k < nb:
+                    hi, lo = blk
+                    tab = (np.asarray(hi, dtype=np.float64)
+                           + np.asarray(lo, dtype=np.float64))
+                    conv.append(tab[:self.buckets[k].rows, :npts])
+                else:
+                    conv.append(np.asarray(blk)[:, :npts])
+            f64_blocks[a] = conv
+        return self.unpack(f64_blocks)
 
     def block_tables(self, points):
         """f64 tables in block layout; ``unpack`` maps them back to the
@@ -419,7 +602,8 @@ class FusedZooTabulator:
         if block_tables and not isinstance(
                 next(iter(block_tables.values())), (list, tuple)):
             return b.unpack(block_tables)
-        special_pos = {i: 1 + k for k, (i, e) in enumerate(b.special)}
+        nb = len(self.buckets)
+        special_pos = {i: nb + k for k, (i, e) in enumerate(b.special)}
         out = []
         for i, (lo, hi, shape) in enumerate(b.slices):
             elem = {}
@@ -427,7 +611,8 @@ class FusedZooTabulator:
                 if i in special_pos:
                     tab = blocks[special_pos[i]]
                 else:
-                    tab = blocks[0][lo:hi]
+                    pos, blo, bhi = self._plain_loc[i]
+                    tab = blocks[pos][blo:bhi]
                 elem[alpha] = tab.reshape(shape + tab.shape[-1:])
             out.append(elem)
         return out

@@ -19,9 +19,14 @@ Mosaic-friendly reformulation of the recurrence
   S[r, perm[r]] = norms[r] -- a small dense MXU matmul instead of a
   gather, which Mosaic cannot vectorise.
 
-float32 only (Mosaic has no f64); the f64 accuracy path stays on the
-XLA engine.  Plain Dubiner variant only (the zoo tabulator's basis);
-``interpret=True`` runs the kernel on CPU for tests."""
+float32 only (Mosaic has no f64); the f64 accuracy path runs on the
+fused multiword kernels (ops/pallas_multiword.py).  Bubble/dual
+expansion variants ride the same kernel (the variant recurrence shares
+the stage structure; the bubble C0 recovery matrix folds into the
+change of basis host-side), and macro (split-complex) zoo members get
+an f32 side program: masked parent tabulation + one HIGHEST-precision
+MXU contraction.  ``interpret=True`` runs the kernel on CPU for
+tests."""
 
 import numpy as np
 import jax
@@ -29,17 +34,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.expansions import _stage_constants
+from ..core.expansions import _c0_matrix, _stage_constants
 
 DEFAULT_TILE = 2048
 
 
-def _stage_inputs(dim, n, dtype=np.float32):
+def _stage_inputs(dim, n, variant=None, dtype=np.float32):
     """Host-packed recurrence data per codimension stage:
     (packed coefficient columns, selection matrix)."""
     stages = []
     for codim in range(dim):
-        a1, b1, general, perm, norms = _stage_constants(dim, n, codim, None)
+        a1, b1, general, perm, norms = _stage_constants(dim, n, codim,
+                                                        variant)
         m_in = a1.shape[0]
         cols = [a1, b1]
         for i in range(2, n + 1):
@@ -66,9 +72,10 @@ class PallasZooTabulator:
 
     def __init__(self, batched, tile=DEFAULT_TILE, interpret=False):
         es = batched.target_es
-        if es.variant is not None:
+        if es.variant not in (None, "bubble", "dual") \
+                or len(es.affine_mappings) != 1:
             raise NotImplementedError(
-                "Pallas path supports the plain Dubiner variant only")
+                "Pallas path needs a single-cell Dubiner-recurrence basis")
         self.batched = batched
         self.tile = tile
         self.interpret = interpret
@@ -78,6 +85,8 @@ class PallasZooTabulator:
         self.A = np.asarray(A, dtype=np.float64)
         self.b = np.asarray(b, dtype=np.float64)
         self.scale = float(np.asarray(es.get_scale(self.degree)))
+        if es.variant == "bubble":
+            self.scale = -self.scale
         if batched.alpha_mats:
             self.alphas = list(batched.alpha_mats)
             self.stacked = np.vstack(
@@ -86,9 +95,15 @@ class PallasZooTabulator:
         else:
             self.alphas = None
             self.stacked = np.asarray(batched.stacked, dtype=np.float32)
+        if es.variant == "bubble":
+            # fold the C0 recovery (phi_C0 = C0 @ phi_bubble) into the
+            # change of basis: one host-side matmul, no kernel change
+            c0 = _c0_matrix(self.sd, self.degree).astype(np.float32)
+            self.stacked = self.stacked @ c0
         self.rows, self.nexp = self.stacked.shape
-        self.stages = _stage_inputs(self.sd, self.degree)
+        self.stages = _stage_inputs(self.sd, self.degree, es.variant)
         self._jitted = jax.jit(self._apply)
+        self._jit_tables = jax.jit(self._tables)
 
     def unpack(self, out):
         """{alpha: (zoo_rows, npts)} when derivative tables are fused."""
@@ -97,6 +112,60 @@ class PallasZooTabulator:
         r = self.batched.stacked.shape[0]
         return {a: out[i * r:(i + 1) * r]
                 for i, a in enumerate(self.alphas)}
+
+    def _macro_tables(self, points):
+        """f32 tables of the macro zoo members: masked parent
+        tabulation (traced f32 recurrence) + one HIGHEST MXU
+        contraction per grouped side program."""
+        from ..core.expansions import partition_of_unity_masks
+        b = self.batched
+        pts32 = points.astype(jnp.float32)
+        per_elem = {}
+        for prog in getattr(b, "macro_programs", None) or ():
+            unique = prog.es.continuity is not None and b.order == 0
+            masks, total = partition_of_unity_masks(
+                prog.es.ref_el, pts32, unique=unique, raw=True)
+            phi = prog.parent_es._tabulate_on_cell(
+                prog.degree, pts32, order=0)[(0,) * self.sd]
+            B = jnp.concatenate(
+                [masks[pos].astype(jnp.float32) * phi
+                 for pos, c in enumerate(prog.cells)], axis=0)
+            tall = jnp.asarray(prog.tall, dtype=jnp.float32)
+            out = jnp.dot(tall, B, precision=jax.lax.Precision.HIGHEST)
+            if total is not None:
+                out = out / total.astype(jnp.float32)
+            r = prog.rows
+            tabs = {a: out[k * r:(k + 1) * r]
+                    for k, a in enumerate(prog.alphas)}
+            for idx, lo, hi in prog.row_slices:
+                per_elem[idx] = {a: tabs[a][lo:hi] for a in tabs}
+        return per_elem
+
+    def _tables(self, points):
+        """{alpha: (rows, npts)} f32 in the BatchedTabulator layout,
+        macro members included."""
+        fused = self._apply(points)
+        out = self.unpack(fused)
+        b = self.batched
+        if not b.special_progs:
+            return out
+        per_elem = self._macro_tables(points)
+        missing = [i for i, _ in b.special if i not in per_elem]
+        for i in missing:    # ungrouped fallback: traced f32 engine
+            pos = [k for k, (j, _) in enumerate(b.special) if j == i][0]
+            es, deg, flat = b.special_progs[pos]
+            base = es._tabulate(deg, points.astype(jnp.float32),
+                                order=b.order)
+            C = jnp.asarray(flat, dtype=jnp.float32)
+            per_elem[i] = {a: C @ base[a] for a in out}
+        return {a: jnp.concatenate(
+            [out[a]] + [per_elem[i][a] for i, _ in b.special], axis=0)
+            for a in out}
+
+    def tables(self, points):
+        """Full-zoo f32 tables {alpha: (rows, npts)}; rows follow
+        ``batched.slices`` (plain block then macro members)."""
+        return self._jit_tables(jnp.asarray(points))
 
     def _kernel(self, pts_ref, C_ref, *rest):
         stage_refs, out_ref = rest[:-1], rest[-1]

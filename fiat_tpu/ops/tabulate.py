@@ -314,6 +314,10 @@ class BatchedTabulator:
 
         blocks = []
         plain_slices = {}      # element index -> (start, stop, shape)
+        #: element index -> leading target-basis columns its rows can
+        #: touch (a degree-d basis lives in the degree-d morton prefix);
+        #: lets the fused engine bucket rows by contraction width
+        self.plain_nexp = {}
         cursor = 0
         for i, e in enumerate(self.elements):
             if e.is_macroelement():
@@ -321,6 +325,7 @@ class BatchedTabulator:
             ps = e.get_nodal_basis()
             es = ps.get_expansion_set()
             deg = ps.get_embedded_degree()
+            self.plain_nexp[i] = self.target_es.get_num_members(deg)
             coeffs = np.asarray(ps.get_coeffs())
             if (type(es) is type(self.target_es) and es.variant is None
                     and es.ref_el == self.ref_el):

@@ -446,3 +446,49 @@ def test_fused_kernel_long_contraction_exactness():
     C = np.asarray(fm(jnp.asarray(B)))
     rel = np.abs(C - A @ B).max() / np.abs(A @ B).max()
     assert rel < 1e-12, rel
+
+
+def test_pallas_f32_macro_zoo_interpret():
+    """The f32 fused engine covers macro zoo members: masked parent
+    tabulation + HIGHEST MXU contraction matches the host tables to f32
+    accuracy over the c1+macro zoo (VERDICT r2 #7)."""
+    from fiat_tpu.ops.pallas_tabulate import PallasZooTabulator
+    els = [fe.CubicHermite(T), fe.Morley(T), fe.HsiehCloughTocher(T, 3),
+           fe.QuadraticPowellSabin6(T)]
+    bt = BatchedTabulator(els, order=1)
+    pt = PallasZooTabulator(bt, tile=256, interpret=True)
+    pts = RNG.random((300, 2)) / 2
+    tables = pt.tables(pts)
+    for el, tab in zip(els, bt.unpack(
+            {a: np.asarray(v) for a, v in tables.items()})):
+        host = el.tabulate(1, pts)
+        for a in host:
+            scale = np.abs(np.asarray(host[a])).max() + 1.0
+            err = np.abs(np.asarray(tab[a]).reshape(np.shape(host[a]))
+                         - np.asarray(host[a])).max() / scale
+            assert err < 5e-5, (type(el).__name__, a, err)
+
+
+def test_pallas_f32_variant_kernels_interpret():
+    """Bubble/dual expansion variants run on the f32 Pallas kernel (the
+    variant recurrence shares the stage structure; bubble's C0 recovery
+    matrix folds into the change of basis)."""
+    from types import SimpleNamespace
+    from fiat_tpu.core import expansions
+    from fiat_tpu.ops.pallas_tabulate import PallasZooTabulator
+    for dim in (2, 3):
+        cell = cl.ufc_simplex(dim)
+        for variant in ("bubble", "dual"):
+            es = expansions.ExpansionSet(cell, variant=variant)
+            degree = 5
+            nexp = es.get_num_members(degree)
+            shim = SimpleNamespace(target_es=es, sd=dim, max_degree=degree,
+                                   alpha_mats={}, stacked=np.eye(nexp),
+                                   special_progs=[], special=[], order=0)
+            pt = PallasZooTabulator(shim, tile=256, interpret=True)
+            pts = RNG.random((260, dim)) / 2
+            fused = np.asarray(pt(pts))
+            host = np.asarray(es.tabulate(degree, pts))
+            err = (np.abs(fused - host).max()
+                   / (np.abs(host).max() + 1.0))
+            assert err < 5e-6, (dim, variant, err)
