@@ -310,5 +310,99 @@ def main():
     print(json.dumps(result))
 
 
+def mesh_main(n_devices):
+    """``python bench.py --mesh N``: weak scaling of the sharded
+    tabulate/moment steps on an N-virtual-device CPU mesh, with the
+    collective inventory asserted from the compiled HLO (tabulation
+    must be collective-free; moments exactly one all-reduce)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count"
+                                 f"={n_devices}")
+    import jax
+    # the env var alone does not stick when the axon TPU plugin is
+    # registered (see tests/conftest.py) -- force the platform too
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import fiat_tpu  # noqa: F401
+    from fiat_tpu.core import cells as cl
+    from fiat_tpu import elements as fe
+    from fiat_tpu.ops.tabulate import BatchedTabulator
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    from fiat_tpu.parallel import sharding as ps
+
+    tri = cl.ufc_simplex(2)
+    zoo = [fe.Lagrange(tri, p) for p in (1, 3, 5)] + [fe.Nedelec(tri, 1)]
+    bt = BatchedTabulator(zoo, order=0)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256,
+                           point_tile=256)
+    rng = np.random.default_rng(0)
+    local = 2048                     # points per device (weak scaling)
+
+    def tri_pts(n):
+        p = rng.random((n, 2))
+        return p / (p.sum(axis=1)[:, None] + 1e-9) * rng.random((n, 1))
+
+    _COLL = ("all_reduce", "all_gather", "reduce_scatter",
+             "collective_permute", "all_to_all")
+
+    def collectives(lowered):
+        txt = lowered.as_text()
+        return sum(txt.count(c) for c in _COLL)
+
+    out = {"devices": [], "tabulate_ms": [], "moment_ms": [],
+           "tabulate_collectives": [], "moment_err": []}
+    d = 1
+    while d <= n_devices:
+        mesh = ps.points_mesh(d)
+        pts = jnp.asarray(tri_pts(local * d))
+        w = jnp.asarray(rng.random(local * d))
+        f = jnp.asarray(rng.random(local * d))
+        tstep = ps.make_fused_tabulate_step(fz, mesh)
+        mstep = ps.make_moment_step(bt, mesh)
+        # the shard_map'd tabulate path exposes its communication in
+        # the lowered StableHLO: must be collective-free (pure SPMD)
+        out["tabulate_collectives"].append(collectives(tstep.lower(pts)))
+        # the jit'd moment path gets its all-reduce from the SPMD
+        # partitioner at compile; verify the cross-device reduction by
+        # value against the host contraction
+        moments = np.asarray(mstep(pts, w, f))[:bt.stacked.shape[0]]
+        phi = bt(pts)[(0, 0)]
+        expect = np.asarray(phi) @ (np.asarray(w) * np.asarray(f))
+        out["moment_err"].append(
+            float(np.abs(moments - expect).max()
+                  / (np.abs(expect).max() + 1)))
+        jax.block_until_ready(tstep(pts))
+        out["tabulate_ms"].append(
+            host_timer(lambda: jax.block_until_ready(tstep(pts)),
+                       reps=3) * 1e3)
+        out["moment_ms"].append(
+            host_timer(lambda: jax.block_until_ready(mstep(pts, w, f)),
+                       reps=3) * 1e3)
+        out["devices"].append(d)
+        d *= 2
+
+    assert all(c == 0 for c in out["tabulate_collectives"]), out
+    assert all(e < 1e-12 for e in out["moment_err"]), out
+
+    # 2D (points x rows) mesh at full width
+    if n_devices >= 4:
+        mesh2 = ps.zoo_mesh(n_points=n_devices // 2, n_rows=2)
+        step2 = ps.make_moment_step_2d(bt, mesh2)
+        pts = jnp.asarray(tri_pts(local * (n_devices // 2)))
+        w = jnp.asarray(rng.random(pts.shape[0]))
+        f = jnp.asarray(rng.random(pts.shape[0]))
+        jax.block_until_ready(step2(pts, w, f))
+        out["moment2d_ms"] = host_timer(
+            lambda: jax.block_until_ready(step2(pts, w, f)), reps=3) * 1e3
+    print(json.dumps({"metric": "virtual-mesh weak scaling "
+                                "(CPU interpret, per-device points "
+                                f"{local})", **out}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--mesh":
+        mesh_main(int(sys.argv[2]))
+    else:
+        main()
