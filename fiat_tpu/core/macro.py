@@ -85,17 +85,18 @@ class SplitSimplicialComplex(cl.SimplicialComplex):
 
     def __init__(self, parent, vertices, topology):
         self._parent_complex = parent
-        while parent.get_parent():
-            parent = parent.get_parent()
-        self._parent_simplex = parent
-        sd = parent.get_spatial_dimension()
+        root = parent
+        while root.get_parent() is not None:
+            root = root.get_parent()
+        self._parent_simplex = root
+        dim_cell = root.get_spatial_dimension()
 
         # one barycentric solve classifies every child vertex at once;
         # a child entity's parent is the entity spanned by the union of
         # its vertices' supports
-        bary = xy_to_bary(parent.get_vertices(), vertices)
+        bary = xy_to_bary(root.get_vertices(), vertices)
         vert_support = np.abs(bary) > 1e-12            # (nverts, sd+1)
-        parent_inv_top = invert_cell_topology(parent.get_topology())
+        parent_inv_top = invert_cell_topology(root.get_topology())
 
         child_to_parent = {}
         parent_to_children = {dim: {e: [] for e in parent_inv_top[dim].values()}
@@ -119,7 +120,7 @@ class SplitSimplicialComplex(cl.SimplicialComplex):
                 if len(children) > 1:
                     mids = np.stack([verts_arr[list(topology[cd][ce])].mean(axis=0)
                                      for cd, ce in children])
-                    b = parent.compute_barycentric_coordinates(
+                    b = root.compute_barycentric_coordinates(
                         mids, entity=(dim, entity))
                     children = [children[j] for j in np.lexsort(b.T)]
                 parent_to_children[dim][entity] = tuple(children)
@@ -127,16 +128,11 @@ class SplitSimplicialComplex(cl.SimplicialComplex):
         self._child_to_parent = child_to_parent
         self._parent_to_children = parent_to_children
         self._interior_facets = {
-            dim: [e for e, (pd, _) in child_to_parent[dim].items() if pd == sd]
+            dim: [e for e, (pd, _) in child_to_parent[dim].items()
+                  if pd == dim_cell]
             for dim in sorted(child_to_parent)}
 
-        super().__init__(parent.shape, vertices, topology)
-
-    def get_child_to_parent(self):
-        return self._child_to_parent
-
-    def get_parent_to_children(self):
-        return self._parent_to_children
+        super().__init__(root.shape, vertices, topology)
 
     def get_interior_facets(self, dimension):
         return self._interior_facets[dimension]
@@ -150,11 +146,17 @@ class SplitSimplicialComplex(cl.SimplicialComplex):
     def is_macrocell(self):
         return True
 
-    def get_parent(self):
-        return self._parent_simplex
 
-    def get_parent_complex(self):
-        return self._parent_complex
+def _attr_reader(attr):
+    get = lambda self: getattr(self, attr)  # noqa: E731
+    return get
+
+
+for _name, _attr in (("get_child_to_parent", "_child_to_parent"),
+                     ("get_parent_to_children", "_parent_to_children"),
+                     ("get_parent", "_parent_simplex"),
+                     ("get_parent_complex", "_parent_complex")):
+    setattr(SplitSimplicialComplex, _name, _attr_reader(_attr))
 
 
 class IsoSplit(SplitSimplicialComplex):
@@ -180,18 +182,17 @@ class IsoSplit(SplitSimplicialComplex):
             # cut the central octahedron along one diagonal
             if degree != 2:
                 raise NotImplementedError("3D IsoSplit needs degree 2")
-            v0, v1 = flat_index[(1, 0, 0)], flat_index[(0, 1, 1)]
-            edges.add((min(v0, v1), max(v0, v1)))
+            diag = sorted((flat_index[(1, 0, 0)], flat_index[(0, 1, 1)]))
+            edges.add(tuple(diag))
         topology = make_topology(sd, len(new_verts), edges)
         super().__init__(ref_el, tuple(new_verts), topology)
 
     def construct_subcomplex(self, dimension):
         if dimension == self.get_dimension():
             return self
-        ref_el = self.construct_subelement(dimension)
-        if dimension == 0:
-            return ref_el
-        return IsoSplit(ref_el, self.degree, self.variant)
+        sub = self.construct_subelement(dimension)
+        return sub if dimension == 0 else IsoSplit(sub, self.degree,
+                                                   self.variant)
 
 
 class PowellSabinSplit(SplitSimplicialComplex):
@@ -200,46 +201,44 @@ class PowellSabinSplit(SplitSimplicialComplex):
 
     def __init__(self, ref_el, dimension=1):
         self.split_dimension = dimension
-        sd = ref_el.get_spatial_dimension()
-        top = ref_el.get_topology()
-        connectivity = ref_el.get_connectivity()
-        new_verts = list(ref_el.get_vertices())
+        cell_dim = ref_el.get_spatial_dimension()
+        topo = ref_el.get_topology()
+        conn = ref_el.get_connectivity()
+        verts_out = list(ref_el.get_vertices())
 
         # grow simplices dimension by dimension: each entity's barycentre
         # cones over the simplices of its codim-1 children
-        dim = dimension - 1
-        simplices = {dim: {e: [top[dim][e]] for e in top[dim]}}
-        for dim in range(dimension, sd + 1):
-            simplices[dim] = {}
-            for entity in top[dim]:
-                bary_id = len(new_verts)
-                new_verts.extend(ref_el.make_points(dim, entity, dim + 1))
-                simplices[dim][entity] = [
-                    (*s, bary_id)
-                    for child in connectivity[(dim, dim - 1)][entity]
-                    for s in simplices[dim - 1][child]]
+        cones = {dimension - 1: {e: [v] for e, v in topo[dimension - 1].items()}}
+        for d in range(dimension, cell_dim + 1):
+            level = {}
+            for entity in topo[d]:
+                apex = len(verts_out)
+                verts_out.extend(ref_el.make_points(d, entity, d + 1))
+                level[entity] = [(*simp, apex)
+                                 for child in conn[(d, d - 1)][entity]
+                                 for simp in cones[d - 1][child]]
+            cones[d] = level
 
-        simplices = list(chain.from_iterable(simplices[sd].values()))
-        topology = {0: {i: (i,) for i in range(len(new_verts))}}
-        for dim in range(1, sd):
-            facets = chain.from_iterable(combinations(s, dim + 1)
-                                         for s in simplices)
-            if dim < self.split_dimension:
-                facets = chain(top[dim].values(), facets)
-            topology[dim] = dict(enumerate(dict.fromkeys(facets)))
-        topology[sd] = dict(enumerate(simplices))
+        cells = list(chain.from_iterable(cones[cell_dim].values()))
+        topology = {0: {i: (i,) for i in range(len(verts_out))},
+                    cell_dim: dict(enumerate(cells))}
+        for d in range(1, cell_dim):
+            faces = chain.from_iterable(combinations(simp, d + 1)
+                                        for simp in cells)
+            if d < self.split_dimension:
+                faces = chain(topo[d].values(), faces)
+            topology[d] = dict(enumerate(dict.fromkeys(faces)))
 
-        parent = (ref_el if dimension == sd
+        parent = (ref_el if dimension == cell_dim
                   else PowellSabinSplit(ref_el, dimension=dimension + 1))
-        super().__init__(parent, tuple(new_verts), topology)
+        super().__init__(parent, tuple(verts_out), topology)
 
     def construct_subcomplex(self, dimension):
         if dimension == self.get_dimension():
             return self
-        subcomplex = self.get_parent_complex().construct_subcomplex(dimension)
-        if dimension < self.split_dimension:
-            return subcomplex
-        return PowellSabinSplit(subcomplex, dimension=self.split_dimension)
+        sub = self.get_parent_complex().construct_subcomplex(dimension)
+        return sub if dimension < self.split_dimension else \
+            PowellSabinSplit(sub, dimension=self.split_dimension)
 
 
 class _CachedSplit(PowellSabinSplit):
@@ -290,13 +289,12 @@ class PowellSabin12Split(SplitSimplicialComplex):
                          make_topology(2, len(new_verts), self._EDGES))
 
     def construct_subcomplex(self, dimension):
+        if dimension not in (0, 1, 2):
+            raise ValueError("Illegal dimension")
         if dimension == 2:
             return self
-        if dimension == 1:
-            return AlfeldSplit(self.construct_subelement(1))
-        if dimension == 0:
-            return self.construct_subelement(0)
-        raise ValueError("Illegal dimension")
+        sub = self.construct_subelement(dimension)
+        return AlfeldSplit(sub) if dimension == 1 else sub
 
 
 def merge_coincident(pts, wts, atol=1e-10):
@@ -317,16 +315,15 @@ class MacroQuadratureRule(QuadratureRule):
     reference rule's dimension), with duplicate boundary points merged."""
 
     def __init__(self, ref_el, Q_ref, parent_facets=None):
-        parent_dim = Q_ref.ref_el.get_spatial_dimension()
-        if parent_facets is not None:
-            parent_to_children = ref_el.get_parent_to_children()
-            facets = [e for pe in parent_facets
-                      for dim, e in parent_to_children[parent_dim][pe]
-                      if dim == parent_dim]
+        qdim = Q_ref.ref_el.get_spatial_dimension()
+        if parent_facets is None:
+            facets = list(ref_el.get_topology()[qdim])
         else:
-            facets = list(ref_el.get_topology()[parent_dim])
+            kids = ref_el.get_parent_to_children()[qdim]
+            facets = [e for pe in parent_facets
+                      for d, e in kids[pe] if d == qdim]
 
-        child_rules = [FacetQuadratureRule(ref_el, parent_dim, e, Q_ref)
+        child_rules = [FacetQuadratureRule(ref_el, qdim, e, Q_ref)
                        for e in facets]
         pts = np.concatenate([Q.pts for Q in child_rules])
         wts = np.concatenate([Q.wts for Q in child_rules])
@@ -346,60 +343,61 @@ class CkPolynomialSet(polyset.PolynomialSet):
         from .quadrature_schemes import create_quadrature
         if not isinstance(order, (int, dict)):
             raise TypeError("'order' must be an int or a dict")
-        sd = ref_el.get_spatial_dimension()
+        dim = ref_el.get_spatial_dimension()
+        fdim = dim - 1
         if isinstance(order, int):
-            order = {sd - 1: dict.fromkeys(ref_el.get_interior_facets(sd - 1), order)}
+            order = {fdim: dict.fromkeys(ref_el.get_interior_facets(fdim),
+                                         order)}
         if vorder is not None:
             order[0] = dict.fromkeys(ref_el.get_interior_facets(0), vorder)
-        elif 0 not in order:
-            order[0] = {}
-        if not all(k in {0, sd - 1} for k in order):
-            raise NotImplementedError("Only facet or vertex constraints supported")
+        order.setdefault(0, {})
+        if set(order) - {0, fdim}:
+            raise NotImplementedError(
+                "Only facet or vertex constraints supported")
 
-        expansion_set = expansions.ExpansionSet(ref_el, **kwargs)
-        k = 1 if expansion_set.continuity == "C0" else 0
+        es = expansions.ExpansionSet(ref_el, **kwargs)
+        k = 1 if es.continuity == "C0" else 0
 
-        facet_el = ref_el.construct_subelement(sd - 1)
-        phi_deg = 0 if sd == 1 else degree - k
-        phi = polyset.ONPolynomialSet(facet_el, phi_deg)
-        Q = create_quadrature(facet_el, 2 * phi_deg)
-        qpts, qwts = Q.get_points(), Q.get_weights()
-        weights = phi.tabulate(qpts)[(0,) * (sd - 1)] * qwts
+        facet_cell = ref_el.construct_subelement(fdim)
+        mdeg = 0 if dim == 1 else degree - k
+        moments = polyset.ONPolynomialSet(facet_cell, mdeg)
+        rule = create_quadrature(facet_cell, 2 * mdeg)
+        qp = rule.get_points()
+        wtab = moments.tabulate(qp)[(0,) * fdim] * rule.get_weights()
 
         # facet continuity: weighted normal-derivative jumps must vanish
         rows = []
-        for facet, forder in order[sd - 1].items():
-            jumps = expansion_set.tabulate_normal_jumps(degree, qpts, facet,
-                                                        order=forder)
+        for facet, forder in order[fdim].items():
+            jumps = es.tabulate_normal_jumps(degree, qp, facet, order=forder)
             for r in range(k, forder + 1):
-                num_wt = (1 if sd == 1
-                          else expansions.polynomial_dimension(facet_el, degree - r))
-                rows.append(np.tensordot(weights[:num_wt], jumps[r],
-                                         axes=(-1, -1)))
+                nw = (1 if dim == 1 else
+                      expansions.polynomial_dimension(facet_cell, degree - r))
+                rows.append(np.tensordot(wtab[:nw], jumps[r], axes=(-1, -1)))
 
         # vertex super-smoothness beyond what facet continuity implies
         verts = np.asarray(ref_el.get_vertices())
         for vo in set(order[0].values()):
             vids = [i for i in order[0] if order[0][i] == vo]
-            facets = chain.from_iterable(ref_el.connectivity[(0, sd - 1)][v]
-                                         for v in vids)
-            forder = min(order[sd - 1][f] for f in facets)
-            sorder = forder + sd - 1
-            if vo > sorder:
-                jumps = expansion_set.tabulate_jumps(degree, verts[vids], order=vo)
-                rows.extend(np.vstack(jumps[r].T) for r in range(sorder + 1, vo + 1))
+            touching = chain.from_iterable(ref_el.connectivity[(0, fdim)][v]
+                                           for v in vids)
+            implied = min(order[fdim][f] for f in touching) + fdim
+            if vo > implied:
+                jumps = es.tabulate_jumps(degree, verts[vids], order=vo)
+                rows.extend(np.vstack(jumps[r].T)
+                            for r in range(implied + 1, vo + 1))
 
         if rows:
             rows = [row / max(np.max(abs(row)), 1) for row in rows]
             coeffs = polyset.spanning_basis(np.vstack(rows), nullspace=True)
         else:
-            coeffs = np.eye(expansion_set.get_num_members(degree))
+            coeffs = np.eye(es.get_num_members(degree))
 
         if shape != ():
             m, n = coeffs.shape
             ncomp = int(np.prod(shape))
-            coeffs = np.kron(coeffs, np.eye(ncomp)).reshape(m * ncomp, *shape, n)
-        super().__init__(ref_el, degree, degree, expansion_set, coeffs)
+            coeffs = np.kron(coeffs, np.eye(ncomp)).reshape(m * ncomp,
+                                                            *shape, n)
+        super().__init__(ref_el, degree, degree, es, coeffs)
 
 
 def hdiv_conforming_coefficients(U, order=0):
@@ -407,29 +405,29 @@ def hdiv_conforming_coefficients(U, order=0):
     on interior facets (null-space SVD)."""
     from .quadrature_schemes import create_quadrature
     degree = U.degree
-    ref_el = U.get_reference_element()
+    cell = U.get_reference_element()
     coeffs = U.get_coeffs()
     shape = U.get_shape()
-    expansion_set = U.get_expansion_set()
-    k = 1 if expansion_set.continuity == "C0" else 0
+    es = U.get_expansion_set()
+    k = 1 if es.continuity == "C0" else 0
 
-    sd = ref_el.get_spatial_dimension()
-    facet_el = ref_el.construct_subelement(sd - 1)
-    phi_deg = 0 if sd == 1 else degree - k
-    phi = polyset.ONPolynomialSet(facet_el, phi_deg, shape=shape[1:])
-    Q = create_quadrature(facet_el, 2 * phi_deg)
-    qpts, qwts = Q.get_points(), Q.get_weights()
-    weights = phi.tabulate(qpts)[(0,) * (sd - 1)] * qwts
-    ax = tuple(range(1, weights.ndim))
+    fdim = cell.get_spatial_dimension() - 1
+    facet_cell = cell.construct_subelement(fdim)
+    mdeg = 0 if fdim == 0 else degree - k
+    moments = polyset.ONPolynomialSet(facet_cell, mdeg, shape=shape[1:])
+    rule = create_quadrature(facet_cell, 2 * mdeg)
+    qp = rule.get_points()
+    wtab = moments.tabulate(qp)[(0,) * fdim] * rule.get_weights()
+    ax = tuple(range(1, wtab.ndim))
 
     rows = []
-    for facet in ref_el.get_interior_facets(sd - 1):
-        normal = ref_el.compute_scaled_normal(facet)
+    for facet in cell.get_interior_facets(fdim):
+        normal = cell.compute_scaled_normal(facet)
         ncoeffs = np.tensordot(coeffs, normal, axes=(len(shape), 0))
-        jumps = expansion_set.tabulate_normal_jumps(degree, qpts, facet, order=order)
+        jumps = es.tabulate_normal_jumps(degree, qp, facet, order=order)
         for r in range(k, order + 1):
-            njump = np.dot(ncoeffs, jumps[r])
-            rows.append(np.tensordot(weights, njump, axes=(ax, ax)))
+            rows.append(np.tensordot(wtab, np.dot(ncoeffs, jumps[r]),
+                                     axes=(ax, ax)))
 
     if rows:
         nsp = polyset.spanning_basis(np.vstack(rows), nullspace=True)
@@ -441,10 +439,11 @@ class HDivPolynomialSet(polyset.PolynomialSet):
     """Vector polynomials with continuous normal components on a complex."""
 
     def __init__(self, ref_el, degree, order=0, **kwargs):
-        sd = ref_el.get_spatial_dimension()
-        U = polyset.ONPolynomialSet(ref_el, degree, shape=(sd,), **kwargs)
-        coeffs = hdiv_conforming_coefficients(U, order=order)
-        super().__init__(ref_el, degree, degree, U.expansion_set, coeffs)
+        U = polyset.ONPolynomialSet(
+            ref_el, degree, shape=(ref_el.get_spatial_dimension(),),
+            **kwargs)
+        super().__init__(ref_el, degree, degree, U.expansion_set,
+                         hdiv_conforming_coefficients(U, order=order))
 
 
 class HDivSymPolynomialSet(polyset.PolynomialSet):
@@ -452,8 +451,8 @@ class HDivSymPolynomialSet(polyset.PolynomialSet):
 
     def __init__(self, ref_el, degree, order=0, **kwargs):
         U = polyset.ONSymTensorPolynomialSet(ref_el, degree, **kwargs)
-        coeffs = hdiv_conforming_coefficients(U, order=order)
-        super().__init__(ref_el, degree, degree, U.expansion_set, coeffs)
+        super().__init__(ref_el, degree, degree, U.expansion_set,
+                         hdiv_conforming_coefficients(U, order=order))
 
 
 _FORM_DEGREES = {
@@ -471,21 +470,20 @@ def pullback(phi, mapping, J=None, Jinv=None, Jdet=None):
     pullback.  ``phi`` may carry leading batch axes: the value axes are the
     len(formdegree) axes after the first, and each is hit with one
     tensordot against J^-T (1-forms) or J/detJ (2-forms)."""
-    try:
-        formdegree = _FORM_DEGREES[mapping]
-    except KeyError:
+    if mapping not in _FORM_DEGREES:
         raise ValueError(f"Unrecognized mapping {mapping}")
+    formdegree = _FORM_DEGREES[mapping]
     if J is None:
         J = np.linalg.pinv(Jinv)
     if Jinv is None:
         Jinv = np.linalg.pinv(J)
     if Jdet is None:
         Jdet = np.linalg.det(J)
-    F = {0: None, 1: Jinv.T, 2: J / Jdet}
-    for i, k in enumerate(formdegree):
-        if k == 0:
-            continue
-        phi = np.moveaxis(np.tensordot(phi, F[k], axes=(i + 1, 1)), -1, i + 1)
+    factor = {0: None, 1: Jinv.T, 2: J / Jdet}
+    for axis, k in enumerate(formdegree, start=1):
+        if k:
+            phi = np.moveaxis(np.tensordot(phi, factor[k], axes=(axis, 1)),
+                              -1, axis)
     return phi
 
 
@@ -494,30 +492,30 @@ class MacroPolynomialSet(polyset.PolynomialSet):
     appropriate Piola pullback per subcell)."""
 
     def __init__(self, ref_el, element):
-        top = ref_el.get_topology()
-        sd = ref_el.get_spatial_dimension()
+        topo = ref_el.get_topology()
+        dim = ref_el.get_spatial_dimension()
         mapping, = set(element.mapping())
-        base_ref_el = element.get_reference_element()
-        base_entity_ids = element.entity_dofs()
+        base_cell = element.get_reference_element()
+        base_ids = element.entity_dofs()
         n = element.degree()
 
-        base_expansion_set = element.get_nodal_basis().get_expansion_set()
-        expansion_set = base_expansion_set.reconstruct(ref_el=ref_el)
+        es = element.get_nodal_basis().get_expansion_set() \
+            .reconstruct(ref_el=ref_el)
 
         shp = element.value_shape()
-        num_bfs = expansions.polynomial_dimension(ref_el, n, base_entity_ids)
-        num_members = expansion_set.get_num_members(n)
-        coeffs = np.zeros((num_bfs, *shp, num_members))
+        nbf = expansions.polynomial_dimension(ref_el, n, base_ids)
+        coeffs = np.zeros((nbf, *shp, es.get_num_members(n)))
         base_coeffs = element.get_coeffs()
 
-        rmap = expansions.polynomial_cell_node_map(ref_el, n, base_entity_ids)
-        cmap = expansion_set.get_cell_node_map(n)
-        cells = sorted(top[sd])
+        rmap = expansions.polynomial_cell_node_map(ref_el, n, base_ids)
+        cmap = es.get_cell_node_map(n)
+        cells = sorted(topo[dim])
         # all subcell affine maps in one stacked build, pullbacks per cell
         As = np.stack([cl.make_affine_mapping(
-            base_ref_el.vertices,
-            ref_el.get_vertices_of_subcomplex(top[sd][c]))[0] for c in cells])
+            base_cell.vertices,
+            ref_el.get_vertices_of_subcomplex(topo[dim][c]))[0]
+            for c in cells])
         for c, A in zip(cells, As):
-            indices = np.ix_(rmap[c], *map(range, shp), cmap[c])
-            coeffs[indices] = pullback(base_coeffs, mapping, J=A)
-        super().__init__(ref_el, n, n, expansion_set, coeffs)
+            block = np.ix_(rmap[c], *map(range, shp), cmap[c])
+            coeffs[block] = pullback(base_coeffs, mapping, J=A)
+        super().__init__(ref_el, n, n, es, coeffs)
