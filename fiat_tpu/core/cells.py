@@ -162,20 +162,8 @@ class Cell:
     def __hash__(self):
         return hash((type(self), self._key()))
 
-    def get_shape(self):
-        return self.shape
-
-    def get_vertices(self):
-        return self.vertices
-
     def get_spatial_dimension(self):
         return len(self.vertices[0])
-
-    def get_topology(self):
-        return self.topology
-
-    def get_connectivity(self):
-        return self.connectivity
 
     def get_vertices_of_subcomplex(self, ids):
         return tuple(self.vertices[i] for i in ids)
@@ -213,11 +201,13 @@ class Cell:
         return None
 
     def is_parent(self, other, strict=False):
-        parent = other.get_parent_complex() if strict else other
-        while parent is not None:
-            if self == parent:
+        """Whether ``self`` appears in ``other``'s parent-complex chain
+        (including ``other`` itself unless ``strict``)."""
+        link = other.get_parent_complex() if strict else other
+        while link is not None:
+            if self == link:
                 return True
-            parent = parent.get_parent_complex()
+            link = link.get_parent_complex()
         return False
 
     def __eq__(self, other):
@@ -225,26 +215,37 @@ class Cell:
             return True
         if not isinstance(other, Cell):
             return NotImplemented
-        A, B = self.get_vertices(), other.get_vertices()
-        if len(A) != len(B) or not np.allclose(A, B):
-            return False
-        return all(set(self.topology[d].values()) == set(other.topology[d].values())
-                   for d in self.topology)
+        mine, theirs = self.get_vertices(), other.get_vertices()
+        return (len(mine) == len(theirs) and np.allclose(mine, theirs)
+                and all(set(self.topology[d].values())
+                        == set(other.topology[d].values())
+                        for d in self.topology))
 
-    def __ne__(self, other):
-        return not self.__eq__(other)
 
-    def __gt__(self, other):
-        return other.is_parent(self, strict=True)
+# simple accessors + the parenthood partial order, generated: a cell A
+# is >= B when A is on B's parent chain
+for _name, _attr in (("get_shape", "shape"), ("get_vertices", "vertices"),
+                     ("get_topology", "topology"),
+                     ("get_connectivity", "connectivity")):
+    def _reader(self, _attr=_attr):
+        return getattr(self, _attr)
+    _reader.__name__ = _name
+    setattr(Cell, _name, _reader)
 
-    def __lt__(self, other):
-        return self.is_parent(other, strict=True)
-
-    def __ge__(self, other):
-        return other.is_parent(self, strict=False)
-
-    def __le__(self, other):
-        return self.is_parent(other, strict=False)
+for _op, (_flip, _strict) in {"__ne__": (None, None),
+                              "__gt__": (True, True),
+                              "__lt__": (False, True),
+                              "__ge__": (True, False),
+                              "__le__": (False, False)}.items():
+    if _flip is None:
+        def _cmp(self, other):
+            return not self.__eq__(other)
+    else:
+        def _cmp(self, other, _flip=_flip, _strict=_strict):
+            a, b = (other, self) if _flip else (self, other)
+            return a.is_parent(b, strict=_strict)
+    _cmp.__name__ = _op
+    setattr(Cell, _op, _cmp)
 
 
 class SimplicialComplex(Cell):
@@ -263,16 +264,16 @@ class SimplicialComplex(Cell):
         """Outward unit normal to a codimension-1 facet (base convention;
         UFC cells override the sign convention)."""
         top = self.topology
-        sd = self.get_spatial_dimension()
+        space_dim = self.get_spatial_dimension()
         if cell is None:
-            cell = next(k for k, fs in enumerate(self.connectivity[(sd, sd - 1)])
+            cell = next(k for k, fs in enumerate(self.connectivity[(space_dim, space_dim - 1)])
                         if facet_i in fs)
-        facet_verts = top[sd - 1][facet_i]
-        cell_verts = top[sd][cell]
+        facet_verts = top[space_dim - 1][facet_i]
+        cell_verts = top[space_dim][cell]
         off_vertex, = set(cell_verts) - set(facet_verts)
         V = np.asarray(self.get_vertices_of_subcomplex(facet_verts))
         r = V[0] - np.asarray(self.vertices[off_vertex])
-        if sd == 1 or len(facet_verts) == 1:
+        if space_dim == 1 or len(facet_verts) == 1:
             return r / np.linalg.norm(r)
         # Component of r orthogonal to the facet span.
         T = V[1:] - V[:1]
@@ -313,14 +314,14 @@ class SimplicialComplex(Cell):
     def compute_scaled_normal(self, facet_i):
         """Normal to facet_i scaled by the facet volume (UFC sign rules in
         2D/3D via tangent rotation / cross product)."""
-        sd = self.get_spatial_dimension()
-        if sd == 2:
+        space_dim = self.get_spatial_dimension()
+        if space_dim == 2:
             t, = self.compute_tangents(1, facet_i)
             return np.array([t[1], -t[0]])
-        if sd == 3:
+        if space_dim == 3:
             t = self.compute_tangents(2, facet_i)
             return -np.cross(t[0], t[1])
-        v = self.volume_of_subcomplex(sd - 1, facet_i)
+        v = self.volume_of_subcomplex(space_dim - 1, facet_i)
         return self.compute_normal(facet_i) * v
 
     def compute_reference_normal(self, facet_dim, facet_i):
@@ -329,8 +330,8 @@ class SimplicialComplex(Cell):
         return n / np.linalg.norm(n, np.inf)
 
     def volume(self):
-        sd = self.get_spatial_dimension()
-        return sum(self.volume_of_subcomplex(sd, k) for k in self.topology[sd])
+        space_dim = self.get_spatial_dimension()
+        return sum(self.volume_of_subcomplex(space_dim, k) for k in self.topology[space_dim])
 
     def volume_of_subcomplex(self, dim, facet_no):
         return simplex_volume(self.get_vertices_of_subcomplex(self.topology[dim][facet_no]))
@@ -348,18 +349,18 @@ class SimplicialComplex(Cell):
     def get_cell_connectivity(self):
         """{cell: {dim: (entity ids...)}} listing, for each top-level cell,
         its subentities in the REFERENCE ordering of the cell's own vertex
-        tuple (unlike ``connectivity[(sd, dim)]``, which is sorted)."""
+        tuple (unlike ``connectivity[(space_dim, dim)]``, which is sorted)."""
         try:
             return self._cell_connectivity
         except AttributeError:
             pass
-        sd = self.get_spatial_dimension()
+        space_dim = self.get_spatial_dimension()
         top = self.topology
-        ref_top = self.construct_subelement(sd).get_topology()
+        ref_top = self.construct_subelement(space_dim).get_topology()
         inv_top = {dim: {top[dim][e]: e for e in top[dim]} for dim in top}
         conn = {}
-        for cell in top[sd]:
-            cell_verts = top[sd][cell]
+        for cell in top[space_dim]:
+            cell_verts = top[space_dim][cell]
             conn[cell] = {}
             for dim in top:
                 ents = []
@@ -373,12 +374,12 @@ class SimplicialComplex(Cell):
     def get_entity_transform(self, dim, entity):
         """Map from subentity reference coordinates into this cell."""
         top = self.topology
-        sd = self.get_spatial_dimension()
+        space_dim = self.get_spatial_dimension()
         if dim == 0:
             i, = top[0][entity]
             offset = np.asarray(self.vertices[i])
             C = np.zeros((0, len(offset)))
-        elif dim == sd and len(top[sd]) == 1:
+        elif dim == space_dim and len(top[space_dim]) == 1:
             assert entity == 0
             return lambda x: x
         else:
@@ -407,19 +408,19 @@ class SimplicialComplex(Cell):
     def barycentric_map(self, entity=None, rescale=False):
         """The affine map (A, b) with barycentric coords = points @ A.T + b
         for the given entity (host f64 numpy)."""
-        sd = self.get_spatial_dimension()
+        space_dim = self.get_spatial_dimension()
         if entity is None:
-            entity = (sd, 0)
+            entity = (space_dim, 0)
         edim, eid = entity
         restrict = slice(None)
         verts_ids = self.topology[edim][eid]
-        if edim != sd:
-            cell_id = self.connectivity[(edim, sd)][eid][0]
-            cell_verts = self.topology[sd][cell_id]
+        if edim != space_dim:
+            cell_id = self.connectivity[(edim, space_dim)][eid][0]
+            cell_verts = self.topology[space_dim][cell_id]
             restrict = [i for i, v in enumerate(cell_verts) if v in verts_ids]
             verts_ids = cell_verts
         A, b = make_affine_mapping(self.get_vertices_of_subcomplex(verts_ids),
-                                   np.eye(sd + 1))
+                                   np.eye(space_dim + 1))
         A, b = A[restrict], b[restrict]
         if rescale:
             h = 1.0 / np.linalg.norm(A, axis=1)
@@ -453,13 +454,13 @@ class SimplicialComplex(Cell):
 
     def point_entity_ids(self, points, tol=1e-10):
         top = self.topology
-        sd = self.get_spatial_dimension()
+        space_dim = self.get_spatial_dimension()
         entity_ids = {d: {e: [] for e in top[d]} for d in top}
         by_verts = {top[d][e]: (d, e) for d in top for e in top[d]}
         seen = []
-        for cell in top[sd]:
-            cell_verts = top[sd][cell]
-            bary = self.compute_barycentric_coordinates(points, entity=(sd, cell))
+        for cell in top[space_dim]:
+            cell_verts = top[space_dim][cell]
+            bary = self.compute_barycentric_coordinates(points, entity=(space_dim, cell))
             dist = 0.5 * abs(np.sum(abs(bary) - bary, axis=-1))
             inside = np.flatnonzero(dist <= tol)
             cand = np.setdiff1d(inside, seen)
@@ -794,10 +795,10 @@ class Hypercube(Cell):
         return self.get_spatial_dimension()
 
     def construct_subelement(self, dimension):
-        sd = self.get_spatial_dimension()
-        if dimension > sd:
+        space_dim = self.get_spatial_dimension()
+        if dimension > space_dim:
             raise ValueError("Invalid subentity dimension")
-        if dimension == sd:
+        if dimension == space_dim:
             return self
         sub = self.product.construct_subelement(
             (dimension,) + (0,) * (len(self.product.cells) - 1))
@@ -854,10 +855,10 @@ class UFCHypercube(Hypercube):
         super().__init__(dim, TensorProductCell(*[UFCInterval()] * dim))
 
     def construct_subelement(self, dimension):
-        sd = self.get_spatial_dimension()
-        if dimension > sd:
+        space_dim = self.get_spatial_dimension()
+        if dimension > space_dim:
             raise ValueError("Invalid subentity dimension")
-        if dimension == sd:
+        if dimension == space_dim:
             return self
         return ufc_hypercube(dimension)
 

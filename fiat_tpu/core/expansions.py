@@ -296,14 +296,14 @@ class ExpansionSet:
     def __init__(self, ref_el, scale=None, variant=None):
         self.ref_el = ref_el
         self.variant = variant
-        sd = ref_el.get_spatial_dimension()
+        space_dim = ref_el.get_spatial_dimension()
         top = ref_el.get_topology()
-        base = cl.default_simplex(sd)
+        base = cl.default_simplex(space_dim)
         base_verts = base.get_vertices()
         self.affine_mappings = [
-            cl.make_affine_mapping(ref_el.get_vertices_of_subcomplex(top[sd][cell]),
+            cl.make_affine_mapping(ref_el.get_vertices_of_subcomplex(top[space_dim][cell]),
                                    base_verts)
-            for cell in top[sd]]
+            for cell in top[space_dim]]
         if scale is None:
             scale = math.sqrt(1.0 / base.volume())
         self.scale = scale
@@ -319,15 +319,15 @@ class ExpansionSet:
 
     def get_scale(self, n, cell=0):
         scale = self.scale
-        sd = self.ref_el.get_spatial_dimension()
+        space_dim = self.ref_el.get_spatial_dimension()
         if isinstance(scale, str):
-            vol = self.ref_el.volume_of_subcomplex(sd, cell)
+            vol = self.ref_el.volume_of_subcomplex(space_dim, cell)
             name = scale.lower()
             if name == "orthonormal":
                 scale = math.sqrt(1.0 / vol)
             elif name == "l2 piola":
                 scale = 1.0 / vol
-        elif n == 0 and sd > 1 and len(self.affine_mappings) == 1:
+        elif n == 0 and space_dim > 1 and len(self.affine_mappings) == 1:
             # Reference quirk: constant member is exactly 1 on single cells.
             scale = 1
         return scale
@@ -351,32 +351,32 @@ class ExpansionSet:
         it on Taylor jets in the cell coordinates (or a single jet variable
         when ``direction`` is given).  Works on numpy arrays (host) and on
         traced jnp arrays (inside jit)."""
-        sd = self.ref_el.get_spatial_dimension()
+        space_dim = self.ref_el.get_spatial_dimension()
         traced = _is_traced(pts)
         xp = jnp if traced else np
         if not traced:
-            pts = np.asarray(pts, dtype=np.float64).reshape(-1, sd)
+            pts = np.asarray(pts, dtype=np.float64).reshape(-1, space_dim)
         A, b = self.affine_mappings[cell]
         scale = self.get_scale(n, cell=cell)
-        ref = pts @ A.T + b                          # (npts, sd), default simplex
-        vals = [ref[..., i] for i in range(sd)]
+        ref = pts @ A.T + b                          # (npts, space_dim), default simplex
+        vals = [ref[..., i] for i in range(space_dim)]
         npts = pts.shape[0]
-        num_members = math.comb(n + sd, sd)
+        num_members = math.comb(n + space_dim, space_dim)
 
         if order == 0:
-            out = dubiner_tabulate(sd, n, vals, scale, variant=self.variant, xp=xp)
-            return {(0,) * sd: out}
+            out = dubiner_tabulate(space_dim, n, vals, scale, variant=self.variant, xp=xp)
+            return {(0,) * space_dim: out}
 
         if direction is None:
-            nvars, jac = sd, A
+            nvars, jac = space_dim, A
             alpha_of = lambda a: a
         else:
             nvars = 1
-            jac = (A @ np.asarray(direction, dtype=np.float64)).reshape(sd, 1)
-            alpha_of = lambda a: a + (0,) * (sd - 1)
+            jac = (A @ np.asarray(direction, dtype=np.float64)).reshape(space_dim, 1)
+            alpha_of = lambda a: a + (0,) * (space_dim - 1)
 
         coords = taylor_seeds(vals, jac, nvars, order)
-        out = dubiner_tabulate(sd, n, coords, scale, variant=self.variant, xp=xp)
+        out = dubiner_tabulate(space_dim, n, coords, scale, variant=self.variant, xp=xp)
 
         result = {}
         for alpha in multiindices(nvars, order):
@@ -435,11 +435,11 @@ class ExpansionSet:
         unique = self.continuity is not None and order == 0
         masks = partition_of_unity_masks(self.ref_el, pts, unique=unique)
         top = self.ref_el.get_topology()
-        sd = self.ref_el.get_spatial_dimension()
+        space_dim = self.ref_el.get_spatial_dimension()
         num_phis = self.get_num_members(n)
         cell_node_map = self.get_cell_node_map(n)
         result = {}
-        for pos, c in enumerate(sorted(top[sd])):
+        for pos, c in enumerate(sorted(top[space_dim])):
             phis = self._tabulate_on_cell(n, pts, order, cell=c)
             for alpha, tab in phis.items():
                 if alpha not in result:
@@ -452,27 +452,27 @@ class ExpansionSet:
     def tabulate(self, n, pts):
         if len(pts) == 0:
             return np.array([])
-        sd = self.ref_el.get_spatial_dimension()
-        return self._tabulate(n, pts)[(0,) * sd]
+        space_dim = self.ref_el.get_spatial_dimension()
+        return self._tabulate(n, pts)[(0,) * space_dim]
 
     def tabulate_derivatives(self, n, pts):
         vals = self._tabulate(n, pts, order=1)
-        sd = self.ref_el.get_spatial_dimension()
-        v = vals[(0,) * sd]
-        dv = [vals[alpha] for alpha in mis(sd, 1)]
+        space_dim = self.ref_el.get_spatial_dimension()
+        v = vals[(0,) * space_dim]
+        dv = [vals[alpha] for alpha in mis(space_dim, 1)]
         return [[(v[i, j], [vi[i, j] for vi in dv])
                  for j in range(v.shape[1])]
                 for i in range(v.shape[0])]
 
     def tabulate_jet(self, n, pts, order=1):
         vals = self._tabulate(n, pts, order=order)
-        sd = self.ref_el.get_spatial_dimension()
-        v0 = vals[(0,) * sd]
+        space_dim = self.ref_el.get_spatial_dimension()
+        v0 = vals[(0,) * space_dim]
         data = [v0]
         for r in range(1, order + 1):
-            vr = np.zeros((sd,) * r + v0.shape, dtype=v0.dtype)
+            vr = np.zeros((space_dim,) * r + v0.shape, dtype=v0.dtype)
             for index in np.ndindex(vr.shape[:r]):
-                vr[index] = vals[tuple(map(index.count, range(sd)))]
+                vr[index] = vals[tuple(map(index.count, range(space_dim)))]
             data.append(vr.transpose((r, r + 1) + tuple(range(r))))
         return data
 
@@ -481,8 +481,8 @@ class ExpansionSet:
     def tabulate_normal_jumps(self, n, ref_pts, facet, order=0):
         """Normal-derivative jumps of the expansion at reference points of a
         facet of the complex."""
-        sd = self.ref_el.get_spatial_dimension()
-        transform = self.ref_el.get_entity_transform(sd - 1, facet)
+        space_dim = self.ref_el.get_spatial_dimension()
+        transform = self.ref_el.get_entity_transform(space_dim - 1, facet)
         pts = np.asarray(transform(ref_pts))
         cell_point_map = compute_cell_point_map(self.ref_el, pts, unique=False)
         cell_node_map = self.get_cell_node_map(n)
@@ -493,12 +493,12 @@ class ExpansionSet:
             side = np.dot(normal, self.ref_el.compute_normal(facet))
             sel = slice(None) if ipts is Ellipsis else ipts
             phi = self._tabulate_on_cell(n, pts[sel], order, cell=c)
-            v0 = phi[(0,) * sd]
+            v0 = phi[(0,) * space_dim]
             ibfs = cell_node_map[c]
             for r in range(order + 1):
-                vr = np.zeros((sd,) * r + v0.shape, dtype=v0.dtype)
+                vr = np.zeros((space_dim,) * r + v0.shape, dtype=v0.dtype)
                 for index in np.ndindex(vr.shape[:r]):
-                    vr[index] = phi[tuple(map(index.count, range(sd)))]
+                    vr[index] = phi[tuple(map(index.count, range(space_dim)))]
                 for _ in range(r):
                     vr = np.tensordot(normal, vr, axes=(0, 0))
                 indices = np.ix_(ibfs, np.arange(pts.shape[0])[sel])
@@ -510,7 +510,7 @@ class ExpansionSet:
 
     def tabulate_jumps(self, n, points, order=0):
         """Derivative jumps across interior facets of the complex."""
-        sd = self.ref_el.get_spatial_dimension()
+        space_dim = self.ref_el.get_spatial_dimension()
         num_members = self.get_num_members(n)
         cell_node_map = self.get_cell_node_map(n)
         points = np.asarray(points, dtype=np.float64)
@@ -518,8 +518,8 @@ class ExpansionSet:
 
         num_jumps = 0
         facet_point_map = {}
-        for facet in self.ref_el.get_interior_facets(sd - 1):
-            cells_ = self.ref_el.connectivity[(sd - 1, sd)][facet]
+        for facet in self.ref_el.get_interior_facets(space_dim - 1):
+            cells_ = self.ref_el.connectivity[(space_dim - 1, space_dim)][facet]
             # a jump needs the point binned to BOTH adjacent cells; a cell
             # with no points at all contributes the empty set
             ipts = list(set.intersection(
@@ -534,10 +534,10 @@ class ExpansionSet:
         jumps = {}
         for r in range(order + 1):
             cur = 0
-            alphas = mis(sd, r)
+            alphas = mis(space_dim, r)
             jumps[r] = np.zeros((num_members, len(alphas) * num_jumps))
             for facet, ipts in facet_point_map.items():
-                c0, c1 = self.ref_el.connectivity[(sd - 1, sd)][facet]
+                c0, c1 = self.ref_el.connectivity[(space_dim - 1, space_dim)][facet]
                 for alpha in alphas:
                     ijump = range(cur, cur + len(ipts))
                     jumps[r][np.ix_(cell_node_map[c1], ijump)] += derivs[c1][alpha][:, ipts]
@@ -555,15 +555,15 @@ class ExpansionSet:
             return self._dmats_cache[key]
         except KeyError:
             pass
-        sd = self.ref_el.get_spatial_dimension()
+        space_dim = self.ref_el.get_spatial_dimension()
         if degree == 0:
-            return self._dmats_cache.setdefault(key, np.zeros((sd, 1, 1)))
+            return self._dmats_cache.setdefault(key, np.zeros((space_dim, 1, 1)))
         top = self.ref_el.get_topology()
-        verts = self.ref_el.get_vertices_of_subcomplex(top[sd][cell])
+        verts = self.ref_el.get_vertices_of_subcomplex(top[space_dim][cell])
         pts = cl.make_lattice(verts, degree, variant="gl")
         v = self._tabulate_on_cell(degree, pts, order=1, cell=cell)
-        dv = [np.transpose(v[alpha]) for alpha in mis(sd, 1)]
-        dmats = np.linalg.solve(np.transpose(v[(0,) * sd]), dv)
+        dv = [np.transpose(v[alpha]) for alpha in mis(space_dim, 1)]
+        dmats = np.linalg.solve(np.transpose(v[(0,) * space_dim]), dv)
         return self._dmats_cache.setdefault(key, dmats)
 
     def __eq__(self, other):
@@ -625,7 +625,7 @@ def polynomial_dimension(ref_el, n, continuity=None):
 
 def polynomial_entity_ids(ref_el, n, continuity=None):
     top = ref_el.get_topology()
-    sd = ref_el.get_spatial_dimension()
+    space_dim = ref_el.get_spatial_dimension()
     entity_ids = {}
     cur = 0
     for dim in sorted(top):
@@ -634,7 +634,7 @@ def polynomial_entity_ids(ref_el, n, continuity=None):
         elif continuity == "C0":
             dofs = math.comb(n - 1, dim)
         else:
-            dofs = math.comb(n + dim, dim) if dim == sd else 0
+            dofs = math.comb(n + dim, dim) if dim == space_dim else 0
         entity_ids[dim] = {e: list(range(cur + i * dofs, cur + (i + 1) * dofs))
                            for i, e in enumerate(sorted(top[dim]))}
         cur += dofs * len(top[dim])
@@ -643,14 +643,14 @@ def polynomial_entity_ids(ref_el, n, continuity=None):
 
 def polynomial_cell_node_map(ref_el, n, continuity=None):
     top = ref_el.get_topology()
-    sd = ref_el.get_spatial_dimension()
+    space_dim = ref_el.get_spatial_dimension()
     entity_ids = polynomial_entity_ids(ref_el, n, continuity)
-    ref_ids = polynomial_entity_ids(ref_el.construct_subelement(sd), n, continuity)
-    num_cells = len(top[sd])
+    ref_ids = polynomial_entity_ids(ref_el.construct_subelement(space_dim), n, continuity)
+    num_cells = len(top[space_dim])
     dofs_per_cell = sum(len(ref_ids[dim][e]) for dim in ref_ids for e in ref_ids[dim])
     cell_node_map = np.zeros((num_cells, dofs_per_cell), dtype=int)
     conn = ref_el.get_cell_connectivity()
-    for c in top[sd]:
+    for c in top[space_dim]:
         for dim in top:
             for ref_e, e in enumerate(conn[c][dim]):
                 cell_node_map[c, ref_ids[dim][ref_e]] = entity_ids[dim][e]
@@ -661,15 +661,15 @@ def compute_cell_point_map(ref_el, pts, unique=True, tol=1e-12):
     """Bin points to the nearest subcell of a complex.  Returns
     {cell: point-index-array or Ellipsis}."""
     top = ref_el.get_topology()
-    sd = ref_el.get_spatial_dimension()
-    if len(top[sd]) == 1:
+    space_dim = ref_el.get_spatial_dimension()
+    if len(top[space_dim]) == 1:
         return {0: Ellipsis}
     pts = np.asarray(pts)
     best = ref_el.get_parent().distance_to_point_l1(pts, rescale=True)
     tol = best + tol
     out = {}
-    for c in sorted(top[sd]):
-        near = ref_el.distance_to_point_l1(pts, entity=(sd, c), rescale=True) < tol
+    for c in sorted(top[space_dim]):
+        near = ref_el.distance_to_point_l1(pts, entity=(space_dim, c), rescale=True) < tol
         if near.ndim == 0:
             if near:
                 out[c] = Ellipsis
@@ -698,7 +698,7 @@ def partition_of_unity_masks(ref_el, pts, unique=True, tol=None, raw=False):
     band of an interior facet picks up O(|jump| * tol) error in
     derivative tables.)"""
     top = ref_el.get_topology()
-    sd = ref_el.get_spatial_dimension()
+    space_dim = ref_el.get_spatial_dimension()
     use_ff = False
     if getattr(pts, "dtype", None) == jnp.float64:
         from ..ops.doublefloat import eft_safe
@@ -711,16 +711,16 @@ def partition_of_unity_masks(ref_el, pts, unique=True, tol=None, raw=False):
         parent = ref_el.get_parent()
         best = ff_l1_distance(pts, *parent.barycentric_map(rescale=True))
         dists = {c: ff_l1_distance(
-            pts, *ref_el.barycentric_map(entity=(sd, c), rescale=True))
-            for c in sorted(top[sd])}
+            pts, *ref_el.barycentric_map(entity=(space_dim, c), rescale=True))
+            for c in sorted(top[space_dim])}
     else:
         best = ref_el.get_parent().distance_to_point_l1(pts, rescale=True)
-        dists = {c: ref_el.distance_to_point_l1(pts, entity=(sd, c),
+        dists = {c: ref_el.distance_to_point_l1(pts, entity=(space_dim, c),
                                                 rescale=True)
-                 for c in sorted(top[sd])}
+                 for c in sorted(top[space_dim])}
     masks = []
     taken = 0.0
-    for c in sorted(top[sd]):
+    for c in sorted(top[space_dim]):
         near = dists[c] <= best + tol
         m = jnp.where(near, 1.0, 0.0)
         if unique:

@@ -7,9 +7,9 @@ point-keyed dicts, every functional is stored as five flat arrays
 
     ell(f) = sum_k  weights[k] * (D^{alphas[k]} f)_{comps[k]} (points[pt_ids[k]])
 
-    points   (npts, sd)     evaluation points
+    points   (npts, space_dim)     evaluation points
     pt_ids   (nterms,)      point index per term
-    alphas   (nterms, sd)   derivative multi-index per term (zeros = value)
+    alphas   (nterms, space_dim)   derivative multi-index per term (zeros = value)
     comps    (nterms,)      flat C-order component index into target_shape
     weights  (nterms,)      term weights
 
@@ -36,16 +36,16 @@ def flat_component(comp, shape):
     return int(np.ravel_multi_index(tuple(comp), shape))
 
 
-def directional_alphas(S, sd):
+def directional_alphas(S, space_dim):
     """Collapse a rank-k direction tensor S (product of k directions) into
-    derivative multi-indices: returns (alphas (m, sd), weights (m,)) with
+    derivative multi-indices: returns (alphas (m, space_dim), weights (m,)) with
     sum_alpha w_alpha D^alpha == sum_{i1..ik} S[i1..ik] d_{i1}..d_{ik}."""
     S = np.asarray(S, dtype=float)
     tau = {}
     for index in np.ndindex(S.shape):
-        alpha = tuple(np.bincount(index, minlength=sd))
+        alpha = tuple(np.bincount(index, minlength=space_dim))
         tau[alpha] = tau.get(alpha, 0.0) + S[index]
-    alphas = np.array(sorted(tau), dtype=np.intp).reshape(len(tau), sd)
+    alphas = np.array(sorted(tau), dtype=np.intp).reshape(len(tau), space_dim)
     weights = np.array([tau[tuple(a)] for a in alphas])
     return alphas, weights
 
@@ -77,7 +77,7 @@ class Functional:
         if points.ndim != 2:
             points = points.reshape(max(len(points), 1), -1)
         self.points = points
-        sd = points.shape[1]
+        space_dim = points.shape[1]
         weights = np.zeros(0) if weights is None else np.asarray(weights, float).ravel()
         n = weights.shape[0]
         self.weights = weights
@@ -85,8 +85,8 @@ class Functional:
                        else np.asarray(pt_ids, np.intp).ravel())
         self.comps = (np.zeros(n, np.intp) if comps is None
                       else np.asarray(comps, np.intp).ravel())
-        self.alphas = (np.zeros((n, sd), np.intp) if alphas is None
-                       else np.asarray(alphas, np.intp).reshape(n, sd))
+        self.alphas = (np.zeros((n, space_dim), np.intp) if alphas is None
+                       else np.asarray(alphas, np.intp).reshape(n, space_dim))
 
     # -- array-level builders ------------------------------------------------
 
@@ -329,10 +329,10 @@ class PointFaceTangentEvaluation(Functional):
 
 def _vector_point_args(ref_el, direction, pt, name):
     """(init args) for ``v -> (v . direction)(pt)`` as dense value terms."""
-    sd = ref_el.get_spatial_dimension()
-    W = np.asarray(direction, float).reshape(1, sd)
+    space_dim = ref_el.get_spatial_dimension()
+    W = np.asarray(direction, float).reshape(1, space_dim)
     n = W.shape[1]
-    return (ref_el, (sd,), name, [tuple(pt)],
+    return (ref_el, (space_dim,), name, [tuple(pt)],
             np.zeros(n, np.intp), W.ravel(), np.arange(n))
 
 
@@ -373,13 +373,13 @@ class PointDirectionalDerivative(Functional):
     """f -> (s . grad f)(x)."""
 
     def __init__(self, ref_el, s, pt, comp=(), shp=(), nm=None):
-        sd = ref_el.get_spatial_dimension()
+        space_dim = ref_el.get_spatial_dimension()
         cf = flat_component(comp, shp)
         super().__init__(ref_el, shp, nm or "PointDirectionalDeriv", [tuple(pt)],
-                         pt_ids=np.zeros(sd, np.intp),
+                         pt_ids=np.zeros(space_dim, np.intp),
                          weights=np.asarray(s, float),
-                         comps=np.full(sd, cf, np.intp),
-                         alphas=np.eye(sd, dtype=np.intp))
+                         comps=np.full(space_dim, cf, np.intp),
+                         alphas=np.eye(space_dim, dtype=np.intp))
 
 
 class PointNormalDerivative(PointDirectionalDerivative):
@@ -398,8 +398,8 @@ class PointSecondDerivative(Functional):
     """f -> s1^T (D^2 f)(x) s2."""
 
     def __init__(self, ref_el, s1, s2, pt, comp=(), shp=(), nm=None):
-        sd = ref_el.get_spatial_dimension()
-        alphas, taus = directional_alphas(np.outer(s1, s2), sd)
+        space_dim = ref_el.get_spatial_dimension()
+        alphas, taus = directional_alphas(np.outer(s1, s2), space_dim)
         cf = flat_component(comp, shp)
         super().__init__(ref_el, shp, nm or "PointSecondDeriv", [tuple(pt)],
                          pt_ids=np.zeros(len(taus), np.intp),
@@ -426,12 +426,12 @@ class PointDivergence(Functional):
     """v -> (div v)(x)."""
 
     def __init__(self, ref_el, x):
-        sd = ref_el.get_spatial_dimension()
+        space_dim = ref_el.get_spatial_dimension()
         super().__init__(ref_el, (len(x),), "PointDiv", [tuple(x)],
-                         pt_ids=np.zeros(sd, np.intp),
-                         weights=np.ones(sd),
-                         comps=np.arange(sd),
-                         alphas=np.eye(sd, dtype=np.intp))
+                         pt_ids=np.zeros(space_dim, np.intp),
+                         weights=np.ones(space_dim),
+                         comps=np.arange(space_dim),
+                         alphas=np.eye(space_dim, dtype=np.intp))
 
 
 # =============================================================================
@@ -489,8 +489,8 @@ class IntegralMomentOfDerivative(Functional):
         S = directions[0]
         for d in directions[1:]:
             S = np.outer(S, d)
-        sd = ref_el.get_spatial_dimension()
-        alphas, taus = directional_alphas(S, sd)
+        space_dim = ref_el.get_spatial_dimension()
+        alphas, taus = directional_alphas(S, space_dim)
         qwts = np.multiply(f_at_qpts, Q.get_weights())
         self.weights_by_alpha = {tuple(a): qwts * t for a, t in zip(alphas, taus)}
         cf = flat_component(comp, shp)
@@ -506,8 +506,8 @@ class IntegralMomentOfNormalDerivative(IntegralMomentOfDerivative):
 
     def __init__(self, ref_el, facet_no, Q_face, f_at_qpts):
         n = ref_el.compute_normal(facet_no)
-        sd = ref_el.get_spatial_dimension()
-        Q = quadrature.FacetQuadratureRule(ref_el, sd - 1, facet_no, Q_face, avg=True)
+        space_dim = ref_el.get_spatial_dimension()
+        Q = quadrature.FacetQuadratureRule(ref_el, space_dim - 1, facet_no, Q_face, avg=True)
         super().__init__(ref_el, Q, f_at_qpts, n, nm="IntegralMomentOfNormalDerivative")
 
 
@@ -517,17 +517,17 @@ class IntegralMomentOfDivergence(Functional):
     def __init__(self, ref_el, Q, f_at_qpts):
         self.f_at_qpts = f_at_qpts
         self.Q = Q
-        sd = ref_el.get_spatial_dimension()
-        shp = f_at_qpts.shape[1:-1] + (sd,)
+        space_dim = ref_el.get_spatial_dimension()
+        shp = f_at_qpts.shape[1:-1] + (space_dim,)
         pts = Q.get_points()
         self.dpts = pts
         qwts = np.multiply(f_at_qpts, Q.get_weights())
         # slot a: alpha = e_a, component a (the diagonal of grad)
         super().__init__(ref_el, shp, "IntegralMomentOfDivergence", pts,
                          **_derivative_term_arrays(
-                             np.eye(sd, dtype=np.intp),
-                             np.tile(qwts[:, None], (1, sd)),
-                             comps=np.arange(sd)))
+                             np.eye(space_dim, dtype=np.intp),
+                             np.tile(qwts[:, None], (1, space_dim)),
+                             comps=np.arange(space_dim)))
 
 
 class IntegralMomentOfTensorDivergence(Functional):
@@ -538,19 +538,19 @@ class IntegralMomentOfTensorDivergence(Functional):
         self.Q = Q
         pts = Q.get_points()
         self.dpts = pts
-        sd = ref_el.get_spatial_dimension()
-        assert f_at_qpts.shape == (sd, len(pts))
-        qwts = np.multiply(f_at_qpts, Q.get_weights()).T     # (npts, sd)
+        space_dim = ref_el.get_spatial_dimension()
+        assert f_at_qpts.shape == (space_dim, len(pts))
+        qwts = np.multiply(f_at_qpts, Q.get_weights()).T     # (npts, space_dim)
         # slots (i, j): alpha = e_j, component (i, j), weight q_i w
-        pairs = np.indices((sd, sd)).reshape(2, -1).T
-        alphas = np.eye(sd, dtype=np.intp)[pairs[:, 1]]
-        comps = np.ravel_multi_index((pairs[:, 0], pairs[:, 1]), (sd, sd))
+        pairs = np.indices((space_dim, space_dim)).reshape(2, -1).T
+        alphas = np.eye(space_dim, dtype=np.intp)[pairs[:, 1]]
+        comps = np.ravel_multi_index((pairs[:, 0], pairs[:, 1]), (space_dim, space_dim))
         W = qwts[:, pairs[:, 0]]
         super().__init__(ref_el, (), "IntegralMomentOfDivergence", pts,
                          **_derivative_term_arrays(alphas, W, comps=comps))
-        # target_shape is () per the reference; comps address (sd, sd) slots
+        # target_shape is () per the reference; comps address (space_dim, space_dim) slots
         # only through the dict views below, so expose them there instead
-        self._tensor_shape = (sd, sd)
+        self._tensor_shape = (space_dim, space_dim)
 
     def _unflat(self, c):
         return tuple(int(i) for i in np.unravel_index(c, self._tensor_shape))
@@ -574,25 +574,25 @@ def _facet_trace_moment_args(ref_el, Q, P_at_qpts, entity_dim, entity_id,
                              direction, name):
     """(init args) for ``v -> int_F (v . direction) p``: the rule Q lives on
     the reference facet and is pushed onto the named entity."""
-    sd = ref_el.get_spatial_dimension()
+    space_dim = ref_el.get_spatial_dimension()
     transform = ref_el.get_entity_transform(entity_dim, entity_id)
     pts = np.asarray(transform(Q.get_points()))
     W = np.outer(np.multiply(P_at_qpts, Q.get_weights()),
-                 np.asarray(direction, float))          # (npts, sd)
+                 np.asarray(direction, float))          # (npts, space_dim)
     npts = W.shape[0]
-    return (ref_el, (sd,), name, pts,
-            np.repeat(np.arange(npts), sd), W.ravel(),
-            np.tile(np.arange(sd), npts))
+    return (ref_el, (space_dim,), name, pts,
+            np.repeat(np.arange(npts), space_dim), W.ravel(),
+            np.tile(np.arange(space_dim), npts))
 
 
 class IntegralMomentOfNormalEvaluation(Functional):
     r"""v -> \int_F (v . n~) p ds (volume-scaled normal)."""
 
     def __init__(self, ref_el, Q, P_at_qpts, facet):
-        sd = ref_el.get_spatial_dimension()
+        space_dim = ref_el.get_spatial_dimension()
         n = ref_el.compute_scaled_normal(facet)
         super().__init__(*_facet_trace_moment_args(
-            ref_el, Q, P_at_qpts, sd - 1, facet, n,
+            ref_el, Q, P_at_qpts, space_dim - 1, facet, n,
             "IntegralMomentOfNormalEvaluation"))
 
 
@@ -600,10 +600,10 @@ class IntegralMomentOfScaledNormalEvaluation(Functional):
     r"""v -> \int_F (v . n~) p ds."""
 
     def __init__(self, ref_el, Q, P_at_qpts, facet):
-        sd = ref_el.get_spatial_dimension()
+        space_dim = ref_el.get_spatial_dimension()
         n = ref_el.compute_scaled_normal(facet)
         super().__init__(*_facet_trace_moment_args(
-            ref_el, Q, P_at_qpts, sd - 1, facet, n,
+            ref_el, Q, P_at_qpts, space_dim - 1, facet, n,
             "IntegralMomentOfScaledNormalEvaluation"))
 
 
@@ -611,11 +611,11 @@ class IntegralMomentOfTangentialEvaluation(Functional):
     r"""v -> \int_e (v . t) p ds (2D)."""
 
     def __init__(self, ref_el, Q, P_at_qpts, facet):
-        sd = ref_el.get_spatial_dimension()
-        assert sd == 2
+        space_dim = ref_el.get_spatial_dimension()
+        assert space_dim == 2
         t = ref_el.compute_edge_tangent(facet)
         super().__init__(*_facet_trace_moment_args(
-            ref_el, Q, P_at_qpts, sd - 1, facet, t,
+            ref_el, Q, P_at_qpts, space_dim - 1, facet, t,
             "IntegralMomentOfScaledTangentialEvaluation"))
 
 
@@ -635,18 +635,18 @@ class IntegralMomentOfFaceTangentEvaluation(Functional):
 
     def __init__(self, ref_el, Q, P_at_qpts, facet):
         n = ref_el.compute_scaled_normal(facet)
-        sd = ref_el.get_spatial_dimension()
-        transform = ref_el.get_entity_transform(sd - 1, facet)
+        space_dim = ref_el.get_spatial_dimension()
+        transform = ref_el.get_entity_transform(space_dim - 1, facet)
         pts = np.asarray(transform(Q.get_points()))
         phi = np.asarray(P_at_qpts).T                     # (npts, 3)
         phixn = np.cross(phi, n[None, :])
         W = Q.get_weights()[:, None] * np.cross(n[None, :], phixn)
         npts = W.shape[0]
-        super().__init__(ref_el, (sd,), "IntegralMomentOfFaceTangentEvaluation",
+        super().__init__(ref_el, (space_dim,), "IntegralMomentOfFaceTangentEvaluation",
                          pts,
-                         pt_ids=np.repeat(np.arange(npts), sd),
+                         pt_ids=np.repeat(np.arange(npts), space_dim),
                          weights=W.ravel(),
-                         comps=np.tile(np.arange(sd), npts))
+                         comps=np.tile(np.arange(space_dim), npts))
 
 
 # =============================================================================
