@@ -218,3 +218,22 @@ def test_factory_corner_cases():
     assert el.space_dimension() == 1
     el = create_element(ufl.FiniteElement("DQ L2", "quadrilateral", 1))
     assert el.space_dimension() == 4
+
+
+def test_create_broken_element():
+    """BrokenElement descriptions convert to DiscontinuousElement with
+    all dofs on the cell (reference strategy:
+    test/finat/test_create_broken_element.py)."""
+    from fiat_tpu import ufl as fufl
+    from fiat_tpu.factory import create_element
+    from fiat_tpu.symbolic import DiscontinuousElement
+
+    inner = fufl.FiniteElement("Lagrange", fufl.triangle, 2)
+    broken = create_element(fufl.BrokenElement(inner))
+    assert isinstance(broken, DiscontinuousElement)
+    smooth = create_element(inner)
+    assert broken.space_dimension() == smooth.space_dimension()
+    dofs = broken.entity_dofs()
+    assert dofs[2][0] == list(range(broken.space_dimension()))
+    assert all(not v for d, ent in dofs.items() if d != 2
+               for v in ent.values())
