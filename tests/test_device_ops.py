@@ -492,3 +492,31 @@ def test_pallas_f32_variant_kernels_interpret():
             err = (np.abs(fused - host).max()
                    / (np.abs(host).max() + 1.0))
             assert err < 5e-6, (dim, variant, err)
+
+
+def test_fused_zoo_pair_surfaces_interpret():
+    """pair_tables / pair_blocks + unpack_pairs agree with the f64
+    surfaces exactly (hi + lo IS the f64 table)."""
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    els = [fe.Lagrange(T, p) for p in (1, 4)] + [fe.Nedelec(T, 1)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256,
+                           point_tile=256)
+    pts = RNG.random((120, 2)) / 2
+    f64 = fz(jnp.asarray(pts))
+    pairs = fz.pair_tables(jnp.asarray(pts))
+    plain_rows = bt.stacked.shape[0]
+    for a, (hi, lo) in pairs.items():
+        combined = (np.asarray(hi, np.float64)
+                    + np.asarray(lo, np.float64))
+        assert np.array_equal(combined, np.asarray(f64[a])[:plain_rows]), a
+
+    per_pair = fz.unpack_pairs(
+        jax.tree_util.tree_map(np.asarray, fz.pair_blocks(jnp.asarray(pts))),
+        len(pts))
+    per_f64 = fz.unpack({a: [np.asarray(x) for x in blocks]
+                         for a, blocks in fz.block_tables(
+                             jnp.asarray(pts)).items()})
+    for ea, eb in zip(per_pair, per_f64):
+        for a in eb:
+            assert np.array_equal(np.asarray(ea[a]), np.asarray(eb[a])), a
