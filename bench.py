@@ -113,7 +113,7 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     # block layout: per-source f64 tables (the reference likewise emits
     # per-element arrays; a fused concatenation would cost every table
     # an extra HBM round-trip)
-    tpu_time = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=2)
+    tpu_time = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=3)
     sys.stderr.write(f"[bench] {name}: tpu {tpu_time*1e3:.1f} ms\n"); sys.stderr.flush()
     rows = max(hi for (lo, hi, shape) in bt.slices)
     ntab = len(fz.alphas)
