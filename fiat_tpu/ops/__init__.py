@@ -28,7 +28,8 @@ def device_tabulator(elements, order=0, f64=True, **kw):
                              if k in ("tile", "derivs", "matmul")})
     backend = jax.default_backend()
     interpret = kw.get("interpret", backend == "cpu")
-    if backend not in ("tpu", "cpu") and not interpret:
+    # 'axon' is the tunnelled-TPU plugin backend: real Mosaic kernels
+    if backend not in ("tpu", "cpu", "axon") and not interpret:
         # TPU Pallas kernels would fail at runtime on other backends
         return bt
     if not f64:
