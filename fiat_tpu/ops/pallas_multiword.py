@@ -237,6 +237,25 @@ class _Bucket:
     fits ``K``: the tall per-alpha change-of-basis blocks, the member
     element row ranges, and the row padding bookkeeping."""
 
+    def __init__(self, K, gslices, mats, alphas, align, interpret, kw):
+        self.K = K
+        self.gslices = gslices          # [(element index, glo, ghi)]
+        self.rows = sum(ghi - glo for _, glo, ghi in gslices)
+        self.block_rows = -(-self.rows // align) * align
+        pad = ((0, self.block_rows - self.rows), (0, 0))
+        parts = []
+        for a in alphas:
+            rows = np.vstack([mats[a][glo:ghi]
+                              for (_, glo, ghi) in gslices])
+            dropped = rows[:, K:]
+            if dropped.size:
+                limit = 1e-8 * (np.abs(rows).max() + 1.0)
+                assert np.abs(dropped).max() <= limit, \
+                    "bucket truncation would drop real coefficients"
+            parts.append(np.pad(rows, pad)[:, :K])
+        self.fm = FusedMultiwordMatmul(np.vstack(parts),
+                                       interpret=interpret, **kw)
+
     def split(self, hi, lo, alphas):
         """Aligned per-alpha (hi, lo) views of the padded kernel out."""
         r = self.block_rows
@@ -311,33 +330,14 @@ class FusedZooTabulator:
         self._plain_loc = {}            # element index -> (bucket, lo, hi)
         lo_cap = 0
         for pos, cap in enumerate(caps):
-            elems, gslices, cursor = [], [], 0
+            gslices, cursor = [], 0
             for i, lo, hi, w in entries:
                 if lo_cap < w <= cap:
-                    elems.append((i, cursor, cursor + hi - lo))
                     gslices.append((i, lo, hi))
                     self._plain_loc[i] = (pos, cursor, cursor + hi - lo)
                     cursor += hi - lo
-            bucket = _Bucket.__new__(_Bucket)
-            bucket.K = cap
-            bucket.elems = elems
-            bucket.gslices = gslices
-            bucket.rows = cursor
-            bucket.block_rows = -(-cursor // self.ROW_ALIGN) * self.ROW_ALIGN
-            pad = ((0, bucket.block_rows - cursor), (0, 0))
-            parts = []
-            for a in self.alphas:
-                rows = np.vstack([mats[a][glo:ghi]
-                                  for (_, glo, ghi) in gslices])
-                dropped = rows[:, cap:]
-                if dropped.size:
-                    limit = 1e-8 * (np.abs(rows).max() + 1.0)
-                    assert np.abs(dropped).max() <= limit, \
-                        "bucket truncation would drop real coefficients"
-                parts.append(np.pad(rows, pad)[:, :cap])
-            bucket.fm = FusedMultiwordMatmul(np.vstack(parts),
-                                             interpret=interpret, **kw)
-            self.buckets.append(bucket)
+            self.buckets.append(_Bucket(cap, gslices, mats, self.alphas,
+                                        self.ROW_ALIGN, interpret, kw))
             lo_cap = cap
         self.fm = self.buckets[-1].fm
         # eager: the EFT-safety probe jit-compiles, so it cannot run
