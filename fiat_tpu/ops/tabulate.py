@@ -292,6 +292,13 @@ class BatchedTabulator:
         if len(cells) != 1:
             raise ValueError("BatchedTabulator needs a common reference cell")
         self.ref_el, = cells
+        if not all(getattr(e, "is_nodal", lambda: False)()
+                   or e.is_macroelement() for e in elements):
+            raise NotImplementedError(
+                "BatchedTabulator fuses nodal (Ciarlet) bases; for "
+                "tensor-product/hypercube elements jit the symbolic "
+                "layer's factored basis_evaluation instead "
+                "(fiat_tpu.symbolic, docs/symbolic.md)")
         self.elements = list(elements)
         self.order = order
         self.sd = self.ref_el.get_spatial_dimension()
