@@ -35,13 +35,17 @@ def _expand(family, cells, degrees=(None,), variants=(None,), **fixed):
 def _spec_list():
     E = []
     E += _expand("Lagrange", "ITS", (1, 2, 3))
+    E += _expand("Lagrange", "TS", (4, 5))
+    E += _expand("Lagrange", "T", (3, 4), ("gll", "spectral"))
     E += _expand("Lagrange", "T", (1,), ("iso", "alfeld"))
     E += _expand("Lagrange", "T", (2,), ("alfeld",))
     E += _expand("P0", "ITS")
     E += _expand("DiscontinuousLagrange", "P", (0,))
     E += _expand("DiscontinuousLagrange", "ITS", (0, 1, 2))
+    E += _expand("DiscontinuousLagrange", "T", (3, 4))
     E += _expand("DiscontinuousLagrange", "T", (1,), ("alfeld",))
     E += _expand("DiscontinuousTaylor", "ITS", (0, 1, 2))
+    E += _expand("DiscontinuousTaylor", "T", (3, 4))
     E += _expand("CrouzeixRaviart", "ITS", (1,), (None, "point"))
     E += _expand("CrouzeixRaviart", "T", (3, 5), (None, "point"))
     for fam in ("RaviartThomas",):
