@@ -37,4 +37,4 @@ from fiat_tpu import ufl  # noqa: E402,F401
 from fiat_tpu.factory import (  # noqa: E402,F401
     as_fiat_cell, create_base_element, create_element)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
