@@ -520,3 +520,35 @@ def test_fused_zoo_pair_surfaces_interpret():
     for ea, eb in zip(per_pair, per_f64):
         for a in eb:
             assert np.array_equal(np.asarray(ea[a]), np.asarray(eb[a])), a
+
+
+def test_fused_zoo_degree_buckets_interpret():
+    """Mixed-degree zoos split into width buckets; unpack still maps
+    every element to its exact host tables."""
+    from fiat_tpu.ops.pallas_multiword import (FusedZooTabulator,
+                                               _plan_buckets)
+    # the planner splits the full-zoo width histogram (measured round 3:
+    # four buckets) but keeps tiny zoos fused (fixed per-kernel cost)
+    full_hist = {3: 18, 6: 24, 10: 40, 15: 72, 21: 130, 28: 250,
+                 36: 220, 45: 260, 55: 180, 66: 198}
+    caps = _plan_buckets(full_hist, 3, 5, 6, 8)
+    assert len(caps) >= 2 and caps[-1] == 66
+    assert _plan_buckets({3: 3, 45: 45}, 3, 5, 6, 8) == [45]
+
+    els = [fe.Lagrange(T, 1), fe.Lagrange(T, 8), fe.Nedelec(T, 1),
+           fe.DiscontinuousLagrange(T, 4)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256,
+                           point_tile=256)
+    assert [b.K for b in fz.buckets] == sorted(b.K for b in fz.buckets)
+    assert sum(b.rows for b in fz.buckets) == bt.stacked.shape[0]
+    pts = RNG.random((90, 2)) / 2
+    per = fz.unpack({a: [np.asarray(x) for x in blocks]
+                     for a, blocks in fz.block_tables(
+                         jnp.asarray(pts)).items()})
+    for el, tab in zip(els, per):
+        host = el.tabulate(1, pts)
+        for a in host:
+            assert np.allclose(
+                np.asarray(tab[a]).reshape(np.shape(host[a])),
+                np.asarray(host[a]), atol=1e-11), (type(el).__name__, a)
