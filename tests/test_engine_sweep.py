@@ -41,6 +41,8 @@ CASES = {
                       lambda: fe.MardalTaiWinther(T3, 2)], 1),
     "regge_hhj": ([lambda: fe.Regge(T2, 2),
                    lambda: fe.HellanHerrmannJohnson(T2, 2)], 1),
+    "order3_jets": ([lambda: fe.Lagrange(T2, 4),
+                     lambda: fe.CubicHermite(T2)], 3),
 }
 
 
