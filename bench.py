@@ -204,6 +204,24 @@ def main():
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
+    # fail fast if the device backend is unreachable: PJRT init through
+    # the axon tunnel has no claim timeout and can hang indefinitely
+    # when the remote grant is wedged (seen after a client was killed
+    # mid-remote-compile); a hung bench is worse than a failed one
+    import threading
+    probe_ok = []
+    probe = threading.Thread(target=lambda: probe_ok.append(jax.devices()),
+                             daemon=True)
+    probe.start()
+    probe.join(timeout=300)
+    if not probe_ok:
+        print(json.dumps({"metric": "fused full-zoo tabulation",
+                          "value": None, "unit": "basis-values/s",
+                          "vs_baseline": None,
+                          "error": "device backend init timed out "
+                                   "(axon tunnel unreachable)"}))
+        sys.exit(2)
+
     import fiat_tpu  # noqa: F401
     from fiat_tpu.core import cells as cl
     from fiat_tpu.core.quadrature_schemes import create_quadrature
