@@ -41,6 +41,7 @@ K = 4  # chained device iterations per timed fetch
 def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
     """min wall time of one fn(arg) execution: K chained executions inside
     one jitted scan, synced by a scalar host fetch (async-dispatch safe).
+    Returns (seconds, flag) where flag is None or a timing-quality note.
 
     K auto-scales so the chained run dwarfs the device round-trip
     latency (~30 ms through the axon tunnel, which at the fixed K=4
@@ -77,17 +78,32 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
     # time at L and 2L and difference: the constant per-fetch round-trip
     # (~30 ms through the axon tunnel) cancels exactly, so small configs
     # aren't charged the tunnel latency the reference CPU never pays
-    runs = []
-    for n in (length, 2 * length):
-        chained = probe if n == K else make(n)
-        float(np.asarray(chained(arg))[0])      # warm (fresh scan length)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(chained(arg))[0])
-            best = min(best, time.perf_counter() - t0)
-        runs.append(best)
-    return max((runs[1] - runs[0]) / length, 1e-9)
+
+    def diff_at(length):
+        runs = []
+        for n in (length, 2 * length):
+            chained = probe if n == K else make(n)
+            float(np.asarray(chained(arg))[0])  # warm (fresh scan length)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(np.asarray(chained(arg))[0])
+                best = min(best, time.perf_counter() - t0)
+            runs.append(best)
+        return (runs[1] - runs[0]) / length
+
+    # timing noise at short chains can make the 2L run no slower than
+    # the L run; a clamp there would silently report ~1e9x throughput.
+    # Retry at longer chains, and flag the result if it never resolves.
+    d = diff_at(length)
+    for _ in range(2):
+        if d > 0:
+            return d, None
+        length = min(4096, 2 * length)
+        d = diff_at(length)
+    if d <= 0:
+        return 1e-9, "nonpositive_chain_diff"
+    return d, None
 
 
 def host_timer(fn, reps=1):
@@ -97,6 +113,40 @@ def host_timer(fn, reps=1):
         fn()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def device_roofline(jax, fn, arg, seconds):
+    """Compiled cost analysis for one fn(arg) pass: flops, HBM bytes, and
+    achieved fractions of the device peaks (roofline placement).
+
+    Replaces the reference's static flop counter
+    (/root/reference/gem/flop_count.py:188) with XLA's own model."""
+    try:
+        comp = jax.jit(fn).lower(arg).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+    except Exception as exc:  # cost model unavailable on some backends
+        return {"error": f"{type(exc).__name__}: {exc}"}
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    # (HBM GB/s, bf16 TFLOP/s) per device generation
+    peaks = {"v5 lite": (819, 394), "v5e": (819, 394), "v5p": (2765, 459),
+             "v6": (1640, 918), "v4": (1228, 275)}
+    hbm_peak = mxu_peak = None
+    for key, (b, f) in peaks.items():
+        if key in kind:
+            hbm_peak, mxu_peak = b * 1e9, f * 1e12
+            break
+    out = {"flops": flops, "hbm_bytes": byts,
+           "gflops_per_s": flops / seconds / 1e9,
+           "hbm_gbytes_per_s": byts / seconds / 1e9,
+           "arithmetic_intensity": flops / byts if byts else None}
+    if hbm_peak:
+        out["frac_hbm_peak"] = byts / seconds / hbm_peak
+        out["frac_mxu_bf16_peak"] = flops / seconds / mxu_peak
+    return out
 
 
 def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
@@ -113,11 +163,12 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     # block layout: per-source f64 tables (the reference likewise emits
     # per-element arrays; a fused concatenation would cost every table
     # an extra HBM round-trip)
-    tpu_time = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=3)
+    tpu_time, tflag = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=3)
     sys.stderr.write(f"[bench] {name}: tpu {tpu_time*1e3:.1f} ms\n"); sys.stderr.flush()
     rows = max(hi for (lo, hi, shape) in bt.slices)
     ntab = len(fz.alphas)
     work = rows * len(pts) * ntab
+    roof = device_roofline(jax, fz._f64_blocks, dpts, tpu_time)
 
     max_err = ref_time = speedup = None
     if ref is not None:
@@ -135,10 +186,13 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
         ref_time = host_timer(lambda: [e.tabulate(order, rpts) for e in ref])
         ref_time *= len(pts) / len(rpts)
         speedup = ref_time / tpu_time
-    return {"name": name, "elements": len(mine), "rows": rows,
-            "tpu_ms": tpu_time * 1e3, "ref_s": ref_time, "speedup": speedup,
-            "max_abs_err": max_err, "work": work,
-            "values_per_s": work / tpu_time}
+    out = {"name": name, "elements": len(mine), "rows": rows,
+           "tpu_ms": tpu_time * 1e3, "ref_s": ref_time, "speedup": speedup,
+           "max_abs_err": max_err, "work": work,
+           "values_per_s": work / tpu_time, "roofline": roof}
+    if tflag:
+        out["timing_flag"] = tflag
+    return out
 
 
 def hex_gll_config(jax, jnp, FIAT):
@@ -168,7 +222,8 @@ def hex_gll_config(jax, jnp, FIAT):
         t = jnp.einsum("br,ars->abs", P1 * W1, t)
         return jnp.einsum("cs,abs->abc", P1 * W1, t)
 
-    tpu_time = chain_timer(jax, jnp, moments, F)
+    tpu_time, tflag = chain_timer(jax, jnp, moments, F)
+    roof = device_roofline(jax, moments, F, tpu_time)
     M = np.asarray(moments(F)).reshape(-1)
 
     ref_time = max_err = speedup = None
@@ -194,20 +249,88 @@ def hex_gll_config(jax, jnp, FIAT):
         max_err = max(max_err, float(np.abs(Mr - M).max() / np.abs(Mr).max()))
         ref_time = host_timer(ref_pass)
         speedup = ref_time / tpu_time
-    return {"name": "hex_gll_sumfact", "tpu_ms": tpu_time * 1e3,
-            "ref_s": ref_time, "speedup": speedup, "max_abs_err": max_err,
-            "npts": m ** 3}
+    out = {"name": "hex_gll_sumfact", "tpu_ms": tpu_time * 1e3,
+           "ref_s": ref_time, "speedup": speedup, "max_abs_err": max_err,
+           "npts": m ** 3, "roofline": roof}
+    if tflag:
+        out["timing_flag"] = tflag
+    return out
+
+
+_PROBE_SRC = """
+import os
+import jax
+# honour a JAX_PLATFORMS override (e.g. CPU smoke runs): the env var
+# alone does not stop the wedge-prone axon plugin from initialising,
+# the config update does (same workaround as tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+d = jax.devices()
+assert d, d
+import jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.float32)
+(x @ x).block_until_ready()
+"""
+
+
+def probe_device(max_wait=1500, attempt_timeout=150):
+    """Bounded-retry device probe with backoff.
+
+    Each attempt runs in a FRESH subprocess: PJRT backend init is a
+    process-wide singleton, so once an in-process ``jax.devices()``
+    hangs on a wedged axon-tunnel claim it hangs forever — only a new
+    process re-initiates the claim.  Returns True once a probe succeeds
+    (a transient wedge often clears within minutes)."""
+    import subprocess
+    deadline = time.time() + max_wait
+    attempt, backoff = 0, 15
+    while True:
+        attempt += 1
+        budget = min(attempt_timeout, max(30, deadline - time.time()))
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                               timeout=budget, capture_output=True)
+            if r.returncode == 0:
+                sys.stderr.write(f"[bench] device probe ok "
+                                 f"(attempt {attempt}, "
+                                 f"{time.time()-t0:.0f}s)\n")
+                return True
+            err = r.stderr.decode(errors="replace")[-200:]
+        except subprocess.TimeoutExpired:
+            err = f"timed out after {budget:.0f}s"
+        sys.stderr.write(f"[bench] device probe attempt {attempt} "
+                         f"failed: {err}\n")
+        sys.stderr.flush()
+        if time.time() + backoff >= deadline:
+            return False
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 180)
 
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS"):  # CPU smoke runs (see _PROBE_SRC)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     # fail fast if the device backend is unreachable: PJRT init through
     # the axon tunnel has no claim timeout and can hang indefinitely
     # when the remote grant is wedged (seen after a client was killed
-    # mid-remote-compile); a hung bench is worse than a failed one
+    # mid-remote-compile); a hung bench is worse than a failed one.
+    # probe_device retries in fresh subprocesses with backoff so a
+    # transient wedge doesn't cost the whole round's number.
+    if not probe_device():
+        print(json.dumps({"metric": "fused full-zoo tabulation",
+                          "value": None, "unit": "basis-values/s",
+                          "vs_baseline": None,
+                          "error": "device backend init timed out "
+                                   "(axon tunnel unreachable after "
+                                   "bounded retries)"}))
+        sys.exit(2)
+    # the probe subprocess succeeded, so an in-process init should be
+    # quick; guard it with a thread timeout anyway (the wedge can recur)
     import threading
     probe_ok = []
     probe = threading.Thread(target=lambda: probe_ok.append(jax.devices()),
@@ -218,8 +341,8 @@ def main():
         print(json.dumps({"metric": "fused full-zoo tabulation",
                           "value": None, "unit": "basis-values/s",
                           "vs_baseline": None,
-                          "error": "device backend init timed out "
-                                   "(axon tunnel unreachable)"}))
+                          "error": "in-process device init hung after a "
+                                   "successful subprocess probe"}))
         sys.exit(2)
 
     import fiat_tpu  # noqa: F401
@@ -245,48 +368,68 @@ def main():
 
     configs = []
 
+    def guard(name, thunk):
+        """Run one config; a failure records an error entry instead of
+        losing the whole round's JSON (partial results beat none)."""
+        try:
+            configs.append(thunk())
+        except Exception as exc:
+            import traceback
+            sys.stderr.write(f"[bench] {name} FAILED:\n"
+                             f"{traceback.format_exc()}\n")
+            sys.stderr.flush()
+            configs.append({"name": name,
+                            "error": f"{type(exc).__name__}: {exc}"})
+
     # -- config 1: P2 on triangle at the degree-4 rule, tiled ----------------
     q4 = create_quadrature(tri, 4).get_points()
     tiled = np.tile(q4, (NPTS // len(q4) + 1, 1))[:NPTS]
-    configs.append(zoo_config(
+    guard("p2_tri_deg4rule", lambda: zoo_config(
         jax, jnp, "p2_tri_deg4rule", [fe.Lagrange(tri, 2)],
         [FIAT.Lagrange(rtri, 2)] if FIAT else None, tiled))
 
     # -- config 2: order-8 tet + GLL hex sum-factorised ----------------------
-    configs.append(zoo_config(
+    guard("tet_lagrange8", lambda: zoo_config(
         jax, jnp, "tet_lagrange8", [fe.Lagrange(tet, 8)],
         [FIAT.Lagrange(rtet, 8)] if FIAT else None, pts3, nref=2000))
-    configs.append(hex_gll_config(jax, jnp, FIAT))
+    guard("hex_gll_sumfact", lambda: hex_gll_config(jax, jnp, FIAT))
 
     # -- config 3: H(div)/H(curl) on tri + tet --------------------------------
-    tri_vec = [fe.RaviartThomas(tri, k) for k in range(1, 7)] \
-        + [fe.Nedelec(tri, k) for k in range(1, 7)] \
-        + [fe.BrezziDouglasMarini(tri, k) for k in range(1, 7)]
-    rtri_vec = ([FIAT.RaviartThomas(rtri, k) for k in range(1, 7)]
-                + [FIAT.Nedelec(rtri, k) for k in range(1, 7)]
-                + [FIAT.BrezziDouglasMarini(rtri, k) for k in range(1, 7)]
-                ) if FIAT else None
-    c3a = zoo_config(jax, jnp, "hdiv_hcurl_tri", tri_vec, rtri_vec, pts2)
-    tet_vec = [fe.RaviartThomas(tet, k) for k in range(1, 4)] \
-        + [fe.Nedelec(tet, k) for k in range(1, 4)] \
-        + [fe.BrezziDouglasMarini(tet, k) for k in range(1, 4)]
-    rtet_vec = ([FIAT.RaviartThomas(rtet, k) for k in range(1, 4)]
-                + [FIAT.Nedelec(rtet, k) for k in range(1, 4)]
-                + [FIAT.BrezziDouglasMarini(rtet, k) for k in range(1, 4)]
-                ) if FIAT else None
-    c3b = zoo_config(jax, jnp, "hdiv_hcurl_tet", tet_vec, rtet_vec, pts3,
-                     nref=2000)
-    configs.extend([c3a, c3b])
+    def hdiv_tri():
+        tri_vec = [fe.RaviartThomas(tri, k) for k in range(1, 7)] \
+            + [fe.Nedelec(tri, k) for k in range(1, 7)] \
+            + [fe.BrezziDouglasMarini(tri, k) for k in range(1, 7)]
+        rtri_vec = ([FIAT.RaviartThomas(rtri, k) for k in range(1, 7)]
+                    + [FIAT.Nedelec(rtri, k) for k in range(1, 7)]
+                    + [FIAT.BrezziDouglasMarini(rtri, k) for k in range(1, 7)]
+                    ) if FIAT else None
+        return zoo_config(jax, jnp, "hdiv_hcurl_tri", tri_vec, rtri_vec, pts2)
+
+    def hdiv_tet():
+        tet_vec = [fe.RaviartThomas(tet, k) for k in range(1, 4)] \
+            + [fe.Nedelec(tet, k) for k in range(1, 4)] \
+            + [fe.BrezziDouglasMarini(tet, k) for k in range(1, 4)]
+        rtet_vec = ([FIAT.RaviartThomas(rtet, k) for k in range(1, 4)]
+                    + [FIAT.Nedelec(rtet, k) for k in range(1, 4)]
+                    + [FIAT.BrezziDouglasMarini(rtet, k) for k in range(1, 4)]
+                    ) if FIAT else None
+        return zoo_config(jax, jnp, "hdiv_hcurl_tet", tet_vec, rtet_vec,
+                          pts3, nref=2000)
+    guard("hdiv_hcurl_tri", hdiv_tri)
+    guard("hdiv_hcurl_tet", hdiv_tet)
 
     # -- config 4: C1 + macro zoo ---------------------------------------------
-    c1 = [fe.CubicHermite(tri), fe.Morley(tri), fe.Argyris(tri, 5),
-          fe.Bell(tri), fe.HsiehCloughTocher(tri, 3),
-          fe.QuadraticPowellSabin6(tri), fe.QuadraticPowellSabin12(tri)]
-    rc1 = ([FIAT.CubicHermite(rtri), FIAT.Morley(rtri), FIAT.Argyris(rtri, 5),
-            FIAT.Bell(rtri), FIAT.HsiehCloughTocher(rtri, 3),
-            FIAT.QuadraticPowellSabin6(rtri), FIAT.QuadraticPowellSabin12(rtri)]
-           if FIAT else None)
-    configs.append(zoo_config(jax, jnp, "c1_macro_zoo", c1, rc1, pts2))
+    def c1_macro():
+        c1 = [fe.CubicHermite(tri), fe.Morley(tri), fe.Argyris(tri, 5),
+              fe.Bell(tri), fe.HsiehCloughTocher(tri, 3),
+              fe.QuadraticPowellSabin6(tri), fe.QuadraticPowellSabin12(tri)]
+        rc1 = ([FIAT.CubicHermite(rtri), FIAT.Morley(rtri),
+                FIAT.Argyris(rtri, 5), FIAT.Bell(rtri),
+                FIAT.HsiehCloughTocher(rtri, 3),
+                FIAT.QuadraticPowellSabin6(rtri),
+                FIAT.QuadraticPowellSabin12(rtri)] if FIAT else None)
+        return zoo_config(jax, jnp, "c1_macro_zoo", c1, rc1, pts2)
+    guard("c1_macro_zoo", c1_macro)
 
     # -- config 5: the full triangle sweep (headline) -------------------------
     def full_zoo(mods):
@@ -299,33 +442,51 @@ def main():
                 + [H(cell), M(cell), A(cell, 5), B(cell),
                    HCT(cell, 3), PS6(cell)])
 
-    zoo = full_zoo((tri, fe.Lagrange, fe.DiscontinuousLagrange,
-                    fe.RaviartThomas, fe.Nedelec, fe.BrezziDouglasMarini,
-                    fe.CubicHermite, fe.Morley, fe.Argyris, fe.Bell,
-                    fe.HsiehCloughTocher, fe.QuadraticPowellSabin6))
-    rzoo = full_zoo((rtri, FIAT.Lagrange, FIAT.DiscontinuousLagrange,
-                     FIAT.RaviartThomas, FIAT.Nedelec,
-                     FIAT.BrezziDouglasMarini, FIAT.CubicHermite, FIAT.Morley,
-                     FIAT.Argyris, FIAT.Bell, FIAT.HsiehCloughTocher,
-                     FIAT.QuadraticPowellSabin6)) if FIAT else None
-    head = zoo_config(jax, jnp, "full_zoo", zoo, rzoo, pts2)
-    configs.append(head)
+    def full_zoo_config():
+        zoo = full_zoo((tri, fe.Lagrange, fe.DiscontinuousLagrange,
+                        fe.RaviartThomas, fe.Nedelec, fe.BrezziDouglasMarini,
+                        fe.CubicHermite, fe.Morley, fe.Argyris, fe.Bell,
+                        fe.HsiehCloughTocher, fe.QuadraticPowellSabin6))
+        rzoo = full_zoo((rtri, FIAT.Lagrange, FIAT.DiscontinuousLagrange,
+                         FIAT.RaviartThomas, FIAT.Nedelec,
+                         FIAT.BrezziDouglasMarini, FIAT.CubicHermite,
+                         FIAT.Morley, FIAT.Argyris, FIAT.Bell,
+                         FIAT.HsiehCloughTocher,
+                         FIAT.QuadraticPowellSabin6)) if FIAT else None
+        return zoo_config(jax, jnp, "full_zoo", zoo, rzoo, pts2)
+    guard("full_zoo", full_zoo_config)
 
+    head = next((c for c in configs if c["name"] == "full_zoo"
+                 and "error" not in c), None)
+    partial = head is None or any("error" in c for c in configs)
+    if head is None:
+        # headline config failed: fall back to the largest successful
+        # zoo config so the round still records a real device number
+        ok = [c for c in configs if "error" not in c and "work" in c]
+        head = max(ok, key=lambda c: c["work"]) if ok else None
     result = {
         "metric": (f"fused full-zoo tabulation (values+grads, "
-                   f"{head['elements']} triangle elements incl. macro, "
-                   f"p<=10, 1e5 pts, f64 fused-ozaki)"),
-        "value": head["values_per_s"],
+                   f"triangle zoo incl. macro, p<=10, 1e5 pts, "
+                   f"f64 fused-ozaki)" if not partial else
+                   f"fused zoo tabulation (PARTIAL: headline config "
+                   f"substituted by {head['name']})" if head else
+                   "fused full-zoo tabulation (all configs failed)"),
+        "value": head["values_per_s"] if head else None,
         "unit": "basis-values/s",
-        "vs_baseline": head["speedup"],
-        "tpu_time_s": head["tpu_ms"] / 1e3,
-        "max_abs_err_vs_reference": head["max_abs_err"],
+        "vs_baseline": head["speedup"] if head else None,
         "device": str(jax.devices()[0]),
-        "rows": head["rows"],
         "configs": {c["name"]: {k: v for k, v in c.items() if k != "name"}
                     for c in configs},
     }
+    if head:
+        result["tpu_time_s"] = head["tpu_ms"] / 1e3
+        result["max_abs_err_vs_reference"] = head["max_abs_err"]
+        result["rows"] = head.get("rows")
+    if partial:
+        result["partial"] = True
     print(json.dumps(result))
+    if head is None:
+        sys.exit(3)
 
 
 def mesh_main(n_devices):

@@ -2,11 +2,15 @@
 
 Parity note vs /root/reference/FIAT/quadrature_schemes.py: the reference
 dispatches to hard-coded Xiao-Gimbutas / Keast point tables for low-degree
-triangles/tets and falls back to collapsed Gauss.  Both integrate the
-requested degree exactly, so tabulated elements are identical; this rebuild
-uses the collapsed Gauss scheme uniformly (fewer-point symmetric tables are
-a planned optimisation, tracked in README).  KMV lumped schemes ship with
-the KMV element.
+triangles/tets (quadrature_schemes.py:324-418) and falls back to collapsed
+Gauss.  Both integrate the requested degree exactly, so tabulated elements
+are identical; this rebuild's 'default' scheme picks the CHEAPEST of three
+interchangeable exact rules: the in-repo generated fully symmetric orbit
+rules (core/symquad.py, gated on weight conditioning sum|w|/sum w <= 2 --
+badly signed rules can make variable-coefficient mass matrices indefinite)
+and collapsed Gauss.  Grundmann-Moller is available as scheme='gm' only:
+its alternating weights fail the same conditioning gate at every order
+past s=0.  KMV lumped schemes ship with the KMV element.
 """
 
 import numpy as np
@@ -53,26 +57,21 @@ def create_quadrature(ref_el, degree, scheme="default", entity=None):
         # economical dispatch (covers the reference's Xiao-Gimbutas /
         # Keast tables, quadrature_schemes.py:46): the CHEAPEST of the
         # generated fully symmetric rules (core/symquad.py, near-optimal
-        # counts), Grundmann-Moller (gated at degree 25: its alternating
-        # weights cancel past ~3e-12 relative, regression-tested), and
-        # collapsed Gauss.
-        from math import comb
+        # counts, weight-conditioning gated) and collapsed Gauss.  Both
+        # candidates keep sum|w|/sum w <= RULE_COND_MAX, matching the
+        # reference default's strict weight positivity.
         sd = ref_el.get_spatial_dimension()
         if sd >= 2:
             candidates = []
             try:
-                from .symquad import rule_size
-                candidates.append((rule_size(sd, degree), _symmetric_scheme))
+                from .symquad import RULE_COND_MAX, rule_size
+                candidates.append(
+                    (rule_size(sd, degree, max_cond=RULE_COND_MAX),
+                     _gated_symmetric_scheme))
             except KeyError:
                 pass
-            if degree <= 25:
-                s = degree // 2
-                if 2 * s + 1 < degree:
-                    s += 1
-                candidates.append((comb(s + sd + 1, sd + 1),
-                                   _grundmann_moller_scheme))
             candidates.append((((degree + 2) // 2) ** sd, _collapsed_scheme))
-            # stable min: the symmetric rule wins ties (positive weights)
+            # stable min: the (conditioning-gated) symmetric rule wins ties
             _, builder = min(candidates, key=lambda t: t[0])
             return builder(ref_el, degree)
         return _collapsed_scheme(ref_el, degree)
@@ -92,6 +91,13 @@ def _symmetric_scheme(ref_el, degree):
     KeyError when no generated rule covers the degree."""
     from .symquad import symmetric_rule
     return symmetric_rule(ref_el, degree)
+
+
+def _gated_symmetric_scheme(ref_el, degree):
+    """Symmetric rule restricted to weight-conditioning <= RULE_COND_MAX
+    (the 'default' dispatch path)."""
+    from .symquad import RULE_COND_MAX, symmetric_rule
+    return symmetric_rule(ref_el, degree, max_cond=RULE_COND_MAX)
 
 
 def _grundmann_moller_scheme(ref_el, degree):

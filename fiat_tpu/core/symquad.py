@@ -73,6 +73,22 @@ def expand_rule(orbits):
     return np.vstack(pts), np.concatenate(wts)
 
 
+# Weight-conditioning gate for the 'default' scheme: sum|w| / sum w.
+# Rules above this make variable-coefficient mass matrices indefinite and
+# amplify roundoff; the reference's XG tables are strictly positive
+# (cond 1.0), so 'default' only serves rules close to that.  Explicit
+# scheme='symmetric' requests bypass the gate.
+RULE_COND_MAX = 2.0
+
+
+def rule_cond(orbits):
+    """Weight conditioning sum|w|/sum w of an orbit rule (1.0 iff all
+    weights are positive)."""
+    num = sum(abs(w) * ORBIT_SIZE[k] for k, _, w in orbits)
+    den = sum(w * ORBIT_SIZE[k] for k, _, w in orbits)
+    return num / den
+
+
 def available_degrees(dim):
     """Degrees with a generated symmetric rule for this dimension."""
     from . import symquad_data
@@ -80,27 +96,32 @@ def available_degrees(dim):
     return sorted(table)
 
 
-def _best_covering_degree(table, degree):
+def _best_covering_degree(table, degree, max_cond=None):
     """The stored degree >= ``degree`` with the FEWEST points (a
     higher-degree rule is a valid -- and occasionally cheaper -- rule
-    for a lower request, e.g. when elimination converged better there)."""
+    for a lower request, e.g. when elimination converged better there).
+    With ``max_cond``, only rules whose weight conditioning passes the
+    gate are considered."""
     cands = [d for d in table if d >= max(degree, 1)]
+    if max_cond is not None:
+        cands = [d for d in cands if rule_cond(table[d]) <= max_cond]
     if not cands:
         raise KeyError(degree)
     return min(cands, key=lambda d: sum(ORBIT_SIZE[k]
                                         for k, _, _ in table[d]))
 
 
-def rule_size(dim, degree):
+def rule_size(dim, degree, max_cond=None):
     """Point count of the symmetric rule serving ``degree``; raises
-    KeyError when uncovered."""
+    KeyError when uncovered (or covered only by rules failing the
+    ``max_cond`` weight-conditioning gate)."""
     from . import symquad_data
     table = symquad_data.TRIANGLE if dim == 2 else symquad_data.TETRAHEDRON
-    d = _best_covering_degree(table, degree)
+    d = _best_covering_degree(table, degree, max_cond=max_cond)
     return sum(ORBIT_SIZE[kind] for kind, _, _ in table[d])
 
 
-def symmetric_rule(ref_el, degree):
+def symmetric_rule(ref_el, degree, max_cond=None):
     """The generated symmetric rule of exactness >= degree on a simplex,
     mapped to ref_el's coordinates.  Raises KeyError when no generated
     rule covers the degree (caller falls back to GM / collapsed)."""
@@ -108,7 +129,7 @@ def symmetric_rule(ref_el, degree):
     from .quadrature import QuadratureRule
     sd = ref_el.get_spatial_dimension()
     table = symquad_data.TRIANGLE if sd == 2 else symquad_data.TETRAHEDRON
-    orbits = table[_best_covering_degree(table, degree)]
+    orbits = table[_best_covering_degree(table, degree, max_cond=max_cond)]
     bary, wts = expand_rule(orbits)
     verts = np.asarray(ref_el.get_vertices(), dtype=float)
     from math import factorial

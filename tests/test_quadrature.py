@@ -175,11 +175,11 @@ def test_symmetric_rules_exact_and_economical():
         for degree in available_degrees(dim):
             Q = symmetric_rule(T, degree)
             pts, wts = np.asarray(Q.get_points()), np.asarray(Q.get_weights())
-            # the DEFAULT dispatch never does worse than GM / collapsed
+            # the DEFAULT dispatch never does worse than collapsed Gauss
+            # (GM is not a default candidate: its alternating weights
+            # fail the positivity/conditioning gate at every s > 0)
             from fiat_tpu.core.quadrature_schemes import create_quadrature
-            n_alt = min(len(_grundmann_moller_scheme(T, degree).get_weights())
-                        if degree <= 25 else 10 ** 9,
-                        len(_collapsed_scheme(T, degree).get_weights()))
+            n_alt = len(_collapsed_scheme(T, degree).get_weights())
             n_default = len(create_quadrature(T, degree).get_weights())
             assert n_default <= max(n_alt, 1), (dim, degree, n_default, n_alt)
             matched += (degree in ref_counts[dim]
@@ -216,3 +216,19 @@ def test_default_scheme_prefers_symmetric():
     T = cl.ufc_simplex(2)
     Q = create_quadrature(T, d, scheme="default")
     assert len(Q.get_weights()) == len(symmetric_rule(T, d).get_weights())
+
+
+def test_default_scheme_weight_conditioning_gate():
+    """The default dispatch must never serve a badly signed symmetric
+    rule: every default rule keeps sum|w|/sum w <= RULE_COND_MAX, so
+    variable-coefficient mass matrices stay definite (the reference's XG
+    tables are strictly positive).  Explicit scheme='symmetric' requests
+    bypass the gate."""
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+    from fiat_tpu.core.symquad import RULE_COND_MAX, available_degrees
+    for dim in (2, 3):
+        T = cl.ufc_simplex(dim)
+        for degree in available_degrees(dim):
+            w = np.asarray(create_quadrature(T, degree).get_weights())
+            cond = np.abs(w).sum() / w.sum()
+            assert cond <= RULE_COND_MAX + 1e-12, (dim, degree, cond)
