@@ -110,11 +110,17 @@ def structures(dim, d, target, window=6):
 
 
 class RuleSolver:
-    def __init__(self, dim, max_degree):
+    def __init__(self, dim, max_degree, wmin=None):
         self.dim = dim
         self.cell = cl.ufc_simplex(dim)
         self.verts = np.asarray(self.cell.get_vertices())
         self.es = ExpansionSet(self.cell)
+        # weight positivity: when wmin is not None every solve is bound
+        # to w >= wmin and verify() rejects non-positive rules, so the
+        # generated tables match the reference XG tables' strict
+        # positivity (negative weights break lumping consumers and make
+        # variable-coefficient mass matrices indefinite)
+        self.wmin = wmin
         Q = make_quadrature(self.cell, max_degree // 2 + 3)
         qp, qw = Q.get_points(), Q.get_weights()
         phi = self.es.tabulate(max_degree, qp)
@@ -236,10 +242,21 @@ class RuleSolver:
 
     def reseed_weights(self, d, structure, theta, nparams):
         """Replace the weight block by the least-squares fit at the
-        current positions (variable-projection seeding)."""
+        current positions (variable-projection seeding); nonnegative
+        least squares in positive mode."""
         th = np.array(theta, dtype=float)
         V = self.vandermonde(d, structure, th, nparams)
-        w, *_ = np.linalg.lstsq(V, self.inv_data(d)[1], rcond=None)
+        b = self.inv_data(d)[1]
+        if self.wmin is not None:
+            try:
+                from scipy.optimize import nnls
+                w, _ = nnls(V, b, maxiter=30 * V.shape[1])
+                w = np.maximum(w, self.wmin)
+            except Exception:
+                w, *_ = np.linalg.lstsq(V, b, rcond=None)
+                w = np.maximum(w, self.wmin)
+        else:
+            w, *_ = np.linalg.lstsq(V, b, rcond=None)
         th[nparams:] = w
         return th
 
@@ -254,8 +271,11 @@ class RuleSolver:
                 for (a, b) in BOUNDS[kind]:
                     lo.append(a)
                     hi.append(b)
-        lo += [-np.inf] * (len(theta0) - nparams)
+        wlo = -np.inf if self.wmin is None else self.wmin
+        lo += [wlo] * (len(theta0) - nparams)
         hi += [np.inf] * (len(theta0) - nparams)
+        if self.wmin is not None:
+            method = "trf"       # lm cannot carry the positivity bound
         fun = lambda th: self.residual_and_jac(d, structure, th, False)[0]
         jac = lambda th: self.residual_and_jac(d, structure, th, True)[1]
         try:
@@ -283,11 +303,14 @@ class RuleSolver:
         return 2e-14 * max(1.0, (d / 10.0) ** 1.5)
 
     def verify(self, d, orbits):
-        """Exactness of the expanded rule on every Dubiner mode <= d."""
+        """Exactness of the expanded rule on every Dubiner mode <= d
+        (plus strict weight positivity in positive mode)."""
         from fiat_tpu.core.symquad import expand_rule
         bary, wts = expand_rule(orbits)
         if bary.min() < 1e-6:
             return False, "exterior"
+        if self.wmin is not None and wts.min() <= 0:
+            return False, "negative weight"
         X = bary @ self.verts
         phi = self.es.tabulate(d, X)
         err = np.abs(phi @ wts - self.exact_moments(d)).max()
@@ -658,6 +681,44 @@ def classify_bary(vals, dim, tol=1e-11):
     return "S1111", tuple(float(v) for v in vals[:3])
 
 
+_XG_STRUCTS = {}
+
+
+def xg_structure(dim, d):
+    """Orbit-kind SIGNATURE of the reference's published Xiao-Gimbutas
+    rule for this degree: only the count of symmetry orbits per kind is
+    read (it fixes the search-space shape for the square Newton phase);
+    the generator values and weights are never used.  Returns a
+    structure list [(kind, count)] or None when unavailable."""
+    key = (dim, d)
+    if key in _XG_STRUCTS:
+        return _XG_STRUCTS[key]
+    struct = None
+    try:
+        shims = os.path.join(REPO, "shims")   # recursivenodes shim
+        for p in (shims, "/root/reference"):
+            if p not in sys.path:
+                sys.path.append(p)
+        from FIAT.xg_quad_data import tetrahedron_table, triangle_table
+        from FIAT.reference_element import symmetric_simplex
+        table = triangle_table if dim == 2 else tetrahedron_table
+        if d in table:
+            from fiat_tpu.core.macro import xy_to_bary
+            verts = symmetric_simplex(dim).get_vertices()
+            bary = xy_to_bary(verts, np.asarray(table[d]["points"]))
+            counts = {}
+            for b in bary:
+                kind, _ = classify_bary(np.sort(b)[::-1], dim, tol=1e-9)
+                counts[kind] = counts.get(kind, 0) + 1
+            if all(c % ORBIT_SIZE[k] == 0 for k, c in counts.items()):
+                struct = [(k, counts[k] // ORBIT_SIZE[k])
+                          for k in TYPES[dim] if counts.get(k)]
+    except Exception:
+        struct = None
+    _XG_STRUCTS[key] = struct
+    return struct
+
+
 def collapsed_orbits(dim, d):
     """A fully symmetric EXACT seed at ANY degree: the collapsed Gauss
     rule averaged over the simplex symmetry group, expressed as orbits.
@@ -736,11 +797,20 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log,
         if npts(best) <= target:
             return best
 
-    # Phase 1: square Newton at near-target structures
+    # Phase 1: square Newton at near-target structures.  The reference
+    # rule's orbit-kind signature leads (that structure is KNOWN to
+    # admit a positive solution at the target count, so it deserves the
+    # lion's share of the Newton attempts).
     cands, _ = structures(dim, d, target)
-    for pts, counts in cands[:3]:
+    xs = xg_structure(dim, d)
+    if xs:
+        xcounts = tuple(dict(xs).get(t, 0) for t in TYPES[dim])
+        xpts = sum(ORBIT_SIZE[k] * c for k, c in xs)
+        cands = [(xpts, xcounts)] + [c for c in cands if c[1] != xcounts]
+    for ci, (pts, counts) in enumerate(cands[:4]):
         structure = [(k, c) for k, c in zip(TYPES[dim], counts) if c]
-        for t in range(10 + d):
+        ntries = (3 * (10 + d) if (xs and ci == 0) else 10 + d)
+        for t in range(ntries):
             if time.time() > deadline - 0.55 * budget:
                 break
             theta0, nparams = seed_from(prev if t % 3 != 2 else None,
@@ -813,15 +883,21 @@ def solve_degree(solver, dim, d, prev, rng, budget, target, log,
 
 
 def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None,
-             skip_ratio=1.0):
-    solver = RuleSolver(dim, max_degree)
-    rng = np.random.default_rng(2026 + dim)
+             skip_ratio=1.0, wmin=None, seed=None):
+    solver = RuleSolver(dim, max_degree, wmin=wmin)
+    rng = np.random.default_rng(seed if seed is not None else 2026 + dim)
     targets = XG_TRI if dim == 2 else XG_TET
     table = dict(table or {})
     prev = table.get(start - 1)
     for d in range(start, max_degree + 1):
         target = targets.get(d, 10 ** 9)
         have = table.get(d)
+        if have is not None and wmin is not None \
+                and min(w for _, _, w in have) <= 0:
+            # a negative-weight incumbent neither blocks regeneration
+            # nor competes with the new positive rule
+            table.pop(d)
+            have = None
         if have is not None and npts(have) <= skip_ratio * target:
             prev = have
             print(f"dim {dim} degree {d:3d}: {npts(have):4d} pts kept "
@@ -884,6 +960,10 @@ def main():
     ap.add_argument("--skip-ratio", type=float, default=1.0,
                     help="keep existing rules within this ratio of the "
                          "reference count")
+    ap.add_argument("--positive", action="store_true",
+                    help="require strictly positive weights (w >= wmin)")
+    ap.add_argument("--wmin", type=float, default=1e-10)
+    ap.add_argument("--rng-seed", type=int, default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or os.path.join(REPO, "fiat_tpu", "core",
@@ -894,7 +974,9 @@ def main():
         table = dict(symquad_data.TRIANGLE if args.dim == 2
                      else symquad_data.TETRAHEDRON)
     generate(args.dim, args.max_degree, out, budget=args.budget,
-             start=args.start, table=table, skip_ratio=args.skip_ratio)
+             start=args.start, table=table, skip_ratio=args.skip_ratio,
+             wmin=args.wmin if args.positive else None,
+             seed=args.rng_seed)
     print("wrote", out)
 
 

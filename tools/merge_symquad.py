@@ -14,7 +14,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from fiat_tpu.core.symquad import ORBIT_SIZE          # noqa: E402
+from fiat_tpu.core.symquad import (ORBIT_SIZE, RULE_COND_MAX,  # noqa: E402
+                                   rule_cond)
 from gen_symquad import emit                          # noqa: E402
 
 
@@ -43,7 +44,10 @@ def main():
                 if npts(orbits) >= 0.95 * ((d + 2) // 2) ** dim:
                     continue
                 cur = merged[name].get(d)
-                if cur is None or npts(orbits) < npts(cur):
+                # rules failing the default dispatch's weight-conditioning
+                # gate lose to ANY gate-passing rule, then fewest points
+                rank = lambda o: (rule_cond(o) > RULE_COND_MAX, npts(o))
+                if cur is None or rank(orbits) < rank(cur):
                     merged[name][d] = orbits
     emit(merged, out)
     for name in ("TRIANGLE", "TETRAHEDRON"):
