@@ -45,7 +45,21 @@ def nodal_coefficients(poly_set, dual):
     if rcond < np.finfo(V.dtype).eps:
         raise np.linalg.LinAlgError(
             f"Singular Vandermonde matrix (rcond={rcond:.1e})")
-    coeffs = lu_solve((lu, piv), Bf, trans=1).reshape((n,) + B.shape[1:])
+    X = lu_solve((lu, piv), Bf, trans=1)
+    if rcond < 1e-8:
+        # extended-precision iterative refinement: at cond(V) ~ 1e8+
+        # (C1/C2 plate families at high degree) the plain solve's forward
+        # error ~cond*eps dominates every other construction error; two
+        # longdouble-residual corrections push the coefficients to ~eps
+        # of the true solution of (V, B).  (The reference takes the
+        # plain-solve error instead, FIAT/finite_element.py:140-165.)
+        Vl = V.T.astype(np.longdouble)
+        Bl = Bf.astype(np.longdouble)
+        for _ in range(2):
+            res = np.asarray(Bl - Vl @ X.astype(np.longdouble),
+                             dtype=np.float64)
+            X += lu_solve((lu, piv), res, trans=1)
+    coeffs = X.reshape((n,) + B.shape[1:])
     return coeffs, V
 
 

@@ -25,12 +25,14 @@ _SECOND_ORDER = {"CubicHermite", "Morley", "Argyris", "WuXuH3NC",
                  "WuXuRobustH3NC", "HsiehCloughTocher", "BrambleZlamalC2",
                  "AlfeldC2"}
 
-#: high-degree / high-conditioning families: both sides solve the same
-#: ill-conditioned Vandermonde, but through different factorizations
-_ATOL = {"BrambleZlamalC2": 1e-6, "AlfeldC2": 1e-7, "WuXuRobustH3NC": 1e-7,
-         "Argyris": 1e-8, "KongMulderVeldhuizen": 1e-8, "HuZhang": 1e-8,
-         "ArnoldWinther": 1e-8, "GuzmanNeilanFirstKindH1": 1e-8,
-         "GuzmanNeilanSecondKindH1": 1e-8}
+#: high-conditioning plate families: both sides solve the same
+#: ~1e8-conditioned Vandermonde.  Our nodal solve is refined to the true
+#: (V, B) solution in extended precision (core/finite_element.py), so the
+#: remaining gap IS the reference's own plain-solve forward error --
+#: measured ~1.5e-9 for BZ C2 degree 10, ~5e-10 for AlfeldC2 degree 6 by
+#: a refinement experiment (round 4); bounds cover that floor with
+#: margin.  Every other family meets the global 1e-10 target.
+_ATOL = {"BrambleZlamalC2": 5e-9, "AlfeldC2": 2e-9}
 
 
 def _ref_build(spec):
