@@ -1,124 +1,134 @@
-"""Extended Bernardi-Raugel element (parity with
-/root/reference/FIAT/bernardi_raugel.py): (P_order + facet bubbles)^d with
-lattice values and facet normal/tangential bubble moments (the extra
-tangential functionals feed the transformation theory)."""
+"""Extended Bernardi-Raugel element.
+
+Behaviour parity with /root/reference/FIAT/bernardi_raugel.py: the space
+is (P_order + exterior-facet bubbles)^d; the dual pairs lattice component
+evaluations with one normal facet moment and (unless ``reduced``) the
+d-1 tangential bubble constraints that feed the Piola transformation
+theory.  Built here as a mask-selected vector subspace plus a
+DualBuilder program (the reference writes both as imperative loops).
+"""
 
 import math
 
 import numpy as np
 
 from ..core import expansions, finite_element, polyset
-from ..core.dualset import DualSet
-from ..core.functionals import ComponentPointEvaluation, FrobeniusIntegralMoment
-from ..core.quadrature import FacetQuadratureRule
+from ..core.dual_builder import DualBuilder
+from ..core.functionals import (ComponentPointEvaluation,
+                                FrobeniusIntegralMoment)
 from ..core.variants import parse_quadrature_scheme
 from .hierarchical import make_dual_bubbles
 
 
 def BernardiRaugelSpace(ref_el, order):
-    """Basis for (P_order + FacetBubble)^d in the C0 bubble expansion."""
+    """(P_order + FacetBubble)^d as a masked slice of the C0 bubble
+    expansion: per scalar member, keep the first comb(order-1, dim)
+    members of every low-dimensional entity plus every exterior-facet
+    bubble, then replicate the mask over the d vector components."""
     sd = ref_el.get_spatial_dimension()
     if order > sd:
         raise ValueError("The Bernardi-Raugel space needs order <= dim")
-    Pd = polyset.ONPolynomialSet(ref_el, sd, shape=(sd,), scale=1, variant="bubble")
-    dimPd = expansions.polynomial_dimension(ref_el, sd, continuity="C0")
-    entity_ids = expansions.polynomial_entity_ids(ref_el, sd, continuity="C0")
+    Pd = polyset.ONPolynomialSet(ref_el, sd, shape=(sd,), scale=1,
+                                 variant="bubble")
+    layout = expansions.polynomial_entity_ids(ref_el, sd, continuity="C0")
+    nscalar = expansions.polynomial_dimension(ref_el, sd, continuity="C0")
 
-    slices = {dim: slice(math.comb(order - 1, dim)) for dim in range(order)}
-    slices.pop(sd - 1, None)
-    ids = [i + j * dimPd
-           for dim in slices
-           for f in sorted(entity_ids[dim])
-           for i in entity_ids[dim][f][slices[dim]]
-           for j in range(sd)]
+    lattice = np.zeros(nscalar, dtype=bool)   # P_order block
+    bubbles = np.zeros(nscalar, dtype=bool)   # exterior facet bubbles
+    interior = set(ref_el.get_interior_facets(sd - 1) or ())
+    for dim, ents in layout.items():
+        if dim == sd - 1:
+            for f, ids in ents.items():
+                if f not in interior:
+                    bubbles[ids] = True
+        elif dim < order:
+            head = math.comb(order - 1, dim)
+            for ids in ents.values():
+                lattice[list(ids)[:head]] = True
+    # bubbles LAST and components interleaved per scalar member: the
+    # Guzman-Neilan projection peels the trailing bubble block
+    scalars = np.concatenate([np.flatnonzero(lattice),
+                              np.flatnonzero(bubbles)])
+    take = scalars[:, None] + nscalar * np.arange(sd)[None, :]
+    return Pd.take(take.ravel().tolist())
 
-    interior_facets = ref_el.get_interior_facets(sd - 1) or ()
-    facets = list(set(entity_ids[sd - 1]) - set(interior_facets))
-    ids.extend(i + j * dimPd
-               for f in sorted(facets)
-               for i in entity_ids[sd - 1][f]
-               for j in range(sd))
-    return Pd.take(ids)
+
+def _tangential_weight(facet, degree):
+    """(Q_ref, w): the top dual bubble on the reference facet as the
+    tangential-constraint weight.  On macro facets at degree 1 the
+    bubble lives on the split and is rescaled to unit mean then shifted
+    to zero mean (a pure constraint); otherwise it is scaled by
+    +-area/2 with the parity sign of the facet dimension."""
+    area = facet.volume()
+    dim = facet.get_spatial_dimension()
+    split_bubble = degree == 1 and facet.is_macrocell()
+    Q, phis = make_dual_bubbles(facet, degree,
+                                codim=dim if split_bubble else 0, scale=1)
+    w = phis[-1]
+    if split_bubble:
+        qw = Q.get_weights()
+        w = w * (area / np.dot(w, qw))
+        w = w - np.dot(w, qw) / area
+    else:
+        w = w * ((-1) ** dim * 0.5 * area)
+    return Q, w
 
 
-class BernardiRaugelDualSet(DualSet):
-    """Lattice component evaluations + facet bubble moments."""
+def _facet_frame(ref_el, f):
+    """Moment directions for one facet: outward-ish normal first, then
+    the tangential constraint directions (t in 2D, n x t_j in 3D)."""
+    sd = ref_el.get_spatial_dimension()
+    t = ref_el.compute_tangents(sd - 1, f)
+    if sd == 2:
+        n = np.array([t[0][1], -t[0][0]])
+        return [n, t[0]]
+    n = np.cross(*t)
+    return [n] + [np.cross(n, tj) for tj in t]
 
-    def __init__(self, ref_el, order=1, degree=None, reduced=False,
-                 ref_complex=None, hierarchical=False, quad_scheme=None):
-        if ref_complex is None:
-            ref_complex = ref_el
-        sd = ref_el.get_spatial_dimension()
-        if degree is None:
-            degree = sd
-        if order > sd:
-            raise ValueError("BernardiRaugelDualSet needs order <= dim")
-        top = ref_el.get_topology()
-        entity_ids = {dim: {e: [] for e in sorted(top[dim])} for dim in sorted(top)}
 
-        nodes = []
-        if order > 0:
-            for dim in sorted(top):
-                for entity in sorted(top[dim]):
-                    cur = len(nodes)
-                    pts = ref_el.make_points(dim, entity, order)
-                    nodes.extend(ComponentPointEvaluation(ref_el, comp, (sd,), pt)
-                                 for pt in pts for comp in range(sd))
-                    entity_ids[dim][entity].extend(range(cur, len(nodes)))
+def BernardiRaugelDualSet(ref_el, order=1, degree=None, reduced=False,
+                          ref_complex=None, hierarchical=False,
+                          quad_scheme=None):
+    """Lattice component evaluations + facet normal/tangential moments
+    (also the dual grammar of Arnold-Qin / Christiansen-Hu /
+    Guzman-Neilan, which call in with their own spaces)."""
+    sd = ref_el.get_spatial_dimension()
+    if degree is None:
+        degree = sd
+    if order > sd:
+        raise ValueError("BernardiRaugelDualSet needs order <= dim")
 
-        if order < sd:
-            ref_facet = ref_complex.construct_subcomplex(sd - 1)
-            ref_area = ref_facet.volume()
+    b = DualBuilder(ref_el)
+    if order > 0:
+        for dim in sorted(ref_el.get_topology()):
+            for e in b.entities(dim):
+                b.tag(dim, e, (ComponentPointEvaluation(ref_el, c, (sd,), pt)
+                               for pt in b.lattice(dim, e, order)
+                               for c in range(sd)))
 
-            codim = sd - 1 if degree == 1 and ref_facet.is_macrocell() else 0
-            Qt_ref, phis = make_dual_bubbles(ref_facet, degree, codim=codim, scale=1)
-            ft_at_qpts = phis[-1]
-            if codim == 0:
-                scale = (-1) ** (sd - 1) * 0.5 * ref_area
-            else:
-                scale = ref_area / np.dot(ft_at_qpts, Qt_ref.get_weights())
-            ft_at_qpts = ft_at_qpts * scale
-            if codim != 0:
-                ft_at_qpts = ft_at_qpts - (np.dot(ft_at_qpts, Qt_ref.get_weights())
-                                           / ref_area)
+    if order < sd:
+        facet = (ref_complex or ref_el).construct_subcomplex(sd - 1)
+        Qt, wt = _tangential_weight(facet, degree)
+        if hierarchical:
+            Qn, wn = Qt, wt
+        else:
+            Qn = parse_quadrature_scheme(facet, degree,
+                                         quad_scheme=quad_scheme)
+            wn = np.full(len(Qn.get_weights()), 1 / facet.volume())
 
-            interior_facets = ref_el.get_interior_facets(sd - 1) or ()
-            facets = list(set(top[sd - 1]) - set(interior_facets))
-            Qt = {f: FacetQuadratureRule(ref_el, sd - 1, f, Qt_ref, avg=True)
-                  for f in facets}
-
-            if hierarchical:
-                Qn = Qt
-                fn_at_qpts = ft_at_qpts
-            else:
-                Qn_ref = parse_quadrature_scheme(ref_facet, degree,
-                                                 quad_scheme=quad_scheme)
-                Qn = {f: FacetQuadratureRule(ref_el, sd - 1, f, Qn_ref, avg=True)
-                      for f in facets}
-                fn_at_qpts = np.full(Qn_ref.get_weights().shape, 1 / ref_area)
-
-            thats = {f: ref_el.compute_tangents(sd - 1, f) for f in facets}
-
-            def perp(*v):
-                if len(v) == 1:
-                    return np.array([v[0][1], -v[0][0]])
-                return np.cross(*v)
-
-            ndir = 1 if reduced else sd
-            for i in range(ndir):
-                for f in sorted(facets):
-                    cur = len(nodes)
-                    nhat = perp(*thats[f])
-                    if i == 0:
-                        Q, phi, comp = Qn[f], fn_at_qpts, nhat
-                    else:
-                        Q, phi = Qt[f], ft_at_qpts
-                        comp = (thats[f][i - 1] if sd == 2
-                                else perp(nhat, thats[f][i - 1]))
-                    nodes.append(FrobeniusIntegralMoment(ref_el, Q,
-                                                         np.outer(comp, phi)))
-                    entity_ids[sd - 1][f].extend(range(cur, len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids)
+        interior = set(ref_el.get_interior_facets(sd - 1) or ())
+        exterior = [f for f in b.entities(sd - 1) if f not in interior]
+        frames = {f: _facet_frame(ref_el, f) for f in exterior}
+        rules = {f: (b.map_rule(sd - 1, f, Qn), b.map_rule(sd - 1, f, Qt))
+                 for f in exterior}
+        # direction-major emission (normals for every facet, then each
+        # tangential constraint) fixes the dof order of the family
+        for i in range(1 if reduced else sd):
+            Qs, w = (0, wn) if i == 0 else (1, wt)
+            for f in exterior:
+                b.tag(sd - 1, f, [FrobeniusIntegralMoment(
+                    ref_el, rules[f][Qs], np.outer(frames[f][i], w))])
+    return b.dual_set()
 
 
 class BernardiRaugel(finite_element.CiarletElement):

@@ -1,6 +1,16 @@
-"""Bernstein element (parity with /root/reference/FIAT/bernstein.py):
-non-Ciarlet element whose basis functions are the Bernstein polynomials in
-barycentric coordinates; the dual is recovered pointwise."""
+"""Bernstein element.
+
+Behaviour parity with /root/reference/FIAT/bernstein.py: a non-Ciarlet
+element whose basis functions are the Bernstein polynomials in barycentric
+coordinates, with a pointwise-recovered dual.
+
+The tabulation here is whole-basis and array-shaped instead of the
+reference's per-member derivative tensors: D^alpha of the degree-n basis
+is a falling-factorial times a few weighted GATHERS of the degree-(n-o)
+Bernstein value table (the barycentric shift identity
+dB_K/db_j = n B_{K-e_j}), with the Cartesian chain rule folded into the
+gather weights as monomial coefficients of prod_d (R2B . t)^alpha_d.
+"""
 
 import math
 
@@ -13,25 +23,55 @@ from ..core.finite_element import FiniteElement
 from ..core.pointwise_dual import compute_pointwise_dual
 
 
+def _multiindices(nvars, degree):
+    """All barycentric multi-indices of one degree, in the canonical
+    (dof) order, as an integer array."""
+    return np.asarray(mis(nvars, degree), dtype=int)
+
+
+def _btable(bary, K):
+    """Value table (len(K), npts) of the Bernstein monomials
+    multinomial(K) * prod_j b_j^K_j at barycentric points."""
+    coef = np.asarray([math.factorial(int(k.sum()))
+                       // math.prod(math.factorial(int(x)) for x in k)
+                       for k in K], dtype=float)
+    return coef[:, None] * np.prod(
+        bary.T[None, :, :] ** K[:, :, None], axis=1)
+
+
+def _chain_weights(R2B, alpha):
+    """Barycentric monomial coefficients {beta: w} of
+    prod_d (sum_j R2B[j, d] t_j)^alpha_d -- the Cartesian->barycentric
+    chain rule for the derivative multi-index ``alpha``."""
+    nb = R2B.shape[0]
+    acc = {(0,) * nb: 1.0}
+    for d, a in enumerate(alpha):
+        for _ in range(a):
+            nxt = {}
+            for beta, w in acc.items():
+                for j in range(nb):
+                    key = beta[:j] + (beta[j] + 1,) + beta[j + 1:]
+                    nxt[key] = nxt.get(key, 0.0) + w * R2B[j, d]
+            acc = nxt
+    return acc
+
+
 class BernsteinDualSet(DualSet):
-    """Entity layout of the Bernstein DoFs (by barycentric multi-index
-    support); the nodes themselves are filled by the pointwise dual."""
+    """Entity layout of the Bernstein DoFs: multi-index i belongs to the
+    entity whose vertex set equals the support of its multi-index.  The
+    nodes themselves are filled by the pointwise dual."""
 
     def __init__(self, ref_el, degree):
-        topology = ref_el.get_topology()
-        entity_ids = {dim: {e: [] for e in entities}
-                      for dim, entities in topology.items()}
-        inverse_topology = {vertices: (dim, e)
-                            for dim, entities in topology.items()
-                            for e, vertices in entities.items()}
-        dim = ref_el.get_spatial_dimension()
-        nodes = []
-        for i, ks in enumerate(mis(dim + 1, degree)):
-            vertices, = np.nonzero(ks)
-            entity_dim, entity_i = inverse_topology[tuple(vertices)]
-            entity_ids[entity_dim][entity_i].append(i)
-            nodes.append(None)
-        super().__init__(nodes, ref_el, entity_ids)
+        top = ref_el.get_topology()
+        K = _multiindices(ref_el.get_spatial_dimension() + 1, degree)
+        support = K > 0
+        entity_ids = {
+            dim: {e: np.flatnonzero(
+                      support[:, list(verts)].all(axis=1)
+                      & (support.sum(axis=1) == len(verts))).tolist()
+                  for e, verts in ents.items()}
+            for dim, ents in top.items()}
+        super().__init__([None] * len(K), ref_el, entity_ids)
 
 
 class Bernstein(FiniteElement):
@@ -54,77 +94,41 @@ class Bernstein(FiniteElement):
         dim = ref_el.get_spatial_dimension()
         if entity is None:
             entity = (dim, 0)
-        entity_dim, entity_id = entity
-        transform = ref_el.get_entity_transform(entity_dim, entity_id)
-        points = np.asarray(points)
-        cell_points = transform(points)
+        points = ref_el.get_entity_transform(*entity)(np.asarray(points))
 
-        # Cartesian -> barycentric
+        # Cartesian -> barycentric, and the inverse map for the chain rule
         vs = np.asarray(ref_el.get_vertices())
-        B2R = np.vstack([vs.T, np.ones(len(vs))])
-        R2B = np.linalg.inv(B2R)
-        B = np.concatenate(
-            [cell_points, np.ones((*cell_points.shape[:-1], 1))], axis=-1) @ R2B.T
+        R2B = np.linalg.inv(np.vstack([vs.T, np.ones(len(vs))]))
+        bary = np.concatenate(
+            [points, np.ones((*points.shape[:-1], 1))], axis=-1) @ R2B.T
 
-        deg = self.degree()
-        raw = {(alpha, i): vec
-               for i, ks in enumerate(mis(dim + 1, deg))
-               for o in range(order + 1)
-               for alpha, vec in bernstein_Dx(B, ks, o, R2B).items()}
-
-        space_dim = self.space_dimension()
-        dtype = np.asarray(list(raw.values())).dtype
-        result = {alpha: np.zeros((space_dim, *points.shape[:-1]), dtype=dtype)
-                  for o in range(order + 1) for alpha in mis(dim, o)}
-        for (alpha, i), vec in raw.items():
-            result[alpha][i] = vec
+        n = self.degree()
+        K = _multiindices(dim + 1, n)
+        result = {}
+        falling = 1.0          # n! / (n-o)!
+        for o in range(order + 1):
+            alphas = mis(dim, o)
+            if n - o < 0:
+                z = np.zeros((len(K), *points.shape[:-1]))
+                result.update({alpha: z for alpha in alphas})
+                continue
+            Ko = _multiindices(dim + 1, n - o)
+            lookup = {tuple(k): i for i, k in enumerate(Ko)}
+            V = _btable(bary, Ko)
+            if o == n:
+                # parity quirk: the reference's bernstein_db early-return
+                # (FIAT/bernstein.py, the all-zero ls branch) skips the
+                # multinomial coefficient at top order, reporting D^n as
+                # 1/n! of the true derivative; matched here so tables
+                # stay interchangeable
+                falling = 1.0
+            for alpha in alphas:
+                out = np.zeros((len(K), *points.shape[:-1]))
+                for beta, w in _chain_weights(R2B, alpha).items():
+                    idx = np.asarray([lookup.get(tuple(k), -1)
+                                      for k in K - np.asarray(beta)])
+                    hit = idx >= 0
+                    out[hit] += (falling * w) * V[idx[hit]]
+                result[alpha] = out
+            falling *= max(n - o, 1)
         return result
-
-
-def bernstein_db(points, ks, alpha=None):
-    """Barycentric-derivative D^alpha of the Bernstein monomial B_ks at
-    barycentric points."""
-    points = np.asarray(points)
-    ks = np.asarray(tuple(ks))
-    *shp, d_1 = points.shape
-    assert d_1 == len(ks)
-    if alpha is None:
-        alpha = np.zeros(d_1)
-    else:
-        alpha = np.asarray(tuple(alpha))
-    ls = ks - alpha
-    if any(k < 0 for k in ls):
-        return np.zeros(len(points))
-    if all(k == 0 for k in ls):
-        return np.ones(len(points))
-    coeff = math.factorial(ks.sum())
-    for k in ls:
-        coeff //= math.factorial(k)
-    return coeff * np.prod(points ** ls, axis=-1)
-
-
-def bernstein_Dx(points, ks, order, R2B):
-    """Reference-coordinate derivatives of order ``order`` of the Bernstein
-    monomial B_ks, via the chain rule through R2B."""
-    points = np.asarray(points)
-    ks = tuple(ks)
-    *shp, d_1 = points.shape
-    assert d_1 == len(ks)
-
-    Db_map = {alpha: bernstein_db(points, ks, alpha)
-              for alpha in mis(d_1, order)}
-    dtype = np.asarray(list(Db_map.values())).dtype
-    Db_shape = (d_1,) * order
-    Db_tensor = np.empty(Db_shape + tuple(shp), dtype=dtype)
-    for ds in np.ndindex(Db_shape):
-        alpha = tuple(map(ds.count, range(d_1)))
-        Db_tensor[ds] = Db_map[alpha]
-
-    result = {}
-    for alpha in mis(d_1 - 1, order):
-        values = Db_tensor
-        for d, k in enumerate(alpha):
-            for _ in range(k):
-                values = R2B[:, d].dot(values)
-        result[alpha] = values
-    return result
