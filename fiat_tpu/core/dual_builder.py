@@ -51,6 +51,16 @@ class DualBuilder:
         self._ids[dim][entity] += range(lo, lo + len(nodes))
         return self
 
+    def ids_of(self, dim, entity):
+        """Dof ids tagged to one entity so far."""
+        return list(self._ids[dim][entity])
+
+    def also_tag(self, dim, entity, ids):
+        """Credit ALREADY-tagged dof ids to another entity as well (a few
+        reference duals list overlapping entity ids)."""
+        self._ids[dim][entity] += list(ids)
+        return self
+
     def dual_set(self, cls=DualSet, permutations=None, **kw):
         return cls(self._nodes, self.ref_el, self._ids,
                    entity_permutations=permutations, **kw)

@@ -1,13 +1,18 @@
-"""Arnold-Winther elasticity elements (parity with
-/root/reference/FIAT/arnold_winther.py): symmetric-tensor spaces with
-normal-normal / normal-tangential Legendre edge moments (conforming degree 3
-and nonconforming degree 2, with trailing constraint functionals)."""
+"""Arnold-Winther elasticity elements.
+
+Behaviour parity with /root/reference/FIAT/arnold_winther.py: symmetric-
+tensor spaces with normal-normal / normal-tangential Legendre edge
+moments -- conforming at degree 3 and nonconforming at degree 2, each
+carrying trailing constraint functionals.  Written as DualBuilder
+programs over two shared generators (the Legendre edge pairs and the
+upper-triangle n_i n_j cell moments).
+"""
 
 import numpy as np
 
 from ..core import cells as cl
 from ..core import finite_element, polyset
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.functionals import (ComponentPointEvaluation,
                                 IntegralLegendreNormalNormalMoment,
                                 IntegralLegendreNormalTangentialMoment,
@@ -16,42 +21,23 @@ from ..core.functionals import (ComponentPointEvaluation,
 from ..core.quadrature_schemes import create_quadrature
 
 
-class ArnoldWintherNCDual(DualSet):
-    def __init__(self, ref_el, degree=2):
-        if degree != 2:
-            raise ValueError("Nonconforming Arnold-Winther is degree 2 only.")
-        top = ref_el.get_topology()
-        sd = ref_el.get_spatial_dimension()
-        entity_ids = {dim: {e: [] for e in sorted(top[dim])} for dim in sorted(top)}
-        nodes = []
+def _edge_pairs(ref_el, entity, orders, qdegree):
+    """Interleaved (nn, nt) Legendre moments of the given orders."""
+    for k in orders:
+        yield IntegralLegendreNormalNormalMoment(ref_el, entity, k, qdegree)
+        yield IntegralLegendreNormalTangentialMoment(ref_el, entity, k,
+                                                     qdegree)
 
-        qdegree = degree + 2
-        for entity in sorted(top[1]):
-            cur = len(nodes)
-            for order in range(2):
-                nodes.append(IntegralLegendreNormalNormalMoment(
-                    ref_el, entity, order, qdegree))
-                nodes.append(IntegralLegendreNormalTangentialMoment(
-                    ref_el, entity, order, qdegree))
-            entity_ids[1][entity].extend(range(cur, len(nodes)))
 
-        cur = len(nodes)
-        n = [ref_el.compute_scaled_normal(f) for f in sorted(top[sd - 1])]
-        Q = create_quadrature(ref_el, degree)
-        phi = np.full(Q.get_weights().shape, 1 / ref_el.volume())
-        nodes.extend(TensorBidirectionalIntegralMoment(ref_el, n[i + 1], n[j + 1],
-                                                       Q, phi)
-                     for i in range(sd) for j in range(i, sd))
-        entity_ids[2][0].extend(range(cur, len(nodes)))
-
-        # trailing constraint functionals
-        for entity in sorted(top[1]):
-            cur = len(nodes)
-            nodes.append(IntegralLegendreNormalNormalMoment(
-                ref_el, entity, 2, qdegree))
-            entity_ids[1][entity].append(cur)
-
-        super().__init__(nodes, ref_el, entity_ids)
+def _cell_tensor_moments(ref_el, Q, weights):
+    """n_i n_j : sigma moments over the cell, upper triangle of the
+    scaled facet normals, one triple per weight function."""
+    sd = ref_el.get_spatial_dimension()
+    n = [ref_el.compute_scaled_normal(f)
+         for f in sorted(ref_el.get_topology()[sd - 1])]
+    return (TensorBidirectionalIntegralMoment(ref_el, n[i + 1], n[j + 1],
+                                              Q, phi)
+            for phi in weights for i in range(sd) for j in range(i, sd))
 
 
 class ArnoldWintherNC(finite_element.CiarletElement):
@@ -60,62 +46,26 @@ class ArnoldWintherNC(finite_element.CiarletElement):
     def __init__(self, ref_el, degree=2):
         if ref_el.shape != cl.TRIANGLE:
             raise ValueError("ArnoldWintherNC only defined on triangles")
-        Ps = polyset.ONSymTensorPolynomialSet(ref_el, degree)
-        Ls = ArnoldWintherNCDual(ref_el, degree)
-        super().__init__(Ps, Ls, degree, ref_el.get_spatial_dimension() - 1,
-                         mapping="double contravariant piola")
-
-
-class ArnoldWintherDual(DualSet):
-    def __init__(self, ref_el, degree=3):
-        if degree != 3:
-            raise ValueError("Arnold-Winther is degree 3 only.")
-        top = ref_el.get_topology()
+        if degree != 2:
+            raise ValueError("Nonconforming Arnold-Winther is degree 2 "
+                             "only.")
         sd = ref_el.get_spatial_dimension()
-        shp = (sd, sd)
-        entity_ids = {dim: {e: [] for e in sorted(top[dim])} for dim in sorted(top)}
-        nodes = []
+        qdegree = degree + 2
 
-        for v in sorted(top[0]):
-            cur = len(nodes)
-            pt, = ref_el.make_points(0, v, degree)
-            nodes.extend(ComponentPointEvaluation(ref_el, (i, j), shp, pt)
-                         for i in range(sd) for j in range(i, sd))
-            entity_ids[0][v].extend(range(cur, len(nodes)))
+        b = DualBuilder(ref_el)
+        for e in b.entities(1):
+            b.tag(1, e, _edge_pairs(ref_el, e, range(2), qdegree))
+        Q = create_quadrature(ref_el, degree)
+        flat = [np.full(Q.get_weights().shape, 1 / ref_el.volume())]
+        b.tag(sd, 0, _cell_tensor_moments(ref_el, Q, flat))
+        # constraint functionals come last: order-2 nn moment per edge
+        for e in b.entities(1):
+            b.tag(1, e, [IntegralLegendreNormalNormalMoment(
+                ref_el, e, 2, qdegree)])
 
-        max_order = degree - 2
-        qdegree = degree + max_order
-        for entity in sorted(top[1]):
-            cur = len(nodes)
-            for order in range(max_order + 1):
-                nodes.append(IntegralLegendreNormalNormalMoment(
-                    ref_el, entity, order, qdegree))
-                nodes.append(IntegralLegendreNormalTangentialMoment(
-                    ref_el, entity, order, qdegree))
-            entity_ids[1][entity].extend(range(cur, len(nodes)))
-
-        # NOTE: the reference does not reset ``cur`` here, so the cell's
-        # entity ids start at the last edge's ids (replicated for parity
-        # with /root/reference/FIAT/arnold_winther.py:100-119).
-        n = [ref_el.compute_scaled_normal(f) for f in sorted(top[sd - 1])]
-        Q = create_quadrature(ref_el, 2 * (degree - 1))
-        P = polyset.ONPolynomialSet(ref_el, degree - 3, scale="L2 piola")
-        phis = P.tabulate(Q.get_points())[(0,) * sd]
-        nodes.extend(TensorBidirectionalIntegralMoment(ref_el, n[i + 1], n[j + 1],
-                                                       Q, phi)
-                     for phi in phis for i in range(sd) for j in range(i, sd))
-
-        # constraint dofs: divergence moments against P_{k-1} \ P_{k-2}
-        P = polyset.ONPolynomialSet(ref_el, degree - 1, shape=(sd,))
-        dimPkm1 = P.expansion_set.get_num_members(degree - 1)
-        dimPkm2 = P.expansion_set.get_num_members(degree - 2)
-        PH = P.take([i + j * dimPkm1 for j in range(sd)
-                     for i in range(dimPkm2, dimPkm1)])
-        phis = PH.tabulate(Q.get_points())[(0,) * sd]
-        nodes.extend(IntegralMomentOfTensorDivergence(ref_el, Q, phi)
-                     for phi in phis)
-        entity_ids[2][0].extend(range(cur, len(nodes)))
-        super().__init__(nodes, ref_el, entity_ids)
+        super().__init__(polyset.ONSymTensorPolynomialSet(ref_el, degree),
+                         b.dual_set(), degree, sd - 1,
+                         mapping="double contravariant piola")
 
 
 class ArnoldWinther(finite_element.CiarletElement):
@@ -124,7 +74,40 @@ class ArnoldWinther(finite_element.CiarletElement):
     def __init__(self, ref_el, degree=3):
         if ref_el.shape != cl.TRIANGLE:
             raise ValueError("ArnoldWinther only defined on triangles")
-        Ps = polyset.ONSymTensorPolynomialSet(ref_el, degree)
-        Ls = ArnoldWintherDual(ref_el, degree)
-        super().__init__(Ps, Ls, degree, ref_el.get_spatial_dimension() - 1,
+        if degree != 3:
+            raise ValueError("Arnold-Winther is degree 3 only.")
+        sd = ref_el.get_spatial_dimension()
+        shp = (sd, sd)
+
+        b = DualBuilder(ref_el)
+        for v in b.entities(0):
+            pt, = b.lattice(0, v, degree)
+            b.tag(0, v, (ComponentPointEvaluation(ref_el, (i, j), shp, pt)
+                         for i in range(sd) for j in range(i, sd)))
+        orders = range(degree - 1)
+        qdegree = 2 * degree - 2
+        for e in b.entities(1):
+            b.tag(1, e, _edge_pairs(ref_el, e, orders, qdegree))
+
+        # parity quirk: the reference credits the LAST edge's dofs to the
+        # cell interior too (FIAT/arnold_winther.py:100-119 reuses `cur`
+        # across the edge loop and the interior block)
+        b.also_tag(sd, 0, b.ids_of(1, max(b.entities(1))))
+
+        Q = create_quadrature(ref_el, 2 * (degree - 1))
+        P = polyset.ONPolynomialSet(ref_el, degree - 3, scale="L2 piola")
+        phis = P.tabulate(Q.get_points())[(0,) * sd]
+        b.tag(sd, 0, _cell_tensor_moments(ref_el, Q, phis))
+
+        # constraint functionals: divergence moments against the top
+        # degree-(k-1) vector modes (P_{k-1} minus P_{k-2}, per component)
+        V = polyset.ONPolynomialSet(ref_el, degree - 1, shape=(sd,))
+        lo = V.expansion_set.get_num_members(degree - 2)
+        hi = V.expansion_set.get_num_members(degree - 1)
+        top = V.take([i + j * hi for j in range(sd) for i in range(lo, hi)])
+        b.tag(sd, 0, (IntegralMomentOfTensorDivergence(ref_el, Q, phi)
+                      for phi in top.tabulate(Q.get_points())[(0,) * sd]))
+
+        super().__init__(polyset.ONSymTensorPolynomialSet(ref_el, degree),
+                         b.dual_set(), degree, sd - 1,
                          mapping="double contravariant piola")

@@ -1,29 +1,34 @@
-"""(Facet)Bubble elements: interior-DoF restrictions of Lagrange (parity
-with /root/reference/FIAT/bubble.py)."""
+"""(Facet)Bubble elements: entity-interior restrictions of Lagrange.
 
-from itertools import chain
+Behaviour parity with /root/reference/FIAT/bubble.py; 'integral' variants
+restrict IntegratedLegendre instead.
+"""
 
 from .lagrange import Lagrange
 from .restricted import RestrictedElement
 
 
+def _host_element(ref_el, degree, variant, quad_scheme):
+    if variant and variant.startswith("integral"):
+        from .hierarchical import IntegratedLegendre
+        return IntegratedLegendre(ref_el, degree, variant=variant,
+                                  quad_scheme=quad_scheme)
+    return Lagrange(ref_el, degree, variant=variant or "equispaced")
+
+
 class CodimBubble(RestrictedElement):
-    """Bubbles of a given codimension."""
+    """The host element's DoFs interior to entities of one codimension."""
 
     def __init__(self, ref_el, degree, codim, variant=None, quad_scheme=None):
-        if variant and variant.startswith("integral"):
-            from .hierarchical import IntegratedLegendre
-            element = IntegratedLegendre(ref_el, degree, variant=variant,
-                                         quad_scheme=quad_scheme)
-        else:
-            element = Lagrange(ref_el, degree, variant=variant or "equispaced")
-        cell_dim = ref_el.get_dimension()
-        dofs = sorted(chain(*element.entity_dofs()[cell_dim - codim].values()))
-        if len(dofs) == 0:
+        host = _host_element(ref_el, degree, variant, quad_scheme)
+        dim = ref_el.get_dimension() - codim
+        dofs = sorted(d for ids in host.entity_dofs()[dim].values()
+                      for d in ids)
+        if not dofs:
             raise RuntimeError(
                 f"Bubble element of degree {degree} and codimension {codim} "
                 f"has no dofs")
-        super().__init__(element, indices=dofs)
+        super().__init__(host, indices=dofs)
 
 
 class Bubble(CodimBubble):

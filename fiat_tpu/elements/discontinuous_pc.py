@@ -1,6 +1,10 @@
-"""DPC: discontinuous P_k on hypercubes (parity with
-/root/reference/FIAT/discontinuous_pc.py): a simplex polynomial space
-presented on the hypercube, with equispaced interior nodes."""
+"""DPC: discontinuous P_k on hypercubes.
+
+Behaviour parity with /root/reference/FIAT/discontinuous_pc.py: the
+simplex polynomial space presented on the hypercube, nodes at an
+equispaced simplex lattice affinely embedded in the cube, all DoFs on
+the cell interior.
+"""
 
 import numpy as np
 
@@ -18,15 +22,17 @@ def _simplex_for(flat_el):
     return table[type(flat_el)]()
 
 
-class DPC0(finite_element.CiarletElement):
-    def __init__(self, ref_el):
-        flat_el = flatten_reference_cube(ref_el)
-        poly_set = polyset.ONPolynomialSet(_simplex_for(flat_el), 0)
-        dual = P0Dual(ref_el)
-        dual.entity_permutations = None
-        formdegree = ref_el.get_spatial_dimension()
-        super().__init__(poly_set=poly_set, dual=dual, order=0,
-                         ref_complex=ref_el, formdegree=formdegree)
+def _embedding(simplex, flat_el):
+    """Affine image of the model simplex inside the hypercube: corner 0
+    and the mid-index corner anchor the first edge; each further vertex
+    lands at an even-corner average shifted by one remaining corner."""
+    vh = np.asarray(flat_el.get_vertices())
+    dim = flat_el.get_dimension()
+    center = vh[::2].mean(axis=0)
+    targets = [vh[0], vh[len(vh) // 2]]
+    targets += [tuple(vh[dim - d] + center) for d in range(1, dim)]
+    return make_affine_mapping(simplex.get_vertices(),
+                               tuple(map(tuple, targets)))
 
 
 class DPCDualSet(DualSet):
@@ -34,29 +40,32 @@ class DPCDualSet(DualSet):
     DoFs on the cell interior."""
 
     def __init__(self, ref_el, flat_el, degree):
-        nodes = []
         simplex = _simplex_for(flat_el)
-        v_simplex = simplex.get_vertices()
-        v_hypercube = flat_el.get_vertices()
-        v_ = [v_hypercube[0], v_hypercube[int(-0.5 * len(v_hypercube))]]
-        for d in range(1, flat_el.get_dimension()):
-            v_.append(tuple(np.asarray(
-                v_hypercube[flat_el.get_dimension() - d]
-                + np.average(np.asarray(v_hypercube[::2]), axis=0))))
-        A, b = make_affine_mapping(v_simplex, tuple(v_))
-
+        A, b = _embedding(simplex, flat_el)
         top = simplex.get_topology()
-        for dim in sorted(top):
-            for entity in sorted(top[dim]):
-                pts = simplex.make_points(dim, entity, degree)
-                pts = [tuple(A @ np.asarray(x) + b) for x in pts]
-                nodes.extend(functionals.PointEvaluation(flat_el, x) for x in pts)
+        pts = [p for dim in sorted(top) for e in sorted(top[dim])
+               for p in simplex.make_points(dim, e, degree)]
+        mapped = np.asarray(pts) @ A.T + b
+        nodes = [functionals.PointEvaluation(flat_el, tuple(x))
+                 for x in mapped]
 
-        cube_topology = ref_el.get_topology()
-        entity_ids = {dim: {e: [] for e in sorted(cube_topology[dim])}
-                      for dim in sorted(cube_topology)}
-        entity_ids[max(cube_topology)][0] = list(range(len(nodes)))
+        cube_top = ref_el.get_topology()
+        entity_ids = {dim: {e: (list(range(len(nodes)))
+                                if (dim, e) == (max(cube_top), 0) else [])
+                            for e in sorted(cube_top[dim])}
+                      for dim in sorted(cube_top)}
         super().__init__(nodes, ref_el, entity_ids)
+
+
+class DPC0(finite_element.CiarletElement):
+    def __init__(self, ref_el):
+        flat_el = flatten_reference_cube(ref_el)
+        dual = P0Dual(ref_el)
+        dual.entity_permutations = None   # pending extrinsic-orientation entry
+        super().__init__(
+            poly_set=polyset.ONPolynomialSet(_simplex_for(flat_el), 0),
+            dual=dual, order=0, ref_complex=ref_el,
+            formdegree=ref_el.get_spatial_dimension())
 
 
 class HigherOrderDPC(finite_element.CiarletElement):
@@ -64,14 +73,12 @@ class HigherOrderDPC(finite_element.CiarletElement):
 
     def __init__(self, ref_el, degree):
         flat_el = flatten_reference_cube(ref_el)
-        poly_set = polyset.ONPolynomialSet(_simplex_for(flat_el), degree)
-        dual = DPCDualSet(ref_el, flat_el, degree)
-        formdegree = flat_el.get_spatial_dimension()
-        super().__init__(poly_set=poly_set, dual=dual, order=degree,
-                         ref_complex=ref_el, formdegree=formdegree)
+        super().__init__(
+            poly_set=polyset.ONPolynomialSet(_simplex_for(flat_el), degree),
+            dual=DPCDualSet(ref_el, flat_el, degree),
+            order=degree, ref_complex=ref_el,
+            formdegree=flat_el.get_spatial_dimension())
 
 
 def DPC(ref_el, degree):
-    if degree == 0:
-        return DPC0(ref_el)
-    return HigherOrderDPC(ref_el, degree)
+    return DPC0(ref_el) if degree == 0 else HigherOrderDPC(ref_el, degree)
