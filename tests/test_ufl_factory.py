@@ -237,3 +237,87 @@ def test_create_broken_element():
     assert dofs[2][0] == list(range(broken.space_dimension()))
     assert all(not v for d, ent in dofs.items() if d != 2
                for v in ent.values())
+
+
+# ---------------------------------------------------------------------------
+# Full-registry factory sweep (reference strategy:
+# test/finat/test_create_finat_element.py:1-172, widened to every family
+# in the description-layer registry x its supported base cells).
+# ---------------------------------------------------------------------------
+
+_SWEEP_CELLS = ["interval", "triangle", "tetrahedron", "quadrilateral",
+                "hexahedron"]
+
+#: families the REFERENCE factory cannot convert either (they are absent
+#: from finat/element_factory.py supported_elements: runtime-tabulated
+#: Themis variants, hex Arnold-Awanou, direct-serendipity H(div)) -- the
+#: factory raises KeyError on the family name, like the reference
+_UNCONVERTIBLE = {
+    "AAE", "AAF", "Direct Serendipity Full H(div)",
+    "Direct Serendipity Reduced H(div)", "Extended-Gauss-Legendre",
+    "Extended-Gauss-Legendre Edge", "Extended-Gauss-Legendre Edge L2",
+    "Gauss-Lobatto-Legendre Edge", "Gauss-Lobatto-Legendre Edge L2",
+    "Radau", "Undefined",
+}
+
+#: (family, cell) pairs where the registry's minimum degree is not a
+#: valid instance and the reference raises the same documented error
+_INVALID_AT_KMIN = {
+    ("Bubble", "triangle"): (RuntimeError, 3),
+    ("Bubble", "tetrahedron"): (RuntimeError, 4),
+    ("FacetBubble", "tetrahedron"): (RuntimeError, 3),
+    # reference: NotImplementedError "Trace element on a UFCHexahedron"
+    ("HDiv Trace", "hexahedron"): (NotImplementedError, None),
+}
+
+
+def _registry_families():
+    from fiat_tpu.ufl.elementlist import ufl_elements
+    seen, out = set(), []
+    for data in ufl_elements.values():
+        if data[0] not in seen:
+            seen.add(data[0])
+            out.append(data)
+    return out
+
+
+@pytest.mark.parametrize(
+    "data", _registry_families(), ids=lambda d: d[0])
+def test_registry_factory_sweep(data):
+    """Every registry family x supported base cell either converts (and
+    its entity dofs tile the space) or raises the same documented error
+    as the reference factory."""
+    family, short, rank, sob, mapping, (kmin, kmax), cells = data
+    converted = 0
+    for cell in _SWEEP_CELLS:
+        if cell not in cells:
+            continue
+        degree = kmin if kmin is not None else 1
+        if kmax is not None:
+            degree = min(degree, kmax)
+        kw = {}
+        if family in ("Quadrature", "Boundary Quadrature"):
+            kw["quad_scheme"] = "default"
+            degree = max(degree, 1)
+
+        if family in _UNCONVERTIBLE:
+            with pytest.raises(KeyError):
+                create_element(ufl.FiniteElement(family, cell, degree, **kw))
+            continue
+        if (family, cell) in _INVALID_AT_KMIN:
+            exc, good_degree = _INVALID_AT_KMIN[(family, cell)]
+            with pytest.raises(exc):
+                create_element(ufl.FiniteElement(family, cell, degree, **kw))
+            if good_degree is None:
+                continue
+            degree = good_degree
+
+        el = create_element(ufl.FiniteElement(family, cell, degree, **kw))
+        n = el.space_dimension()
+        assert n > 0, (family, cell)
+        tiled = sum(len(ids) for ent in el.entity_dofs().values()
+                    for ids in ent.values())
+        assert tiled == n, (family, cell)
+        converted += 1
+    if family not in _UNCONVERTIBLE:
+        assert converted > 0 or not any(c in cells for c in _SWEEP_CELLS)
