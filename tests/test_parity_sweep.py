@@ -43,10 +43,57 @@ def _ref_build(spec):
     return getattr(FIAT, family)(*rargs, **kw)
 
 
-def _interior_points(dim, n=6):
-    """Random points strictly inside the unit simplex (barycentric)."""
-    b = RNG.dirichlet(np.ones(dim + 1), size=n) * 0.9 + 0.1 / (dim + 1)
+def _interior_points(dim, n=6, label=""):
+    """Random points strictly inside the unit simplex, seeded PER SPEC so
+    the same points reproduce across runs and subsets (the golden-table
+    freeze depends on this)."""
+    seed = (11, dim) if not label else (11, sum(map(ord, label)))
+    rng = np.random.default_rng(seed)
+    b = rng.dirichlet(np.ones(dim + 1), size=n) * 0.9 + 0.1 / (dim + 1)
     return b[:, 1:] / b.sum(axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Golden-table fallback: when the live reference is not importable, the
+# sweep compares against frozen tabulations (reference pattern:
+# test/FIAT/regression/test_regression.py:39-78).  Regenerate with
+# ``python tools/freeze_golden.py`` against a live reference.
+# ---------------------------------------------------------------------------
+GOLDEN_NPZ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden", "parity_tables.npz")
+
+
+def _have_reference():
+    if os.environ.get("FIAT_TPU_NO_REFERENCE"):
+        return False            # force the frozen-table path (CI switch)
+    try:
+        import FIAT  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def _golden_tables(label, order):
+    """{alpha: array} frozen for one spec, or None when not frozen."""
+    if not os.path.exists(GOLDEN_NPZ):
+        return None
+    data = np.load(GOLDEN_NPZ)
+    prefix = f"{label}|"
+    out = {}
+    for key in data.files:
+        if key.startswith(prefix):
+            alpha = tuple(int(c) for c in key[len(prefix):].split(","))
+            if sum(alpha) <= order:
+                out[alpha] = data[key]
+    return out or None
+
+
+def _ref_tables(spec, order, pts):
+    """Reference tabulations: live when importable, frozen otherwise."""
+    if _have_reference():
+        return {a: np.asarray(v)
+                for a, v in _ref_build(spec).tabulate(order, pts).items()}
+    return _golden_tables(_label(spec), order)
 
 
 @pytest.mark.parametrize("spec", SPECS, ids=map(_label, SPECS))
@@ -56,16 +103,19 @@ def test_tabulation_parity(spec):
     dim = mine.get_reference_element().get_spatial_dimension()
     if dim == 0:
         pytest.skip("point cell has no tabulation axis")
-    ref = _ref_build(spec)
 
-    assert mine.space_dimension() == ref.space_dimension()
-    assert {d: {e: list(v) for e, v in ent.items()}
-            for d, ent in mine.entity_dofs().items()} == ref.entity_dofs()
+    if _have_reference():
+        ref = _ref_build(spec)
+        assert mine.space_dimension() == ref.space_dimension()
+        assert {d: {e: list(v) for e, v in ent.items()}
+                for d, ent in mine.entity_dofs().items()} == ref.entity_dofs()
 
     order = 2 if family in _SECOND_ORDER else 1
-    pts = _interior_points(dim)
+    pts = _interior_points(dim, label=_label(spec))
+    ref_table = _ref_tables(spec, order, pts)
+    if ref_table is None:
+        pytest.skip("no live reference and no frozen golden table")
     table = mine.tabulate(order, pts)
-    ref_table = ref.tabulate(order, pts)
     assert set(table) == set(ref_table)
     atol = _ATOL.get(family, 1e-10)
     for alpha in ref_table:
@@ -78,6 +128,8 @@ def test_tabulation_parity(spec):
 
 @pytest.mark.parametrize("spec", SPECS, ids=map(_label, SPECS))
 def test_entity_permutation_parity(spec):
+    if not _have_reference():
+        pytest.skip("permutation parity needs the live reference")
     mine = _build(spec)
     try:
         theirs = _ref_build(spec).dual.get_entity_permutations()
