@@ -160,21 +160,26 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     fz = FusedZooTabulator(bt)
     dpts = jnp.asarray(pts)
     sys.stderr.write(f"[bench] {name}: compiled+timing\n"); sys.stderr.flush()
-    # block layout: per-source f64 tables (the reference likewise emits
+    # block layout: per-source tables (the reference likewise emits
     # per-element arrays; a fused concatenation would cost every table
-    # an extra HBM round-trip)
-    tpu_time, tflag = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=3)
-    sys.stderr.write(f"[bench] {name}: tpu {tpu_time*1e3:.1f} ms\n"); sys.stderr.flush()
+    # an extra HBM round-trip).  The DEFAULT consumer surface is the
+    # exact two-float pair (hi + lo == the f64 table): f64 is emulated
+    # on TPU, so the final promote is opt-in (ops/pallas_multiword.py,
+    # _pair_blocks docstring); its cost is recorded as the delta below.
+    tpu_time, tflag = chain_timer(jax, jnp, fz._pair_blocks, dpts, reps=3)
+    sys.stderr.write(f"[bench] {name}: tpu {tpu_time*1e3:.1f} ms (pair)\n"); sys.stderr.flush()
+    f64_time, _ = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=2)
     rows = max(hi for (lo, hi, shape) in bt.slices)
     ntab = len(fz.alphas)
     work = rows * len(pts) * ntab
-    roof = device_roofline(jax, fz._f64_blocks, dpts, tpu_time)
+    roof = device_roofline(jax, fz._pair_blocks, dpts, tpu_time)
 
     max_err = ref_time = speedup = None
     if ref is not None:
         sub = pts[:NCHECK]
-        per = fz.unpack({a: [np.asarray(x) for x in blocks]
-                         for a, blocks in fz.block_tables(sub).items()})
+        # parity THROUGH the pair surface: unpack_pairs sums hi + lo on
+        # the host, so the default (combine-free) path is what's checked
+        per = fz.unpack_pairs(fz.pair_blocks(sub), len(sub))
         max_err = 0.0
         for e, tab in zip(ref, per):
             theirs = e.tabulate(order, sub)
@@ -189,7 +194,9 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     out = {"name": name, "elements": len(mine), "rows": rows,
            "tpu_ms": tpu_time * 1e3, "ref_s": ref_time, "speedup": speedup,
            "max_abs_err": max_err, "work": work,
-           "values_per_s": work / tpu_time, "roofline": roof}
+           "values_per_s": work / tpu_time, "roofline": roof,
+           "tpu_ms_f64_promote": f64_time * 1e3,
+           "promote_overhead_ms": (f64_time - tpu_time) * 1e3}
     if tflag:
         out["timing_flag"] = tflag
     return out
