@@ -70,6 +70,15 @@ def create_quadrature(ref_el, degree, scheme="default", entity=None):
                      _gated_symmetric_scheme))
             except KeyError:
                 pass
+            if sd == 3:
+                # general node-elimination rules (all-positive weights;
+                # asymmetric, like the reference's own tet tables)
+                try:
+                    from .tetquad import rule_size as tet_rule_size
+                    candidates.append((tet_rule_size(degree),
+                                       _general_tet_scheme))
+                except KeyError:
+                    pass
             candidates.append((((degree + 2) // 2) ** sd, _collapsed_scheme))
             # stable min: the (conditioning-gated) symmetric rule wins ties
             _, builder = min(candidates, key=lambda t: t[0])
@@ -98,6 +107,12 @@ def _gated_symmetric_scheme(ref_el, degree):
     (the 'default' dispatch path)."""
     from .symquad import RULE_COND_MAX, symmetric_rule
     return symmetric_rule(ref_el, degree, max_cond=RULE_COND_MAX)
+
+
+def _general_tet_scheme(ref_el, degree):
+    """Generated general (asymmetric, positive) tetrahedron rule."""
+    from .tetquad import general_rule
+    return general_rule(ref_el, degree)
 
 
 def _grundmann_moller_scheme(ref_el, degree):

@@ -1,0 +1,56 @@
+"""General (asymmetric) positive-weight tetrahedron quadrature.
+
+The reference's tetrahedron tables (FIAT/xg_quad_data.py, Xiao &
+Gimbutas 2010) are NOT fully symmetric -- node-elimination rules can use
+~|G| fewer points than symmetry-orbit rules at equal exactness.  This
+module serves the in-repo generated equivalents (tools/gen_quad3d.py:
+Gauss-Newton node elimination with strict weight positivity, seeded from
+the symmetric orbit rules; nothing read from the reference's tables but
+the published point COUNTS as search targets).
+
+Storage: ``tetquad_data.py`` maps degree -> (barycentric points flat,
+weights) on the unit-measure reference, expanded and affinely mapped on
+demand (same contract as core/symquad.py).
+
+Reference behaviour covered: FIAT/quadrature_schemes.py:393-418
+(_tetrahedron_scheme, degrees <= 15).
+"""
+
+from math import factorial
+
+import numpy as np
+
+
+def available_degrees():
+    from . import tetquad_data
+    return sorted(tetquad_data.TETRAHEDRON)
+
+
+def _best_covering_degree(table, degree):
+    cands = [d for d in table if d >= max(degree, 1)]
+    if not cands:
+        raise KeyError(degree)
+    return min(cands, key=lambda d: len(table[d][1]))
+
+
+def rule_size(degree):
+    """Point count of the stored general rule serving ``degree``;
+    KeyError when uncovered."""
+    from . import tetquad_data
+    table = tetquad_data.TETRAHEDRON
+    return len(table[_best_covering_degree(table, degree)][1])
+
+
+def general_rule(ref_el, degree):
+    """The stored general rule of exactness >= degree, mapped onto
+    ``ref_el``.  Raises KeyError when uncovered."""
+    from . import tetquad_data
+    from .quadrature import QuadratureRule
+    table = tetquad_data.TETRAHEDRON
+    bary_flat, wts = table[_best_covering_degree(table, degree)]
+    sd = ref_el.get_spatial_dimension()
+    bary = np.asarray(bary_flat, dtype=float).reshape(-1, sd + 1)
+    verts = np.asarray(ref_el.get_vertices(), dtype=float)
+    scale = ref_el.volume() * factorial(sd)
+    return QuadratureRule(ref_el, bary @ verts,
+                          np.asarray(wts, dtype=float) * scale)

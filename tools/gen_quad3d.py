@@ -1,0 +1,277 @@
+#!/usr/bin/env python3
+"""Generate general (asymmetric) positive tetrahedron rules
+(core/tetquad_data.py) by Gauss-Newton node elimination.
+
+The reference's own tet tables are asymmetric: node elimination reaches
+point counts a symmetry-orbit search cannot (one point = 4 dofs vs an
+S1111 orbit's 27).  Algorithm (Xiao & Gimbutas 2010, sec. 4 -- nothing
+copied from the reference's tables; only published COUNTS as targets):
+
+  1. seed with the best in-repo symmetric rule (or symmetrized
+     collapsed Gauss) expanded to raw points;
+  2. rank points by |w_q| * ||phi(x_q)|| (their share of the moment
+     Vandermonde), drop the least significant, re-solve the full
+     nonlinear moment system with w >= wmin bounds (trf);
+  3. accept only rules that verify: exact on every Dubiner mode <= d,
+     all points strictly inside, all weights positive;
+  4. repeat until the target count or the budget is reached.
+
+Usage: python tools/gen_quad3d.py --max-degree 15 [--degrees 7,10-15]
+       [--budget SECONDS] [--out PATH]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+from scipy.optimize import least_squares
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from fiat_tpu.core import cells as cl                      # noqa: E402
+from fiat_tpu.core.expansions import ExpansionSet          # noqa: E402
+from fiat_tpu.core.macro import xy_to_bary                 # noqa: E402
+from fiat_tpu.core.quadrature import make_quadrature       # noqa: E402
+
+XG_TET = {1: 1, 2: 4, 3: 6, 4: 11, 5: 14, 6: 23, 7: 31, 8: 44, 9: 57,
+          10: 74, 11: 95, 12: 122, 13: 146, 14: 177, 15: 214}
+MARGIN = 1e-6      # barycentric interior margin
+
+
+class NodeSolver:
+    def __init__(self, max_degree, wmin=1e-9):
+        self.cell = cl.ufc_simplex(3)
+        self.verts = np.asarray(self.cell.get_vertices())
+        self.es = ExpansionSet(self.cell)
+        self.wmin = wmin
+        Q = make_quadrature(self.cell, max_degree // 2 + 2)
+        self._b_full = self.es.tabulate(max_degree, Q.get_points()) \
+            @ Q.get_weights()
+
+    def moments(self, d):
+        return self._b_full[:self.es.get_num_members(d)]
+
+    def tol(self, d):
+        return 5e-14 * max(1.0, (d / 10.0) ** 1.5)
+
+    def residual(self, d, theta, want_jac=False):
+        n = len(theta) // 4
+        X = theta[:3 * n].reshape(n, 3)
+        w = theta[3 * n:]
+        b = self.moments(d)
+        if want_jac:
+            tabs = self.es._tabulate(d, X, order=1)
+            phi = tabs[(0, 0, 0)][:len(b)]
+            J = np.empty((len(b), 4 * n))
+            for j, a in enumerate(np.eye(3, dtype=int)):
+                J[:, j:3 * n:3] = tabs[tuple(a)][:len(b)] * w
+            J[:, 3 * n:] = phi
+            return phi @ w - b, J
+        phi = self.es.tabulate(d, X)[:len(b)]
+        return phi @ w - b, None
+
+    def solve(self, d, X0, w0, max_nfev=None):
+        n = len(w0)
+        if max_nfev is None:
+            max_nfev = 150 + 6 * d
+        theta0 = np.concatenate([X0.reshape(-1), w0])
+        lo = np.concatenate([np.full(3 * n, 0.0), np.full(n, self.wmin)])
+        hi = np.concatenate([np.full(3 * n, 1.0), np.full(n, np.inf)])
+        fun = lambda th: self.residual(d, th)[0]
+        jac = lambda th: self.residual(d, th, True)[1]
+        try:
+            sol = least_squares(fun, np.clip(theta0, lo, hi), jac=jac,
+                                bounds=(lo, hi), method="trf",
+                                xtol=3e-16, ftol=3e-16, gtol=1e-14,
+                                max_nfev=max_nfev)
+        except Exception:
+            return None
+        X = sol.x[:3 * n].reshape(n, 3)
+        w = sol.x[3 * n:]
+        if self.verify(d, X, w):
+            return X, w
+        return None
+
+    def verify(self, d, X, w):
+        bary = xy_to_bary(self.cell.get_vertices(), X)
+        if bary.min() < MARGIN or w.min() <= 0:
+            return False
+        r, _ = self.residual(d, np.concatenate([X.reshape(-1), w]))
+        return np.abs(r).max() < self.tol(d)
+
+    def reseed_weights(self, d, X, w):
+        """Nonnegative least-squares refit of the weights at fixed
+        positions (keeps elimination candidates feasible)."""
+        from scipy.optimize import nnls
+        phi = self.es.tabulate(d, X)[:len(self.moments(d))]
+        try:
+            w2, _ = nnls(phi, self.moments(d), maxiter=30 * len(w))
+            return np.maximum(w2, self.wmin)
+        except Exception:
+            return w
+
+    def scores(self, d, X, w):
+        """Point significance |w_q| * ||phi(x_q)|| (ascending = drop
+        first)."""
+        phi = self.es.tabulate(d, X)[:len(self.moments(d))]
+        return np.abs(w) * np.linalg.norm(phi, axis=0)
+
+
+def seed_points(solver, d):
+    """Best available exact positive seed as raw points: the stored
+    symmetric rule if it covers d, else symmetrized collapsed Gauss."""
+    from fiat_tpu.core.symquad import symmetric_rule
+    try:
+        Q = symmetric_rule(solver.cell, d)
+        X = np.asarray(Q.get_points())
+        w = np.asarray(Q.get_weights())
+        if w.min() > 0:
+            return X, w
+    except KeyError:
+        pass
+    Q = make_quadrature(solver.cell, d // 2 + 1)
+    return np.asarray(Q.get_points()), np.asarray(Q.get_weights())
+
+
+def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
+    nexp = len(solver.moments(d))
+    best = (X, w)
+    hops = 0
+    while len(best[1]) > target and time.time() < deadline:
+        X, w = best
+        n = len(w)
+        if 4 * (n - 1) < nexp:
+            log(f"    dof floor reached at {n} pts (nexp {nexp})")
+            break
+        order = np.argsort(solver.scores(d, X, w))
+        rng = np.random.default_rng(9000 * n + hops)
+        improved = None
+        for q in order:
+            if time.time() > deadline:
+                break
+            keep = np.arange(n) != q
+            for jit in (0.0, 0.008):
+                Xt = X[keep] if not jit else np.clip(
+                    X[keep] + jit * rng.standard_normal((n - 1, 3)), 0, 1)
+                wt = solver.reseed_weights(d, Xt, w[keep])
+                got = solver.solve(d, Xt, wt)
+                if got is not None:
+                    improved = got
+                    log(f"    rm -> {len(got[1])} pts")
+                    break
+            if improved is not None:
+                break
+        if improved is not None:
+            best = improved
+            hops = 0
+            continue
+        # stalled at this count: basin hop (re-solve the same count from
+        # a jittered start) so the next removal round attacks a
+        # different solution branch
+        hops += 1
+        if hops > max_hops or time.time() > deadline:
+            break
+        scale = 0.004 * (1.7 ** hops)
+        Xj = np.clip(X + scale * rng.standard_normal(X.shape), 0, 1)
+        got = solver.solve(d, Xj, solver.reseed_weights(d, Xj, w))
+        if got is not None:
+            best = got
+            log(f"    hop {hops} at {len(got[1])} pts")
+    return best
+
+
+def load_table(path):
+    ns = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            exec(compile(f.read(), path, "exec"), ns)
+    return dict(ns.get("TETRAHEDRON", {}))
+
+
+def emit(table, out_path):
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write('"""Generated by tools/gen_quad3d.py -- do not edit.\n\n'
+                "General positive-weight tetrahedron rules: {degree:\n"
+                '(barycentric points flattened, weights)}, unit cell '
+                'measure."""\n\n')
+        f.write("TETRAHEDRON = {\n")
+        for d in sorted(table):
+            bary, wts = table[d]
+            f.write(f"    {d}: (\n        [")
+            f.write(",\n         ".join(
+                ", ".join(repr(float(x)) for x in row)
+                for row in np.asarray(bary).reshape(-1, 4)))
+            f.write("],\n        [")
+            f.write(",\n         ".join(repr(float(x)) for x in wts))
+            f.write("],\n    ),\n")
+        f.write("}\n")
+    os.replace(tmp, out_path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-degree", type=int, default=15)
+    ap.add_argument("--degrees", default=None,
+                    help="comma list / a-b ranges; default = all with a "
+                         "gap vs the reference count")
+    ap.add_argument("--budget", type=float, default=900.0)
+    ap.add_argument("--ratio", type=float, default=1.05,
+                    help="stop improving a degree once count <= "
+                         "ratio * reference")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "fiat_tpu", "core", "tetquad_data.py"))
+    args = ap.parse_args()
+
+    degrees = []
+    if args.degrees:
+        for part in args.degrees.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                degrees.extend(range(int(a), int(b) + 1))
+            else:
+                degrees.append(int(part))
+    else:
+        degrees = list(range(2, args.max_degree + 1))
+
+    solver = NodeSolver(args.max_degree)
+    table = load_table(args.out)
+    from fiat_tpu.core.quadrature import QuadratureRule  # noqa: F401
+
+    for d in degrees:
+        target = XG_TET.get(d, 10 ** 9)
+        have = table.get(d)
+        have_n = len(have[1]) if have else None
+        X, w = seed_points(solver, d)
+        if have_n is not None and have_n <= len(w):
+            bary = np.asarray(have[0]).reshape(-1, 4)
+            X = bary @ solver.verts
+            w = np.asarray(have[1])
+        if len(w) <= args.ratio * target:
+            print(f"degree {d:3d}: {len(w):4d} pts kept "
+                  f"(<= {args.ratio} * {target})", flush=True)
+            continue
+        t0 = time.time()
+        if not solver.verify(d, X, w):
+            print(f"degree {d:3d}: seed does not verify, skipping",
+                  flush=True)
+            continue
+        X, w = eliminate(solver, d, X, w, int(args.ratio * target),
+                         t0 + args.budget,
+                         log=lambda s: print(s, flush=True))
+        if have_n is None or len(w) < have_n:
+            bary = xy_to_bary(solver.cell.get_vertices(), X)
+            table[d] = ([float(x) for x in bary.reshape(-1)],
+                        [float(x) for x in w])
+            emit(table, args.out)
+        flag = "OK" if len(w) <= args.ratio * target else "over"
+        print(f"degree {d:3d}: {len(w):4d} pts (reference {target}) "
+              f"{flag} [{time.time() - t0:.0f}s]", flush=True)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
