@@ -115,6 +115,47 @@ def host_timer(fn, reps=1):
     return best
 
 
+def _device_peaks(jax):
+    """(HBM bytes/s, bf16 flops/s) for the current device generation, or
+    (None, None) when unknown."""
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    peaks = {"v5 lite": (819, 394), "v5e": (819, 394), "v5p": (2765, 459),
+             "v6": (1640, 918), "v4": (1228, 275)}
+    for key, (b, f) in peaks.items():
+        if key in kind:
+            return b * 1e9, f * 1e12
+    return None, None
+
+
+def engine_model_floor(jax, fz, npts, seconds):
+    """Analytic roofline of the fused pair kernels for one pass: the
+    CostEstimate terms of every bucket kernel (B streamed once per row
+    block, A once, the (hi, lo) pair written once -- 8 B per padded
+    output) -> floor = max(bytes/HBM_BW, flops/MXU_peak), and where the
+    measured time sits against it.  Kernel-only: the expansion
+    tabulation and slice preparation passes are excluded, so the true
+    floor is slightly higher (frac_of_floor slightly optimistic)."""
+    flops = byts = 0
+    for b in fz.buckets:
+        fm = b.fm
+        tpad = -(-npts // fm.point_tile) * fm.point_tile
+        nblocks = fm.rpad // fm.row_block
+        npairs = sum(len(idx) for idx in fm.batches)
+        flops += 2 * fm.rpad * tpad * fm.K * npairs
+        byts += (2 * fm.K * tpad * fm.nslices * nblocks
+                 + 2 * fm.rpad * fm.K * fm.nslices
+                 + 8 * fm.rpad * tpad)
+    hbm_peak, mxu_peak = _device_peaks(jax)
+    out = {"kernel_flops": flops, "kernel_hbm_bytes": byts}
+    if hbm_peak:
+        floor = max(byts / hbm_peak, flops / mxu_peak)
+        out["floor_ms"] = floor * 1e3
+        out["frac_of_floor"] = floor / seconds
+        out["bound"] = ("hbm" if byts / hbm_peak >= flops / mxu_peak
+                        else "mxu")
+    return out
+
+
 def device_roofline(jax, fn, arg, seconds):
     """Compiled cost analysis for one fn(arg) pass: flops, HBM bytes, and
     achieved fractions of the device peaks (roofline placement).
@@ -130,15 +171,7 @@ def device_roofline(jax, fn, arg, seconds):
         return {"error": f"{type(exc).__name__}: {exc}"}
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
-    kind = getattr(jax.devices()[0], "device_kind", "")
-    # (HBM GB/s, bf16 TFLOP/s) per device generation
-    peaks = {"v5 lite": (819, 394), "v5e": (819, 394), "v5p": (2765, 459),
-             "v6": (1640, 918), "v4": (1228, 275)}
-    hbm_peak = mxu_peak = None
-    for key, (b, f) in peaks.items():
-        if key in kind:
-            hbm_peak, mxu_peak = b * 1e9, f * 1e12
-            break
+    hbm_peak, mxu_peak = _device_peaks(jax)
     out = {"flops": flops, "hbm_bytes": byts,
            "gflops_per_s": flops / seconds / 1e9,
            "hbm_gbytes_per_s": byts / seconds / 1e9,
@@ -173,6 +206,7 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     ntab = len(fz.alphas)
     work = rows * len(pts) * ntab
     roof = device_roofline(jax, fz._pair_blocks, dpts, tpu_time)
+    roof["kernel_model"] = engine_model_floor(jax, fz, len(pts), tpu_time)
 
     max_err = ref_time = speedup = None
     if ref is not None:
