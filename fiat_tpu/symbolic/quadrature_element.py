@@ -60,19 +60,18 @@ class QuadratureElement(FiniteElementBase):
         if not isinstance(ps, UnknownPointSet) and ps.dimension == sd:
             result = self.cell.point_entity_ids(ps.points)
         else:
+            # facet rule: each entity of the rule's dimension owns one
+            # full copy of the point block, in entity order
+            n = len(ps.points)
+            flat = lambda d: sum(d) if isinstance(d, tuple) else d
             top = self.cell.get_topology()
-            result = {dim: {entity: [] for entity in entities}
-                      for dim, entities in top.items()}
-            num_pts = len(ps.points)
-
-            def to_int(x):
-                return sum(x) if isinstance(x, tuple) else x
-            cur = 0
-            for dim in sorted(top):
-                if to_int(dim) == ps.dimension:
-                    for entity in sorted(top[dim]):
-                        result[dim][entity].extend(range(cur, cur + num_pts))
-                        cur += num_pts
+            owning = [(dim, e) for dim in sorted(top)
+                      if flat(dim) == ps.dimension
+                      for e in sorted(top[dim])]
+            blocks = {de: list(range(i * n, (i + 1) * n))
+                      for i, de in enumerate(owning)}
+            result = {dim: {e: blocks.get((dim, e), []) for e in top[dim]}
+                      for dim in top}
         self._entity_dofs_cache = result
         return result
 
