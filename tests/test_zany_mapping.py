@@ -194,3 +194,66 @@ def test_zany_scalar(name, dim, args, kwargs):
 def test_zany_piola(name, dim, args, kwargs):
     from fiat_tpu import symbolic
     check_zany_mapping(getattr(symbolic, name), dim, *args, **kwargs)
+
+
+class ScaledMapping(MyMapping):
+    """Uniformly scaled physical cell; cell_size is the circumdiameter
+    (what Firedrake feeds the transformation), found from the
+    circumcenter's linear system in any dimension."""
+
+    def cell_size(self):
+        verts = np.asarray(self.phys_cell.vertices)
+        A = 2 * (verts[1:] - verts[0])
+        b = (verts[1:] ** 2).sum(axis=1) - (verts[0] ** 2).sum()
+        R = np.linalg.norm(np.linalg.solve(A, b) - verts[0])
+        return np.full(len(verts), 2 * R)
+
+
+@pytest.mark.parametrize("name,dim,args,kwargs", [
+    ("Hermite", 2, (), {}),
+    ("QuadraticPowellSabin6", 2, (), {}),
+    ("QuadraticPowellSabin12", 2, (), {}),
+    ("ReducedHsiehCloughTocher", 2, (), {}),
+    ("HsiehCloughTocher", 2, (3,), {}),
+    ("HsiehCloughTocher", 2, (4,), {}),
+    ("Bell", 2, (), {}),
+    ("Argyris", 2, (5,), {"variant": "point"}),
+    ("Argyris", 2, (5,), {}),
+    ("Argyris", 2, (6,), {}),
+    ("WuXuH3NC", 2, (), {}),
+    ("WuXuRobustH3NC", 2, (), {}),
+    ("BrambleZlamalC2", 2, (9,), {}),
+    ("AlfeldC2", 2, (5,), {}),
+    ("Walkington", 3, (), {}),
+])
+def test_mass_scaling(name, dim, args, kwargs):
+    """Zany transformations must keep the physical mass matrix's
+    conditioning mesh-size independent (reference strategy:
+    test/finat/test_mass_conditioning.py): the cell_size-aware scaling
+    of the derivative DoFs is exactly what removes the h-dependence."""
+    from fiat_tpu import symbolic
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+
+    ref_cell = cl.ufc_simplex(dim)
+    finat_element = getattr(symbolic, name)(ref_cell, *args, **kwargs)
+    ref_element = finat_element._element
+    degree = ref_element.degree()
+    sd = ref_cell.get_spatial_dimension()
+    Q = create_quadrature(finat_element._element.get_reference_complex(),
+                          2 * degree)
+    qpts, qwts = Q.get_points(), Q.get_weights()
+    phi_ref = ref_element.tabulate(0, qpts)[(0,) * sd]
+
+    kappa = []
+    for k in range(3):
+        phys_cell = cl.ufc_simplex(dim)
+        phys_cell.vertices = tuple(
+            map(tuple, 0.5 ** k * np.asarray(phys_cell.vertices)))
+        mapping = ScaledMapping(ref_cell, phys_cell)
+        M = np.asarray(to_dense(finat_element.basis_transformation(mapping)))
+        phis = np.tensordot(M, phi_ref, (-1, 0))
+        detJ = abs(np.linalg.det(mapping.A))
+        mass = (phis * (qwts * detJ)) @ phis.T
+        kappa.append(np.linalg.cond(mass))
+    ratios = np.asarray(kappa[1:]) / np.asarray(kappa[:-1])
+    assert np.allclose(ratios, 1, atol=0.1), (name, kappa)
