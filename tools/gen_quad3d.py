@@ -122,7 +122,10 @@ class NodeSolver:
 
 def seed_points(solver, d):
     """Best available exact positive seed as raw points: the stored
-    symmetric rule if it covers d, else symmetrized collapsed Gauss."""
+    symmetric rule if it covers d (REPAIRED at the same count under the
+    positivity bounds when it carries negative weights -- the collapsed
+    fallback is ~3x bigger and wastes the whole budget shrinking), else
+    collapsed Gauss."""
     from fiat_tpu.core.symquad import symmetric_rule
     try:
         Q = symmetric_rule(solver.cell, d)
@@ -130,6 +133,9 @@ def seed_points(solver, d):
         w = np.asarray(Q.get_weights())
         if w.min() > 0:
             return X, w
+        got = solver.solve(d, X, solver.reseed_weights(d, X, np.abs(w)))
+        if got is not None:
+            return got
     except KeyError:
         pass
     Q = make_quadrature(solver.cell, d // 2 + 1)
