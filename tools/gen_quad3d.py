@@ -133,9 +133,16 @@ def seed_points(solver, d):
         w = np.asarray(Q.get_weights())
         if w.min() > 0:
             return X, w
-        got = solver.solve(d, X, solver.reseed_weights(d, X, np.abs(w)))
-        if got is not None:
-            return got
+        # a clipped-to-positive seed starts far from feasibility: give
+        # the repair solves a real iteration budget and jittered retries
+        rng = np.random.default_rng(d)
+        for jit in (0.0, 0.004, 0.012, 0.03):
+            Xj = np.clip(X + jit * rng.standard_normal(X.shape), 0, 1)
+            got = solver.solve(d, Xj,
+                               solver.reseed_weights(d, Xj, np.abs(w)),
+                               max_nfev=600 + 20 * d)
+            if got is not None:
+                return got
     except KeyError:
         pass
     Q = make_quadrature(solver.cell, d // 2 + 1)
