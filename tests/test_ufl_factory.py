@@ -321,3 +321,23 @@ def test_registry_factory_sweep(data):
         converted += 1
     if family not in _UNCONVERTIBLE:
         assert converted > 0 or not any(c in cells for c in _SWEEP_CELLS)
+
+
+def test_element_hash_properties():
+    """Hashes: equal for equal descriptions, different across variants,
+    and stable ACROSS PYTHON INVOCATIONS (reference strategy:
+    test/finat/test_hash.py -- downstream disk caches key on these)."""
+    import subprocess
+    import sys
+    dg = ufl.FiniteElement("DG", "triangle", 2)
+    assert hash(dg) == hash(ufl.FiniteElement("DG", "triangle", 2))
+    assert hash(dg) != hash(ufl.FiniteElement("DG", "triangle", 2,
+                                              variant="gll"))
+    code = ("import sys; sys.path.insert(0, {p!r}); "
+            "import fiat_tpu.ufl as ufl; "
+            "print(hash(ufl.FiniteElement('DG', 'triangle', 2)))").format(
+                p=str(__import__('pathlib').Path(__file__).parents[1]))
+    runs = {subprocess.run([sys.executable, "-c", code], check=True,
+                           capture_output=True).stdout.strip()
+            for _ in range(2)}
+    assert len(runs) == 1, runs
