@@ -99,7 +99,10 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
     for _ in range(2):
         if d > 0:
             return d, None
-        length = min(4096, 2 * length)
+        longer = min(4096, 2 * length)
+        if longer == length:        # already at the cap: a re-run of the
+            break                   # identical pair can't resolve anything
+        length = longer
         d = diff_at(length)
     if d <= 0:
         return 1e-9, "nonpositive_chain_diff"
@@ -201,7 +204,7 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     # _pair_blocks docstring); its cost is recorded as the delta below.
     tpu_time, tflag = chain_timer(jax, jnp, fz._pair_blocks, dpts, reps=3)
     sys.stderr.write(f"[bench] {name}: tpu {tpu_time*1e3:.1f} ms (pair)\n"); sys.stderr.flush()
-    f64_time, _ = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=2)
+    f64_time, f64_flag = chain_timer(jax, jnp, fz._f64_blocks, dpts, reps=2)
     rows = max(hi for (lo, hi, shape) in bt.slices)
     ntab = len(fz.alphas)
     work = rows * len(pts) * ntab
@@ -233,6 +236,8 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
            "promote_overhead_ms": (f64_time - tpu_time) * 1e3}
     if tflag:
         out["timing_flag"] = tflag
+    if f64_flag:
+        out["timing_flag_f64_promote"] = f64_flag
     return out
 
 
@@ -505,10 +510,13 @@ def main():
         # zoo config so the round still records a real device number
         ok = [c for c in configs if "error" not in c and "work" in c]
         head = max(ok, key=lambda c: c["work"]) if ok else None
+    full_zoo_ok = head is not None and head["name"] == "full_zoo"
     result = {
-        "metric": (f"fused full-zoo tabulation (values+grads, "
-                   f"triangle zoo incl. macro, p<=10, 1e5 pts, "
-                   f"f64 fused-ozaki)" if not partial else
+        "metric": ((f"fused full-zoo tabulation (values+grads, "
+                    f"triangle zoo incl. macro, p<=10, 1e5 pts, "
+                    f"f64 fused-ozaki)"
+                    + (" [some secondary configs errored]" if partial
+                       else "")) if full_zoo_ok else
                    f"fused zoo tabulation (PARTIAL: headline config "
                    f"substituted by {head['name']})" if head else
                    "fused full-zoo tabulation (all configs failed)"),

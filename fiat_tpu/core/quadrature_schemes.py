@@ -4,13 +4,16 @@ Parity note vs /root/reference/FIAT/quadrature_schemes.py: the reference
 dispatches to hard-coded Xiao-Gimbutas / Keast point tables for low-degree
 triangles/tets (quadrature_schemes.py:324-418) and falls back to collapsed
 Gauss.  Both integrate the requested degree exactly, so tabulated elements
-are identical; this rebuild's 'default' scheme picks the CHEAPEST of three
-interchangeable exact rules: the in-repo generated fully symmetric orbit
-rules (core/symquad.py, gated on weight conditioning sum|w|/sum w <= 2 --
-badly signed rules can make variable-coefficient mass matrices indefinite)
-and collapsed Gauss.  Grundmann-Moller is available as scheme='gm' only:
-its alternating weights fail the same conditioning gate at every order
-past s=0.  KMV lumped schemes ship with the KMV element.
+are identical; this rebuild's 'default' scheme picks the CHEAPEST of the
+interchangeable exact candidates: the in-repo generated fully symmetric
+orbit rules (core/symquad.py, gated on weight conditioning
+sum|w|/sum w <= 2 -- badly signed rules can make variable-coefficient
+mass matrices indefinite), the generated general node-elimination tet
+rules (core/tetquad.py, all-positive and asymmetric like the reference's
+own tet tables), and collapsed Gauss.  Grundmann-Moller is available as
+scheme='gm' only: its alternating weights fail the same conditioning
+gate at every order past s=0.  KMV lumped schemes ship with the KMV
+element.
 """
 
 import numpy as np
@@ -56,10 +59,10 @@ def create_quadrature(ref_el, degree, scheme="default", entity=None):
     if scheme == "default":
         # economical dispatch (covers the reference's Xiao-Gimbutas /
         # Keast tables, quadrature_schemes.py:46): the CHEAPEST of the
-        # generated fully symmetric rules (core/symquad.py, near-optimal
-        # counts, weight-conditioning gated) and collapsed Gauss.  Both
-        # candidates keep sum|w|/sum w <= RULE_COND_MAX, matching the
-        # reference default's strict weight positivity.
+        # generated fully symmetric rules (weight-conditioning gated),
+        # the generated general tet rules (all-positive), and collapsed
+        # Gauss.  Every candidate keeps sum|w|/sum w <= RULE_COND_MAX,
+        # matching the reference default's strict weight positivity.
         sd = ref_el.get_spatial_dimension()
         if sd >= 2:
             candidates = []

@@ -111,13 +111,32 @@ def _best_covering_degree(table, degree, max_cond=None):
                                         for k, _, _ in table[d]))
 
 
+_RESOLVE_CACHE = {}
+
+
+def _resolve(dim, degree, max_cond):
+    """Memoized covering-degree lookup: element constructors call
+    create_quadrature -> rule_size AND symmetric_rule per moment set, and
+    each covering scan recomputes rule_cond over the stored tail."""
+    key = (dim, degree, max_cond)
+    try:
+        return _RESOLVE_CACHE[key]
+    except KeyError:
+        pass
+    from . import symquad_data
+    table = symquad_data.TRIANGLE if dim == 2 else symquad_data.TETRAHEDRON
+    d = _best_covering_degree(table, degree, max_cond=max_cond)
+    _RESOLVE_CACHE[key] = d
+    return d
+
+
 def rule_size(dim, degree, max_cond=None):
     """Point count of the symmetric rule serving ``degree``; raises
     KeyError when uncovered (or covered only by rules failing the
     ``max_cond`` weight-conditioning gate)."""
     from . import symquad_data
     table = symquad_data.TRIANGLE if dim == 2 else symquad_data.TETRAHEDRON
-    d = _best_covering_degree(table, degree, max_cond=max_cond)
+    d = _resolve(dim, degree, max_cond)
     return sum(ORBIT_SIZE[kind] for kind, _, _ in table[d])
 
 
@@ -129,7 +148,7 @@ def symmetric_rule(ref_el, degree, max_cond=None):
     from .quadrature import QuadratureRule
     sd = ref_el.get_spatial_dimension()
     table = symquad_data.TRIANGLE if sd == 2 else symquad_data.TETRAHEDRON
-    orbits = table[_best_covering_degree(table, degree, max_cond=max_cond)]
+    orbits = table[_resolve(sd, degree, max_cond)]
     bary, wts = expand_rule(orbits)
     verts = np.asarray(ref_el.get_vertices(), dtype=float)
     from math import factorial

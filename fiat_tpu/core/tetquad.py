@@ -9,8 +9,9 @@ the symmetric orbit rules; nothing read from the reference's tables but
 the published point COUNTS as search targets).
 
 Storage: ``tetquad_data.py`` maps degree -> (barycentric points flat,
-weights) on the unit-measure reference, expanded and affinely mapped on
-demand (same contract as core/symquad.py).
+weights); weights integrate over the UFC reference tet (sum = 1/d!) and
+are rescaled by ref_el.volume() * d! on mapping, the same contract as
+core/symquad.py.
 
 Reference behaviour covered: FIAT/quadrature_schemes.py:393-418
 (_tetrahedron_scheme, degrees <= 15).

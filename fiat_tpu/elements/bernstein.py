@@ -109,8 +109,9 @@ class Bernstein(FiniteElement):
         for o in range(order + 1):
             alphas = mis(dim, o)
             if n - o < 0:
-                z = np.zeros((len(K), *points.shape[:-1]))
-                result.update({alpha: z for alpha in alphas})
+                result.update({alpha: np.zeros((len(K),
+                                                *points.shape[:-1]))
+                               for alpha in alphas})
                 continue
             Ko = _multiindices(dim + 1, n - o)
             lookup = {tuple(k): i for i, k in enumerate(Ko)}

@@ -73,19 +73,25 @@ def _have_reference():
         return False
 
 
+_GOLDEN_CACHE = None
+
+
 def _golden_tables(label, order):
-    """{alpha: array} frozen for one spec, or None when not frozen."""
-    if not os.path.exists(GOLDEN_NPZ):
+    """{alpha: array} frozen for one spec, or None when not frozen.
+    The npz is decompressed ONCE per process into a label-keyed dict."""
+    global _GOLDEN_CACHE
+    if _GOLDEN_CACHE is None:
+        _GOLDEN_CACHE = {}
+        if os.path.exists(GOLDEN_NPZ):
+            data = np.load(GOLDEN_NPZ)
+            for key in data.files:
+                lab, alpha = key.rsplit("|", 1)
+                alpha = tuple(int(c) for c in alpha.split(","))
+                _GOLDEN_CACHE.setdefault(lab, {})[alpha] = data[key]
+    tables = _GOLDEN_CACHE.get(label)
+    if not tables:
         return None
-    data = np.load(GOLDEN_NPZ)
-    prefix = f"{label}|"
-    out = {}
-    for key in data.files:
-        if key.startswith(prefix):
-            alpha = tuple(int(c) for c in key[len(prefix):].split(","))
-            if sum(alpha) <= order:
-                out[alpha] = data[key]
-    return out or None
+    return {a: v for a, v in tables.items() if sum(a) <= order} or None
 
 
 def _ref_tables(spec, order, pts):

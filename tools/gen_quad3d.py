@@ -209,8 +209,9 @@ def emit(table, out_path):
     with open(tmp, "w") as f:
         f.write('"""Generated by tools/gen_quad3d.py -- do not edit.\n\n'
                 "General positive-weight tetrahedron rules: {degree:\n"
-                '(barycentric points flattened, weights)}, unit cell '
-                'measure."""\n\n')
+                "(barycentric points flattened, weights)}; weights\n"
+                "integrate over the UFC reference tet (sum = 1/d! = 1/6),\n"
+                'rescaled by the consumer for other cells."""\n\n')
         f.write("TETRAHEDRON = {\n")
         for d in sorted(table):
             bary, wts = table[d]
