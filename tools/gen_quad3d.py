@@ -121,20 +121,30 @@ class NodeSolver:
 
 
 def seed_points(solver, d):
-    """Best available exact positive seed as raw points: the stored
-    symmetric rule if it covers d (REPAIRED at the same count under the
-    positivity bounds when it carries negative weights -- the collapsed
-    fallback is ~3x bigger and wastes the whole budget shrinking), else
-    collapsed Gauss."""
-    from fiat_tpu.core.symquad import symmetric_rule
-    try:
-        Q = symmetric_rule(solver.cell, d)
-        X = np.asarray(Q.get_points())
-        w = np.asarray(Q.get_weights())
+    """Best available exact positive seed as raw points, smallest first:
+    (1) the stored symmetric rule covering d when its weights are
+    already positive; (2) the SMALLEST higher-degree stored rule with
+    positive weights (a positive rule at the exact count may not exist
+    -- negative weights are sometimes essential at the symmetric
+    minimum, e.g. tet degree 8); (3) a positivity repair of the
+    negative rule at its own count; (4) collapsed Gauss."""
+    from fiat_tpu.core import symquad_data
+    from fiat_tpu.core.symquad import ORBIT_SIZE, expand_rule
+    table = symquad_data.TETRAHEDRON
+    # (point count, degree) of every stored rule covering d, smallest
+    # first; expand_rule weights already integrate over the UFC tet
+    # (volume 1/3! -- the mapping scale is exactly 1 there)
+    covering = sorted((sum(ORBIT_SIZE[k] for k, _, _ in table[dd]), dd)
+                      for dd in table if dd >= d)
+    for _, dd in covering:
+        bary, w = expand_rule(table[dd])
         if w.min() > 0:
-            return X, w
-        # a clipped-to-positive seed starts far from feasibility: give
-        # the repair solves a real iteration budget and jittered retries
+            return bary @ solver.verts, w
+    # no positive covering rule: repair the smallest negative one
+    if covering:
+        _, dd = covering[0]
+        bary, w = expand_rule(table[dd])
+        X = bary @ solver.verts
         rng = np.random.default_rng(d)
         for jit in (0.0, 0.004, 0.012, 0.03):
             Xj = np.clip(X + jit * rng.standard_normal(X.shape), 0, 1)
@@ -143,8 +153,6 @@ def seed_points(solver, d):
                                max_nfev=600 + 20 * d)
             if got is not None:
                 return got
-    except KeyError:
-        pass
     Q = make_quadrature(solver.cell, d // 2 + 1)
     return np.asarray(Q.get_points()), np.asarray(Q.get_weights())
 
@@ -161,21 +169,35 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
             break
         order = np.argsort(solver.scores(d, X, w))
         rng = np.random.default_rng(9000 * n + hops)
-        improved = None
-        for q in order:
-            if time.time() > deadline:
-                break
+
+        def try_remove(q, jit, nfev):
             keep = np.arange(n) != q
-            for jit in (0.0, 0.008):
-                Xt = X[keep] if not jit else np.clip(
-                    X[keep] + jit * rng.standard_normal((n - 1, 3)), 0, 1)
-                wt = solver.reseed_weights(d, Xt, w[keep])
-                got = solver.solve(d, Xt, wt)
-                if got is not None:
-                    improved = got
-                    log(f"    rm -> {len(got[1])} pts")
+            Xt = X[keep] if not jit else np.clip(
+                X[keep] + jit * rng.standard_normal((n - 1, 3)), 0, 1)
+            return solver.solve(d, Xt,
+                                solver.reseed_weights(d, Xt, w[keep]),
+                                max_nfev=nfev)
+
+        improved = None
+        # failed attempts burn their full iteration budget, so sweep a
+        # wide candidate set with a CHEAP budget first, then give the
+        # best few candidates the full budget (successful removals
+        # converge fast; verify() guards accuracy regardless)
+        passes = ((70 + 3 * d, order[:24], (0.0, 0.008)),
+                  (None, order[:6], (0.01, 0.03)))
+        for nfev, cands, jits in passes:
+            for q in cands:
+                if time.time() > deadline:
                     break
-            if improved is not None:
+                for jit in jits:
+                    got = try_remove(q, jit, nfev)
+                    if got is not None:
+                        improved = got
+                        log(f"    rm -> {len(got[1])} pts")
+                        break
+                if improved is not None:
+                    break
+            if improved is not None or time.time() > deadline:
                 break
         if improved is not None:
             best = improved
