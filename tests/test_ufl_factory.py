@@ -341,3 +341,25 @@ def test_element_hash_properties():
                            capture_output=True).stdout.strip()
             for _ in range(2)}
     assert len(runs) == 1, runs
+
+
+@pytest.mark.parametrize("shape", [1, 2, (2, 3)], ids=("1", "2", "(2,3)"))
+@pytest.mark.parametrize("sub", [("CG", "triangle", 1),
+                                 ("BDM", "triangle", 2)],
+                         ids=("CG1", "BDM2"))
+def test_create_restricted_vector_or_tensor_element(shape, sub):
+    """RestrictedElement nests INSIDE vector/tensor wrappers (reference:
+    test/finat/test_create_restricted_element.py)."""
+    elem = ufl.FiniteElement(*sub)
+    wrap = ((lambda e: ufl.VectorElement(e, dim=shape))
+            if isinstance(shape, int)
+            else (lambda e: ufl.TensorElement(e, shape=shape)))
+    assert (ufl.RestrictedElement(wrap(elem), "interior")
+            == wrap(ufl.RestrictedElement(elem, "interior")))
+
+
+def test_create_restricted_mixed_element():
+    subs = [ufl.FiniteElement("CG", "triangle", 1),
+            ufl.FiniteElement("BDM", "triangle", 2)]
+    assert (ufl.MixedElement(subs)["facet"]
+            == ufl.MixedElement([e["facet"] for e in subs]))
