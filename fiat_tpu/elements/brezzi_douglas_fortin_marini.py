@@ -1,6 +1,6 @@
 """BDFM element (parity with
-/root/reference/FIAT/brezzi_douglas_fortin_marini.py): BDM_k with facet
-normal components reduced to degree k-1."""
+/root/reference/FIAT/brezzi_douglas_fortin_marini.py): BDM_k with the
+facet normal components reduced to degree k-1."""
 
 from ..core.expansions import polynomial_dimension
 from .brezzi_douglas_marini import BrezziDouglasMarini
@@ -9,26 +9,29 @@ from .restricted import RestrictedElement
 
 
 def BrezziDouglasFortinMarini(ref_el, degree, variant=None, quad_scheme=None):
-    """The BDFM element."""
+    """The BDFM element.
+
+    Integral variant: keep, per facet, only the BDM_k moments against
+    the degree-(k-1) facet basis (the leading block of each facet's dof
+    ids, since moment dofs are ordered by basis degree), plus every
+    interior dof.  Point variant: interior of BDM_k enriched by the
+    facet part of BDM_{k-1}.
+    """
     if variant == "point":
-        BDM_I = RestrictedElement(
-            BrezziDouglasMarini(ref_el, degree, variant=variant),
-            restriction_domain="interior")
-        BDM_F = RestrictedElement(
-            BrezziDouglasMarini(ref_el, degree - 1, variant=variant),
-            restriction_domain="facet")
-        return NodalEnrichedElement(BDM_I, BDM_F)
-    BDM = BrezziDouglasMarini(ref_el, degree, variant=variant,
+        parts = (("interior", degree), ("facet", degree - 1))
+        return NodalEnrichedElement(*(
+            RestrictedElement(BrezziDouglasMarini(ref_el, deg,
+                                                  variant="point"),
+                              restriction_domain=dom)
+            for dom, deg in parts))
+
+    bdm = BrezziDouglasMarini(ref_el, degree, variant=variant,
                               quad_scheme=quad_scheme)
-    entity_ids = BDM.dual.get_entity_ids()
-    sd = ref_el.get_spatial_dimension()
-    indices = []
-    for dim in sorted(entity_ids):
-        if dim == sd - 1:
-            s = slice(polynomial_dimension(ref_el.construct_subelement(dim),
-                                           degree - 1))
-        else:
-            s = slice(None)
-        for entity in sorted(entity_ids[dim]):
-            indices.extend(entity_ids[dim][entity][s])
-    return RestrictedElement(BDM, indices)
+    fdim = ref_el.get_spatial_dimension() - 1
+    nkeep = polynomial_dimension(ref_el.construct_subelement(fdim),
+                                 degree - 1)
+    keep = [i
+            for dim, ents in sorted(bdm.dual.get_entity_ids().items())
+            for _, ids in sorted(ents.items())
+            for i in (ids[:nkeep] if dim == fdim else ids)]
+    return RestrictedElement(bdm, keep)

@@ -4,7 +4,7 @@ gauss_radau.py): (D)Lagrange at GLL/GL/Radau nodes."""
 
 from ..core import cells as cl
 from ..core import finite_element, functionals, polyset
-from ..core.dualset import DualSet
+from ..core.dual_builder import DualBuilder
 from ..core.quadrature import RadauQuadratureLineRule
 from .discontinuous_lagrange import DiscontinuousLagrange
 from .lagrange import Lagrange
@@ -24,24 +24,23 @@ class GaussLegendre(DiscontinuousLagrange):
         super().__init__(ref_el, degree, variant="gl")
 
 
-class GaussRadauDualSet(DualSet):
-    """Point evaluations at the Gauss-Radau points (DG connectivity)."""
-
-    def __init__(self, ref_el, degree, right=True):
-        entity_ids = {0: {0: [], 1: []},
-                      1: {0: list(range(degree + 1))}}
-        rule = RadauQuadratureLineRule(ref_el, degree + 1, right)
-        nodes = [functionals.PointEvaluation(ref_el, x) for x in rule.pts]
-        super().__init__(nodes, ref_el, entity_ids)
+def gauss_radau_dual(ref_el, degree, right=True):
+    """DG-connectivity point-evaluation dual at the (degree+1)-point
+    Gauss-Radau nodes: every dof lives on the cell interior even though
+    one node sits at an endpoint (one-sided assembly is never wanted)."""
+    b = DualBuilder(ref_el)
+    b.tag(1, 0, (functionals.PointEvaluation(ref_el, x)
+                 for x in RadauQuadratureLineRule(ref_el, degree + 1,
+                                                  right).pts))
+    return b.dual_set()
 
 
 class GaussRadau(finite_element.CiarletElement):
     """1D discontinuous element at Gauss-Radau points."""
 
-    def __init__(self, ref_el, degree):
+    def __init__(self, ref_el, degree, right=True):
         if ref_el.shape != cl.LINE:
             raise ValueError("Gauss-Radau elements are only defined in 1D.")
-        poly_set = polyset.ONPolynomialSet(ref_el, degree)
-        dual = GaussRadauDualSet(ref_el, degree)
-        formdegree = ref_el.get_spatial_dimension()
-        super().__init__(poly_set, dual, degree, formdegree)
+        super().__init__(polyset.ONPolynomialSet(ref_el, degree),
+                         gauss_radau_dual(ref_el, degree, right),
+                         degree, formdegree=1)
