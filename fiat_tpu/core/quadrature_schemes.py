@@ -9,7 +9,7 @@ interchangeable exact candidates: the in-repo generated fully symmetric
 orbit rules (core/symquad.py, gated on weight conditioning
 sum|w|/sum w <= 2 -- badly signed rules can make variable-coefficient
 mass matrices indefinite), the generated general node-elimination tet
-rules (core/tetquad.py, all-positive and asymmetric like the reference's
+rules (core/elimquad.py, all-positive and asymmetric like the reference's
 own tet tables), and collapsed Gauss.  Grundmann-Moller is available as
 scheme='gm' only: its alternating weights fail the same conditioning
 gate at every order past s=0.  KMV lumped schemes ship with the KMV
@@ -73,15 +73,14 @@ def create_quadrature(ref_el, degree, scheme="default", entity=None):
                      _gated_symmetric_scheme))
             except KeyError:
                 pass
-            if sd == 3:
-                # general node-elimination rules (all-positive weights;
-                # asymmetric, like the reference's own tet tables)
-                try:
-                    from .tetquad import rule_size as tet_rule_size
-                    candidates.append((tet_rule_size(degree),
-                                       _general_tet_scheme))
-                except KeyError:
-                    pass
+            # general node-elimination rules (all-positive weights;
+            # asymmetric, like the reference's own tet tables)
+            try:
+                from .elimquad import rule_size as elim_rule_size
+                candidates.append((elim_rule_size(degree, sd),
+                                   _general_elim_scheme))
+            except KeyError:
+                pass
             candidates.append((((degree + 2) // 2) ** sd, _collapsed_scheme))
             # stable min: the (conditioning-gated) symmetric rule wins ties
             _, builder = min(candidates, key=lambda t: t[0])
@@ -112,9 +111,9 @@ def _gated_symmetric_scheme(ref_el, degree):
     return symmetric_rule(ref_el, degree, max_cond=RULE_COND_MAX)
 
 
-def _general_tet_scheme(ref_el, degree):
-    """Generated general (asymmetric, positive) tetrahedron rule."""
-    from .tetquad import general_rule
+def _general_elim_scheme(ref_el, degree):
+    """Generated general (asymmetric, positive) simplex rule."""
+    from .elimquad import general_rule
     return general_rule(ref_el, degree)
 
 

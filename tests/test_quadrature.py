@@ -234,18 +234,18 @@ def test_default_scheme_weight_conditioning_gate():
             assert cond <= RULE_COND_MAX + 1e-12, (dim, degree, cond)
 
 
-def test_general_tet_rules_exact_positive_interior():
-    """Generated general (asymmetric) tet rules (core/tetquad.py): every
-    stored degree integrates its top monomials to ~1e-12 relative, with
-    strictly positive weights and strictly interior points, and never
-    uses more points than the default dispatch's other candidates."""
+@pytest.mark.parametrize("dim", [2, 3])
+def test_general_elim_rules_exact_positive_interior(dim):
+    """Generated general (asymmetric) simplex rules (core/elimquad.py):
+    every stored degree integrates its top monomials to ~1e-12 relative,
+    with strictly positive weights and strictly interior points."""
     from itertools import islice, product as iproduct
     from math import factorial, prod
-    from fiat_tpu.core.tetquad import available_degrees, general_rule
-    degs = available_degrees()
+    from fiat_tpu.core.elimquad import available_degrees, general_rule
+    degs = available_degrees(dim)
     if not degs:
-        pytest.skip("no generated general tet rules")
-    T = cl.ufc_simplex(3)
+        pytest.skip(f"no generated general rules in dim {dim}")
+    T = cl.ufc_simplex(dim)
     for d in degs:
         Q = general_rule(T, d)
         pts = np.asarray(Q.get_points())
@@ -254,9 +254,9 @@ def test_general_tet_rules_exact_positive_interior():
         bary = np.concatenate([1 - pts.sum(axis=1, keepdims=True), pts],
                               axis=1)
         assert bary.min() > 1e-7, d
-        tops = (a for a in iproduct(range(d + 1), repeat=3)
+        tops = (a for a in iproduct(range(d + 1), repeat=dim)
                 if sum(a) == d)
         for alpha in islice(tops, 5):
-            exact = prod(factorial(a) for a in alpha) / factorial(d + 3)
+            exact = prod(factorial(a) for a in alpha) / factorial(d + dim)
             val = wts @ np.prod(pts ** np.array(alpha), axis=1)
             assert abs(val - exact) / exact < 2e-12, (d, alpha)

@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Generate general (asymmetric) positive tetrahedron rules
-(core/tetquad_data.py) by Gauss-Newton node elimination.
+"""Generate general (asymmetric) positive simplex rules
+(core/tetquad_data.py / core/triquad_data.py) by Gauss-Newton node
+elimination.
 
 The reference's own tet tables are asymmetric: node elimination reaches
-point counts a symmetry-orbit search cannot (one point = 4 dofs vs an
-S1111 orbit's 27).  Algorithm (Xiao & Gimbutas 2010, sec. 4 -- nothing
+point counts a symmetry-orbit search cannot (one point = sd+1 dofs vs an
+S1111 orbit's 27), and on the triangle it can undercut stalled orbit
+searches.  Algorithm (Xiao & Gimbutas 2010, sec. 4 -- nothing
 copied from the reference's tables; only published COUNTS as targets):
 
   1. seed with the best in-repo symmetric rule (or symmetrized
@@ -16,14 +18,15 @@ copied from the reference's tables; only published COUNTS as targets):
      all points strictly inside, all weights positive;
   4. repeat until the target count or the budget is reached.
 
-Usage: python tools/gen_quad3d.py --max-degree 15 [--degrees 7,10-15]
-       [--budget SECONDS] [--out PATH]
+Usage: python tools/gen_quad3d.py [--dim 2|3] --max-degree 15
+       [--degrees 7,10-15] [--budget SECONDS] [--out PATH]
 """
 
 import argparse
 import os
 import sys
 import time
+from math import factorial
 
 import numpy as np
 from scipy.optimize import least_squares
@@ -38,12 +41,20 @@ from fiat_tpu.core.quadrature import make_quadrature       # noqa: E402
 
 XG_TET = {1: 1, 2: 4, 3: 6, 4: 11, 5: 14, 6: 23, 7: 31, 8: 44, 9: 57,
           10: 74, 11: 95, 12: 122, 13: 146, 14: 177, 15: 214}
+XG_TRI = {1: 1, 2: 3, 3: 6, 4: 6, 5: 7, 6: 12, 7: 15, 8: 16, 9: 19, 10: 25,
+          11: 28, 12: 33, 13: 37, 14: 42, 15: 49, 16: 55, 17: 60, 18: 67,
+          19: 73, 20: 79, 21: 87, 22: 96, 23: 103, 24: 112, 25: 120,
+          26: 130, 27: 141, 28: 150, 29: 159, 30: 171, 31: 181, 32: 193,
+          33: 204, 34: 214, 35: 228, 36: 243, 37: 252, 38: 267, 39: 282,
+          40: 295, 41: 309, 42: 324, 43: 339, 44: 354, 45: 370, 46: 385,
+          47: 399, 48: 423, 49: 435, 50: 453}
 MARGIN = 1e-6      # barycentric interior margin
 
 
 class NodeSolver:
-    def __init__(self, max_degree, wmin=1e-9):
-        self.cell = cl.ufc_simplex(3)
+    def __init__(self, max_degree, wmin=1e-9, dim=3):
+        self.sd = dim
+        self.cell = cl.ufc_simplex(dim)
         self.verts = np.asarray(self.cell.get_vertices())
         self.es = ExpansionSet(self.cell)
         self.wmin = wmin
@@ -58,28 +69,30 @@ class NodeSolver:
         return 5e-14 * max(1.0, (d / 10.0) ** 1.5)
 
     def residual(self, d, theta, want_jac=False):
-        n = len(theta) // 4
-        X = theta[:3 * n].reshape(n, 3)
-        w = theta[3 * n:]
+        sd = self.sd
+        n = len(theta) // (sd + 1)
+        X = theta[:sd * n].reshape(n, sd)
+        w = theta[sd * n:]
         b = self.moments(d)
         if want_jac:
             tabs = self.es._tabulate(d, X, order=1)
-            phi = tabs[(0, 0, 0)][:len(b)]
-            J = np.empty((len(b), 4 * n))
-            for j, a in enumerate(np.eye(3, dtype=int)):
-                J[:, j:3 * n:3] = tabs[tuple(a)][:len(b)] * w
-            J[:, 3 * n:] = phi
+            phi = tabs[(0,) * sd][:len(b)]
+            J = np.empty((len(b), (sd + 1) * n))
+            for j, a in enumerate(np.eye(sd, dtype=int)):
+                J[:, j:sd * n:sd] = tabs[tuple(a)][:len(b)] * w
+            J[:, sd * n:] = phi
             return phi @ w - b, J
         phi = self.es.tabulate(d, X)[:len(b)]
         return phi @ w - b, None
 
     def solve(self, d, X0, w0, max_nfev=None):
+        sd = self.sd
         n = len(w0)
         if max_nfev is None:
             max_nfev = 150 + 6 * d
         theta0 = np.concatenate([X0.reshape(-1), w0])
-        lo = np.concatenate([np.full(3 * n, 0.0), np.full(n, self.wmin)])
-        hi = np.concatenate([np.full(3 * n, 1.0), np.full(n, np.inf)])
+        lo = np.concatenate([np.full(sd * n, 0.0), np.full(n, self.wmin)])
+        hi = np.concatenate([np.full(sd * n, 1.0), np.full(n, np.inf)])
         fun = lambda th: self.residual(d, th)[0]
         jac = lambda th: self.residual(d, th, True)[1]
         try:
@@ -89,8 +102,8 @@ class NodeSolver:
                                 max_nfev=max_nfev)
         except Exception:
             return None
-        X = sol.x[:3 * n].reshape(n, 3)
-        w = sol.x[3 * n:]
+        X = sol.x[:sd * n].reshape(n, sd)
+        w = sol.x[sd * n:]
         if self.verify(d, X, w):
             return X, w
         return None
@@ -130,7 +143,8 @@ def seed_points(solver, d):
     negative rule at its own count; (4) collapsed Gauss."""
     from fiat_tpu.core import symquad_data
     from fiat_tpu.core.symquad import ORBIT_SIZE, expand_rule
-    table = symquad_data.TETRAHEDRON
+    table = (symquad_data.TRIANGLE if solver.sd == 2
+             else symquad_data.TETRAHEDRON)
     # (point count, degree) of every stored rule covering d, smallest
     # first; expand_rule weights already integrate over the UFC tet
     # (volume 1/3! -- the mapping scale is exactly 1 there)
@@ -164,7 +178,7 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
     while len(best[1]) > target and time.time() < deadline:
         X, w = best
         n = len(w)
-        if 4 * (n - 1) < nexp:
+        if (solver.sd + 1) * (n - 1) < nexp:
             log(f"    dof floor reached at {n} pts (nexp {nexp})")
             break
         order = np.argsort(solver.scores(d, X, w))
@@ -173,7 +187,8 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
         def try_remove(q, jit, nfev):
             keep = np.arange(n) != q
             Xt = X[keep] if not jit else np.clip(
-                X[keep] + jit * rng.standard_normal((n - 1, 3)), 0, 1)
+                X[keep] + jit * rng.standard_normal((n - 1, solver.sd)),
+                0, 1)
             return solver.solve(d, Xt,
                                 solver.reseed_weights(d, Xt, w[keep]),
                                 max_nfev=nfev)
@@ -218,29 +233,34 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
     return best
 
 
-def load_table(path):
+_CELL_NAME = {2: "TRIANGLE", 3: "TETRAHEDRON"}
+
+
+def load_table(path, dim=3):
     ns = {}
     if os.path.exists(path):
         with open(path) as f:
             exec(compile(f.read(), path, "exec"), ns)
-    return dict(ns.get("TETRAHEDRON", {}))
+    return dict(ns.get(_CELL_NAME[dim], {}))
 
 
-def emit(table, out_path):
+def emit(table, out_path, dim=3):
+    name = _CELL_NAME[dim]
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
         f.write('"""Generated by tools/gen_quad3d.py -- do not edit.\n\n'
-                "General positive-weight tetrahedron rules: {degree:\n"
+                f"General positive-weight {name.lower()} rules: {{degree:\n"
                 "(barycentric points flattened, weights)}; weights\n"
-                "integrate over the UFC reference tet (sum = 1/d! = 1/6),\n"
+                f"integrate over the UFC reference {name.lower()}\n"
+                f"(sum = 1/d! = 1/{factorial(dim)}),\n"
                 'rescaled by the consumer for other cells."""\n\n')
-        f.write("TETRAHEDRON = {\n")
+        f.write(name + " = {\n")
         for d in sorted(table):
             bary, wts = table[d]
             f.write(f"    {d}: (\n        [")
             f.write(",\n         ".join(
                 ", ".join(repr(float(x)) for x in row)
-                for row in np.asarray(bary).reshape(-1, 4)))
+                for row in np.asarray(bary).reshape(-1, dim + 1)))
             f.write("],\n        [")
             f.write(",\n         ".join(repr(float(x)) for x in wts))
             f.write("],\n    ),\n")
@@ -258,9 +278,13 @@ def main():
     ap.add_argument("--ratio", type=float, default=1.05,
                     help="stop improving a degree once count <= "
                          "ratio * reference")
-    ap.add_argument("--out", default=os.path.join(
-        REPO, "fiat_tpu", "core", "tetquad_data.py"))
+    ap.add_argument("--dim", type=int, default=3, choices=(2, 3))
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = os.path.join(REPO, "fiat_tpu", "core",
+                                {2: "triquad_data.py",
+                                 3: "tetquad_data.py"}[args.dim])
 
     degrees = []
     if args.degrees:
@@ -273,17 +297,18 @@ def main():
     else:
         degrees = list(range(2, args.max_degree + 1))
 
-    solver = NodeSolver(args.max_degree)
-    table = load_table(args.out)
+    solver = NodeSolver(args.max_degree, dim=args.dim)
+    table = load_table(args.out, args.dim)
+    targets = XG_TRI if args.dim == 2 else XG_TET
     from fiat_tpu.core.quadrature import QuadratureRule  # noqa: F401
 
     for d in degrees:
-        target = XG_TET.get(d, 10 ** 9)
+        target = targets.get(d, 10 ** 9)
         have = table.get(d)
         have_n = len(have[1]) if have else None
         X, w = seed_points(solver, d)
         if have_n is not None and have_n <= len(w):
-            bary = np.asarray(have[0]).reshape(-1, 4)
+            bary = np.asarray(have[0]).reshape(-1, args.dim + 1)
             X = bary @ solver.verts
             w = np.asarray(have[1])
         if len(w) <= args.ratio * target:
@@ -302,7 +327,7 @@ def main():
             bary = xy_to_bary(solver.cell.get_vertices(), X)
             table[d] = ([float(x) for x in bary.reshape(-1)],
                         [float(x) for x in w])
-            emit(table, args.out)
+            emit(table, args.out, args.dim)
         flag = "OK" if len(w) <= args.ratio * target else "over"
         print(f"degree {d:3d}: {len(w):4d} pts (reference {target}) "
               f"{flag} [{time.time() - t0:.0f}s]", flush=True)
