@@ -42,22 +42,10 @@ def sharded_tabulate(tabulator, points, mesh, axis="points"):
     return tabulator(points)
 
 
-def _moment_rows(tabulator, points, wf):
-    """sum-factorised moments over every basis row of the fused zoo
-    (plain block + macro side programs, in the tabulator's row layout):
-    contract the (small) expansion table against the points FIRST
-    (2*nexp*npts flops + a psum of one nexp vector), then apply the nodal
-    change of basis (2*rows*nexp) -- instead of materialising the
-    (rows, npts) nodal table.  Associativity = gem's sum_factorise."""
-    base = tabulator._expansion_tables(points)
-    sd = points.shape[-1]
-    phi = base[(0,) * sd]                       # (nexp, npts) point-sharded
-    stacked = jnp.asarray(tabulator.stacked, dtype=points.dtype)
-    parts = [stacked @ (phi @ wf)]
-    for es, deg, flat in tabulator.special_progs:
-        phi_s = es._tabulate(deg, points, order=0)[(0,) * sd]
-        parts.append(jnp.asarray(flat, dtype=points.dtype) @ (phi_s @ wf))
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+# sum-factorised moment contraction, shared with the single-device
+# consumer API (contract the small expansion table against the points
+# FIRST; under sharding the inner reduction is what psums over the mesh)
+from ..ops.moments import moment_rows as _moment_rows  # noqa: E402
 
 
 def make_moment_step(tabulator, mesh, axis="points"):

@@ -552,3 +552,26 @@ def test_fused_zoo_degree_buckets_interpret():
             assert np.allclose(
                 np.asarray(tab[a]).reshape(np.shape(host[a])),
                 np.asarray(host[a]), atol=1e-11), (type(el).__name__, a)
+
+
+def test_zoo_moments_match_explicit_contraction():
+    """ops.moments.zoo_moments computes sum_q w_q phi_i f_q for every
+    row of the zoo (macro side programs included) without building the
+    nodal table; must equal the explicit table contraction."""
+    from fiat_tpu.ops.moments import unpack_moments, zoo_moments
+    from fiat_tpu.core.quadrature_schemes import create_quadrature
+    els = [fe.Lagrange(T, 3), fe.RaviartThomas(T, 2),
+           fe.HsiehCloughTocher(T, 3)]
+    bt = BatchedTabulator(els, order=0)
+    Q = create_quadrature(T, 8)
+    pts = np.asarray(Q.get_points())
+    w = np.asarray(Q.get_weights())
+    f = np.cos(pts[:, 0]) * (1.0 + pts[:, 1])
+    fused = np.asarray(zoo_moments(bt, pts, w, f))
+    explicit = {a: np.asarray(t) for a, t in bt(jnp.asarray(pts)).items()}
+    assert np.allclose(fused, explicit[(0, 0)] @ (w * f), atol=1e-12)
+    per = unpack_moments(bt, fused)
+    for el, m in zip(els, per):
+        tab = el.tabulate(0, pts)[(0, 0)]
+        want = np.tensordot(np.asarray(tab), w * f, axes=(-1, 0))
+        assert np.allclose(m, want, atol=1e-12), type(el).__name__
