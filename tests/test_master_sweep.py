@@ -211,3 +211,53 @@ def test_nodality_sweep():
         I = np.tensordot(V.reshape(n, -1), coeffs.reshape(n, -1),
                          axes=(1, 1))
         assert np.allclose(I, np.eye(n), atol=1e-9), type(el)
+
+
+def test_orientation_tensorproduct_permutations_parity():
+    """TP orientation-permutation composition and reflection maps match
+    the reference (test/FIAT/unit/test_orientation.py oracles, swept
+    over factor maps and cells)."""
+    import itertools
+    import FIAT
+    from FIAT.orientation_utils import (
+        make_entity_permutations_simplex as ref_simplex,
+        make_entity_permutations_tensorproduct as ref_tp)
+    from fiat_tpu.core.orientation import (
+        make_entity_permutations_simplex,
+        make_entity_permutations_tensorproduct)
+    from fiat_tpu.core import cells as cl
+
+    I2 = [cl.ufc_simplex(1), cl.ufc_simplex(1)]
+    R2 = [FIAT.ufc_simplex(1), FIAT.ufc_simplex(1)]
+    for dims in itertools.product((0, 1), repeat=2):
+        for npts in itertools.product((1, 2, 3), repeat=2):
+            maps = [make_entity_permutations_simplex(d, n if d else 1)
+                    for d, n in zip(dims, npts)]
+            rmaps = [ref_simplex(d, n if d else 1)
+                     for d, n in zip(dims, npts)]
+            assert maps == rmaps
+            assert (make_entity_permutations_tensorproduct(
+                        I2, list(dims), maps)
+                    == ref_tp(R2, list(dims), rmaps)), (dims, npts)
+
+
+def test_cell_orientation_reflection_maps_parity():
+    """cell_orientation_reflection_map parity for point/interval/
+    triangle/tet/quad/hex and the TP interval^2 cell."""
+    import FIAT
+    from FIAT.reference_element import (
+        Point as RPoint, UFCQuadrilateral as RQuad,
+        UFCHexahedron as RHex, TensorProductCell as RTP)
+    from fiat_tpu.core import cells as cl
+
+    pairs = [(cl.Point(), RPoint()),
+             (cl.ufc_simplex(1), FIAT.ufc_simplex(1)),
+             (cl.ufc_simplex(2), FIAT.ufc_simplex(2)),
+             (cl.ufc_simplex(3), FIAT.ufc_simplex(3)),
+             (cl.UFCQuadrilateral(), RQuad()),
+             (cl.UFCHexahedron(), RHex()),
+             (cl.TensorProductCell(cl.ufc_simplex(1), cl.ufc_simplex(1)),
+              RTP(FIAT.ufc_simplex(1), FIAT.ufc_simplex(1)))]
+    for mine, ref in pairs:
+        assert (mine.cell_orientation_reflection_map()
+                == ref.cell_orientation_reflection_map()), type(mine)
