@@ -183,3 +183,28 @@ def test_hdiv_trace_errors(dim):
             arr = np.asarray(t)
             assert arr.dtype == object and isinstance(arr.item(),
                                                       TraceError), a
+
+
+@pytest.mark.parametrize("degree", (0, 1, 2))
+def test_hdiv_trace_tensor_product_cell(degree):
+    """Trace element on the TP (interval x interval) cell: per-facet
+    tabulation integrates facet monomials exactly (reference oracle:
+    test/FIAT/unit/test_hdivtrace.py:86 test_quad_trace)."""
+    from fiat_tpu.core.cells import TensorProductCell, ufc_simplex
+    from fiat_tpu.core.quadrature import make_quadrature
+    tpc = TensorProductCell(ufc_simplex(1), ufc_simplex(1))
+    el = fe.HDivTrace(tpc, (degree, degree))
+    q = make_quadrature(ufc_simplex(1), degree + 1)
+    qpts, qwts = np.asarray(q.get_points()), np.asarray(q.get_weights())
+    for i, (edim, eid) in enumerate([((0, 1), 0), ((0, 1), 1),
+                                     ((1, 0), 0), ((1, 0), 1)]):
+        facet_el = el.dg_elements[edim]
+        nf = facet_el.space_dimension()
+        tab = np.asarray(el.tabulate(0, qpts, entity=(edim, eid))
+                         [(0, 0)])[nf * i:nf * (i + 1)]
+        for td in range(degree + 1):
+            coeffs = [float(n(lambda x: x[0] ** td))
+                      for n in facet_el.get_dual_set().get_nodes()]
+            want = np.dot(qpts[:, 0] ** td, qwts)
+            assert np.allclose(coeffs @ (tab @ qwts), want,
+                               rtol=1e-13), (edim, eid, td)
