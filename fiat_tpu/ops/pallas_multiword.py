@@ -89,13 +89,10 @@ class FusedMultiwordMatmul:
                                      ((0, pad), (0, 0)), constant_values=1.0))
         self.batches = _batch_index_sets(order, nslices)
 
-    def _kernel(self, *refs):
-        n = self.nslices
-        a_refs = refs[:n]
-        b_refs = refs[n:2 * n]
-        sa_ref, sb_ref = refs[2 * n], refs[2 * n + 1]
-        hi_ref, lo_ref = refs[2 * n + 2], refs[2 * n + 3]
-
+    def _combine_dots(self, a_vals, b_vals, sa, sb, hi_ref, lo_ref):
+        """Group dots + TwoSum combine over VMEM VALUES (the masked
+        variant builds its b_vals in-kernel, so the body takes arrays,
+        not refs)."""
         # every dot's result joins one TwoSum accumulation chain, so
         # only (s, e) stay live between dots.  Same-quantum 16-bit slice
         # products fit the f32 accumulator exactly only for <= 256-term
@@ -104,8 +101,8 @@ class FusedMultiwordMatmul:
         # partials the TwoSum chain combines error-free.
         dots = []
         for t, idx in enumerate(self.batches):
-            Acat = jnp.concatenate([a_refs[i][:] for i, _ in idx], axis=1)
-            Bcat = jnp.concatenate([b_refs[j][:] for _, j in idx], axis=0)
+            Acat = jnp.concatenate([a_vals[i] for i, _ in idx], axis=1)
+            Bcat = jnp.concatenate([b_vals[j] for _, j in idx], axis=0)
             if Acat.shape[1] > 256:
                 for k0 in range(0, Acat.shape[1], 256):
                     dots.append((t, Acat[:, k0:k0 + 256],
@@ -134,9 +131,18 @@ class FusedMultiwordMatmul:
             bp = tt - s
             e = e + ((s - (tt - bp)) + (acc - bp))
             s = tt
-        scale = sa_ref[:] * sb_ref[:]             # pow2 * pow2: exact in f32
+        scale = sa * sb                           # pow2 * pow2: exact in f32
         hi_ref[:] = s * scale
         lo_ref[:] = e * scale
+
+    def _kernel(self, *refs):
+        n = self.nslices
+        a_refs = refs[:n]
+        b_refs = refs[n:2 * n]
+        sa_ref, sb_ref = refs[2 * n], refs[2 * n + 1]
+        hi_ref, lo_ref = refs[2 * n + 2], refs[2 * n + 3]
+        self._combine_dots([a[:] for a in a_refs], [b[:] for b in b_refs],
+                           sa_ref[:], sb_ref[:], hi_ref, lo_ref)
 
     def apply_pair(self, B_prepared, trim=True):
         """(hi, lo) f32 pair with hi + lo == (A @ B) in the multiword
@@ -199,6 +205,100 @@ class FusedMultiwordMatmul:
         """f64 result (combines the pair with one emulated-f64 add)."""
         hi, lo = self.apply_pair(B_prepared)
         return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+class FusedMaskedMultiword(FusedMultiwordMatmul):
+    """Fused multiword matmul whose B operand is assembled IN VMEM from
+    a shared slice tabulation and per-subcell {0,1} mask rows:
+
+        B rows [off_k, off_k + nexp_k) = mask[m_k] * slices[:nexp_k]
+
+    This is the macro (split-complex) contraction  A @ (mask ⊙ Phi)
+    with the masked, per-cell-expanded B never materialised in HBM --
+    the XLA formulation spent more time relayouting the 12-way
+    concatenation of short bf16 row blocks than the whole kernel takes.
+    Masks are exact in bf16 ({0,1}), and since the binning mask is
+    constant down each point column, mask * slice_k(phi) ==
+    slice_k(mask * phi) at the shared per-point column scale.
+
+    ``pieces``: [(mask_row, nexp_k)] in A-column order (one entry per
+    (program, subcell) block of the merged macro A)."""
+
+    def __init__(self, A, pieces, **kw):
+        super().__init__(A, **kw)
+        self.pieces = list(pieces)
+        assert sum(n for _, n in self.pieces) == self.K
+        self.max_nexp = max(n for _, n in self.pieces)
+
+    def _masked_kernel(self, *refs):
+        n = self.nslices
+        a_refs = refs[:n]
+        s_refs = refs[n:2 * n]
+        m_ref = refs[2 * n]
+        sa_ref, sb_ref = refs[2 * n + 1], refs[2 * n + 2]
+        hi_ref, lo_ref = refs[2 * n + 3], refs[2 * n + 4]
+        b_vals = [jnp.concatenate(
+            [m_ref[m:m + 1, :] * s_refs[j][:nexp, :]
+             for m, nexp in self.pieces], axis=0)
+            for j in range(n)]
+        self._combine_dots([a[:] for a in a_refs], b_vals,
+                           sa_ref[:], sb_ref[:], hi_ref, lo_ref)
+
+    def apply_pair_masked(self, slices, sB, masks, trim=True):
+        """(hi, lo) f32 pair of A @ B with B assembled in-kernel.
+
+        :arg slices: shared bf16 slice tabulation, each (>= max piece
+            nexp, npts) -- leading rows are taken per piece.
+        :arg sB: (1, npts) f32 shared per-point column scale.
+        :arg masks: (n_mask_rows, npts) {0,1} (any float dtype)."""
+        npts = sB.shape[-1]
+        T = self.point_tile
+        tpad = -(-npts // T) * T
+        pad = tpad - npts
+        S = [jnp.pad(s[:self.max_nexp].astype(jnp.bfloat16),
+                     ((0, 0), (0, pad))) for s in slices]
+        M = jnp.pad(masks.astype(jnp.bfloat16), ((0, 0), (0, pad)))
+        sBp = jnp.pad(sB.astype(jnp.float32), ((0, 0), (0, pad)),
+                      constant_values=1.0)
+
+        Rb = self.row_block
+        grid = (self.rpad // Rb, tpad // T)
+        K = self.K
+
+        a_spec = pl.BlockSpec((Rb, K), lambda r, t: (r, t * 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((self.max_nexp, T), lambda r, t: (r * 0, t),
+                              memory_space=pltpu.VMEM)
+        m_spec = pl.BlockSpec((M.shape[0], T), lambda r, t: (r * 0, t),
+                              memory_space=pltpu.VMEM)
+        sa_spec = pl.BlockSpec((Rb, 1), lambda r, t: (r, t * 0),
+                               memory_space=pltpu.VMEM)
+        sb_spec = pl.BlockSpec((1, T), lambda r, t: (r * 0, t),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((Rb, T), lambda r, t: (r, t),
+                                memory_space=pltpu.VMEM)
+
+        npairs = sum(len(idx) for idx in self.batches)
+        hi, lo = pl.pallas_call(
+            self._masked_kernel,
+            grid=grid,
+            in_specs=[a_spec] * self.nslices + [s_spec] * self.nslices
+            + [m_spec, sa_spec, sb_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32),
+                       jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32)),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * self.rpad * tpad * K * npairs,
+                bytes_accessed=(2 * self.max_nexp * self.nslices
+                                + 2 * M.shape[0]) * tpad * grid[0]
+                + 2 * self.rpad * K * self.nslices + 8 * self.rpad * tpad,
+                transcendentals=0,
+            ),
+        )(*self.A_slices, *S, M, self.sA, sBp)
+        if not trim:
+            return hi, lo
+        return hi[:self.rows, :npts], lo[:self.rows, :npts]
 
 
 def _plan_buckets(widths_rows, nalpha, order, nslices, align):
@@ -372,10 +472,75 @@ class FusedZooTabulator:
                 except NotImplementedError:
                     pass
             self.macro_fms.append((fm, ff_ok, rec))
+        self._build_macro_merged(batched, interpret, kw)
         self._jit_pairs = jax.jit(self._pairs)
         self._jit_f64 = jax.jit(self._f64)
         self._jit_blocks = jax.jit(self._f64_blocks)
         self._jit_pair_blocks = jax.jit(self._pair_blocks)
+
+    def _build_macro_merged(self, batched, interpret, kw):
+        """Merge ALL macro side programs into ONE masked fused kernel
+        riding the zoo's shared slice recurrence: the per-program
+        pipelines (own parent recurrence + HBM-materialised masked B +
+        own kernel launch) dominated the macro zoos (measured 3.2 of
+        3.8 ms on the C1 zoo); the merged kernel reads the shared
+        prefix slices + one {0,1} mask matrix and assembles B in VMEM.
+
+        A macro program's parent basis rows are the leading
+        nexp(degree_p) rows of the shared recurrence output (same
+        hierarchical Dubiner basis, same per-point column scale) --
+        exactly the prefix property the degree buckets already use."""
+        self.macro_merged = None
+        self._macro_rec = None
+        progs = getattr(batched, "macro_programs", None) or ()
+        if not progs:
+            return
+        t_es = batched.target_es
+        ok = all(type(p.parent_es) is type(t_es)
+                 and p.parent_es.variant is None
+                 and p.es.ref_el.get_parent() == batched.ref_el
+                 for p in progs)
+        if not ok:
+            return
+        rec_deg = max(p.degree for p in progs)
+        # degree-dependent normalisation (the degree-0 "exactly 1"
+        # quirk) would break prefix reuse across scales
+        if float(np.asarray(t_es.get_scale(rec_deg))) != float(
+                np.asarray(t_es.get_scale(batched.max_degree))):
+            return
+        # a DEDICATED low-degree recurrence when the zoo's plain degree
+        # exceeds the macro degree: the shared per-point column scale is
+        # max|phi| over ALL rows, so quantising a degree-1 macro basis
+        # at a degree-10 zoo's scale costs ~2.5 digits (measured on
+        # Johnson-Mercier: 1.4e-13 -> 5.2e-11); the small recurrence is
+        # ~0.1 ms and keeps the macro pair budget at its own scale
+        if rec_deg != batched.max_degree:
+            from .doublefloat import supports_ff
+            if not (supports_ff(t_es) and not interpret):
+                return
+            from .pallas_recurrence import PallasSliceRecurrence
+            try:
+                self._macro_rec = PallasSliceRecurrence(
+                    t_es, rec_deg, nslices=self.fm.nslices)
+            except NotImplementedError:
+                return
+        rows_t = sum(p.tall.shape[0] for p in progs)
+        K_t = sum(p.K for p in progs)
+        A = np.zeros((rows_t, K_t))
+        pieces, self._merged_rows = [], []
+        r0 = c0 = mrow = 0
+        for p in progs:
+            ratio = float(np.asarray(p.parent_es.get_scale(p.degree))
+                          / np.asarray(t_es.get_scale(rec_deg)))
+            A[r0:r0 + p.tall.shape[0], c0:c0 + p.K] = ratio * p.tall
+            for _c in p.cells:
+                pieces.append((mrow, p.nexp_parent))
+                mrow += 1
+            self._merged_rows.append((p, r0, r0 + p.tall.shape[0]))
+            r0 += p.tall.shape[0]
+            c0 += p.K
+        self.macro_merged = FusedMaskedMultiword(A, pieces,
+                                                 interpret=interpret, **kw)
 
     def _phi(self, points):
         from .tabulate import _tiled_apply
@@ -443,15 +608,56 @@ class FusedZooTabulator:
         prep = _tiled_apply(body, points, b.tile)
         return ([prep[f"s{i:02d}"] for i in range(n)], prep["scale"]), None
 
-    def _specials(self, points):
-        """Macro side tables {alpha: [blocks]}: each grouped dmats side
-        program runs through its own fused multiword kernel (B prepared
-        tile-by-tile so the parent recurrence keeps a bounded working
-        set); programs without the grouped form fall back to the traced
-        per-element engine."""
+    def _specials_merged(self, points, prepared):
+        """Per-element macro tables off the ONE merged masked kernel:
+        binning masks for every program's complex stack into one {0,1}
+        matrix; B assembles in VMEM from the shared slice prefixes."""
+        from ..core.expansions import partition_of_unity_masks
+        b = self.batched
+        if self._macro_rec is not None and points.dtype == jnp.float64:
+            slices, sB = self._macro_rec._apply(points)
+        else:
+            slices, sB = prepared
+        mask_rows, recips = [], []
+        for p in b.macro_programs:
+            unique = p.es.continuity is not None and b.order == 0
+            masks, total = partition_of_unity_masks(
+                p.es.ref_el, points, unique=unique, raw=True)
+            mask_rows.extend(masks[pos] for pos, _c in enumerate(p.cells))
+            recips.append(None if total is None
+                          else 1.0 / total.astype(jnp.float64))
+        M = jnp.stack(mask_rows)
+        hi, lo = self.macro_merged.apply_pair_masked(slices, sB, M)
+        out = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        per_elem = {}
+        for (prog, r0, r1), recip in zip(self._merged_rows, recips):
+            o = out[r0:r1]
+            if recip is not None:
+                # exact rational multiplicity averaging in f64
+                o = o * recip
+            r = prog.rows
+            tabs = {a: o[k * r:(k + 1) * r]
+                    for k, a in enumerate(prog.alphas)}
+            for idx, lo_, hi_ in prog.row_slices:
+                per_elem[idx] = {a: tabs[a][lo_:hi_] for a in self.alphas}
+        return {a: [per_elem[i][a] for i, _e in b.special]
+                for a in self.alphas}
+
+    def _specials(self, points, prepared=None):
+        """Macro side tables {alpha: [blocks]}: one merged masked kernel
+        when the programs share the zoo's parent basis (the fast path),
+        else each grouped dmats side program runs through its own fused
+        multiword kernel; programs without the grouped form fall back
+        to the traced per-element engine."""
         b = self.batched
         parts = {a: [] for a in self.alphas}
         if getattr(b, "macro_programs", None):
+            if self.macro_merged is not None and (
+                    (self._macro_rec is not None
+                     and points.dtype == jnp.float64)
+                    or (prepared is not None and prepared[0][0].shape[0]
+                        >= self.macro_merged.max_nexp)):
+                return self._specials_merged(points, prepared)
             per_elem = {}
             for (fm, ff_ok, rec), prog in zip(self.macro_fms,
                                               b.macro_programs):
@@ -478,17 +684,22 @@ class FusedZooTabulator:
                 parts[alpha].append(C @ base[alpha])
         return parts
 
-    def _padded_pairs(self, points):
+    def _prepared(self, points):
+        """The shared slice tabulation (slices, sB) feeding every bucket
+        kernel AND the merged macro kernel."""
+        from .doublefloat import prepare_B_ff
+        if self._slice_rec is not None and points.dtype == jnp.float64:
+            return self._slice_rec._apply(points)
+        elif self._ff_ok and points.dtype == jnp.float64:
+            return prepare_B_ff(self._phi_pair(points))
+        return prepare_B(self._phi(points))
+
+    def _padded_pairs(self, points, prepared=None):
         """{alpha: [per-bucket padded (hi, lo)]} off the fused kernels.
         One slice-recurrence pass feeds every bucket: bucket K_b takes
         the leading K_b slice rows (shared per-point column scale)."""
-        from .doublefloat import prepare_B_ff
-        if self._slice_rec is not None and points.dtype == jnp.float64:
-            slices, sB = self._slice_rec._apply(points)
-        elif self._ff_ok and points.dtype == jnp.float64:
-            slices, sB = prepare_B_ff(self._phi_pair(points))
-        else:
-            slices, sB = prepare_B(self._phi(points))
+        slices, sB = (self._prepared(points) if prepared is None
+                      else prepared)
         out = {a: [] for a in self.alphas}
         for bucket in self.buckets:
             Bp = ([s[:bucket.K] for s in slices], sB)
@@ -497,7 +708,7 @@ class FusedZooTabulator:
                 out[a].append(pair)
         return out
 
-    def _plain_f64_blocks(self, points):
+    def _plain_f64_blocks(self, points, prepared=None):
         """{alpha: [per-bucket f64 block]}, trimmed; the slice-then-
         convert fuses the trim into the f32->f64 promote, so the padded
         kernel outputs cross HBM exactly once."""
@@ -505,7 +716,8 @@ class FusedZooTabulator:
         return {a: [h[:b.rows, :npts].astype(jnp.float64)
                     + l[:b.rows, :npts].astype(jnp.float64)
                     for b, (h, l) in zip(self.buckets, pairs)]
-                for a, pairs in self._padded_pairs(points).items()}
+                for a, pairs in self._padded_pairs(points,
+                                                   prepared).items()}
 
     def _gather_plain(self, blocks_a):
         """Per-bucket blocks -> one (plain_rows, npts) array in the
@@ -523,7 +735,7 @@ class FusedZooTabulator:
         """{alpha: (hi, lo)} trimmed, in stacked row order."""
         npts = points.shape[0]
         out = {}
-        for a, pairs in self._padded_pairs(points).items():
+        for a, pairs in self._padded_pairs(points, None).items():
             his = [h[:b.rows, :npts] for b, (h, _) in zip(self.buckets,
                                                           pairs)]
             los = [l[:b.rows, :npts] for b, (_, l) in zip(self.buckets,
@@ -533,10 +745,12 @@ class FusedZooTabulator:
 
     def _f64(self, points):
         """Concatenated {alpha: (rows, npts)} matching batched(points)."""
+        prepared = self._prepared(points)
         out = {a: self._gather_plain(blocks)
-               for a, blocks in self._plain_f64_blocks(points).items()}
+               for a, blocks in self._plain_f64_blocks(points,
+                                                       prepared).items()}
         if self.batched.special_progs:
-            specials = self._specials(points)
+            specials = self._specials(points, prepared)
             out = {a: jnp.concatenate([out[a]] + specials[a], axis=0)
                    for a in out}
         return out
@@ -547,9 +761,10 @@ class FusedZooTabulator:
         round-trip of every table, and consumers (unpack, moments) are
         block-agnostic; the reference likewise emits per-element arrays
         (FIAT/finite_element.py:181), never a fused concatenation."""
-        out = self._plain_f64_blocks(points)
+        prepared = self._prepared(points)
+        out = self._plain_f64_blocks(points, prepared)
         if self.batched.special_progs:
-            for a, blocks in self._specials(points).items():
+            for a, blocks in self._specials(points, prepared).items():
                 out[a].extend(blocks)
         return out
 
@@ -561,10 +776,12 @@ class FusedZooTabulator:
         ``unpack`` trims).  TPU consumers should prefer this surface:
         f64 arithmetic is emulated on TPU, so a downstream moment or
         interpolation contraction is cheaper on the pair too."""
+        prepared = self._prepared(points)
         out = {a: list(pairs)
-               for a, pairs in self._padded_pairs(points).items()}
+               for a, pairs in self._padded_pairs(points,
+                                                  prepared).items()}
         if self.batched.special_progs:
-            for a, blocks in self._specials(points).items():
+            for a, blocks in self._specials(points, prepared).items():
                 out[a].extend(blocks)
         return out
 

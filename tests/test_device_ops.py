@@ -347,6 +347,60 @@ def test_fused_zoo_macro_side_programs_interpret():
                                host[a], atol=1e-10), (type(el).__name__, a)
 
 
+def test_fused_masked_multiword_matches_explicit_B():
+    """FusedMaskedMultiword (B assembled in VMEM from shared slice
+    prefixes x {0,1} mask rows) equals the plain fused kernel on the
+    explicitly masked, per-cell-expanded B."""
+    from fiat_tpu.ops.multiword import prepare_B
+    from fiat_tpu.ops.pallas_multiword import (FusedMaskedMultiword,
+                                               FusedMultiwordMatmul)
+    rng = np.random.default_rng(7)
+    nexp, npts = 10, 300
+    pieces = [(0, 10), (1, 10), (2, 6), (3, 6), (4, 6)]
+    K = sum(n for _, n in pieces)
+    A = rng.standard_normal((24, K))
+    phi = rng.standard_normal((nexp, npts))
+    masks = (rng.random((5, npts)) < 0.5).astype(np.float64)
+
+    fm = FusedMaskedMultiword(A, pieces, interpret=True,
+                              row_block=256, point_tile=256)
+    slices, sB = prepare_B(jnp.asarray(phi), fm.nslices)
+    hi, lo = jax.jit(lambda s, c, m: fm.apply_pair_masked(s, c, m))(
+        slices, sB, jnp.asarray(masks))
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+    B = np.vstack([masks[m] * phi[:n] for m, n in pieces])
+    ref = FusedMultiwordMatmul(A, interpret=True, row_block=256,
+                               point_tile=256)
+    hi2, lo2 = jax.jit(lambda b: ref.apply_pair(prepare_B(b, ref.nslices)))(
+        jnp.asarray(B))
+    want = np.asarray(hi2, np.float64) + np.asarray(lo2, np.float64)
+    assert np.allclose(got, want, atol=1e-13)
+    assert np.allclose(got, A @ B, atol=1e-9 * np.abs(A @ B).max())
+
+
+def test_fused_zoo_merged_macro_matches_per_program_interpret():
+    """The merged masked macro kernel and the per-program fallback give
+    identical element tables (same zoo, merged toggled off)."""
+    from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+    els = [fe.Lagrange(T, 3), fe.HsiehCloughTocher(T, 3),
+           fe.QuadraticPowellSabin6(T)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, row_block=256,
+                           point_tile=256)
+    assert fz.macro_merged is not None
+    pts = jnp.asarray(RNG.random((90, 2)) / 2)
+    merged = {a: [np.asarray(x) for x in v]
+              for a, v in fz.block_tables(pts).items()}
+    fz.macro_merged = None
+    fz._jit_blocks = jax.jit(fz._f64_blocks)
+    perprog = {a: [np.asarray(x) for x in v]
+               for a, v in fz.block_tables(pts).items()}
+    for a in perprog:
+        for x, y in zip(merged[a], perprog[a]):
+            assert np.allclose(x, y, atol=1e-12), a
+
+
 def test_fused_zoo_block_tables_interpret():
     """block_tables + FusedZooTabulator.unpack match the concatenated
     layout and the host tabulation (incl. macro side programs)."""
