@@ -39,9 +39,21 @@ from .doublefloat import (FF, ff_add, ff_mul, ff_scale_pow2, ff_sub,
 def _pack_stage_ff(dim, n, codim):
     """Host-packed ff recurrence data of one codim stage:
     (coeff columns [hi|lo interleaved], selection matrix P {0,1},
-    norms (m_out, 2) [hi, lo])."""
+    norms (m_out, 2) [hi, lo], per-level row needs).
+
+    The stage input is GRADED (morton rank is degree-major), so level i
+    (trailing index i) only contributes outputs whose prefix multiindex
+    sums to <= n - i: only the leading ``need[i]`` input rows are ever
+    selected.  Trimming the levels to those prefixes cuts the ff
+    recurrence work ~(n+1)*m_in/m_out-fold (2.45x on the degree-8 tet
+    stage), shrinks the candidate stack (bigger VMEM tiles), and turns
+    P into a square permutation."""
+    from ..core.expansions import _stage_multiindices
     a1, b1, general, perm, norms = _stage_constants(dim, n, codim, None)
     m_in = a1.shape[0]
+    subs = _stage_multiindices(codim, n, dim)
+    need = [sum(1 for s in subs if sum(s) <= n - i) for i in range(n + 1)]
+    offs = np.concatenate([[0], np.cumsum(need)])
 
     def hilo(x):
         x = np.asarray(x, dtype=np.float64)
@@ -54,11 +66,15 @@ def _pack_stage_ff(dim, n, codim):
         for arr in general[i]:
             cols.extend(hilo(arr))
     packed = np.concatenate(cols, axis=1)
-    ncand = (n + 1) * m_in if n >= 1 else m_in
+    ncand = int(offs[-1]) if n >= 1 else m_in
+    # remap the (level * m_in + row) gather into the trimmed layout
+    lev, row = perm // m_in, perm % m_in
+    assert np.all(row < np.asarray(need)[lev])
+    tperm = offs[lev] + row
     P = np.zeros((len(perm), ncand), dtype=np.float32)
-    P[np.arange(len(perm)), perm] = 1.0
+    P[np.arange(len(perm)), tperm] = 1.0
     nh, nl = hilo(norms[:, 0])
-    return packed, P, np.stack([nh, nl], axis=1)
+    return packed, P, np.stack([nh, nl], axis=1), need
 
 
 def _ff_mul_c(ch, cl, x):
@@ -67,10 +83,12 @@ def _ff_mul_c(ch, cl, x):
     return ff_mul(FF(ch, cl), x)
 
 
-def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs):
+def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs, needs):
     """Trace the df32 Dubiner recurrence + fixed-window slice split
     inside a Pallas kernel body: returns (list of bf16 slice VALUES
-    (nexp, T), f32 column scale (1, T)).
+    (nexp, T), f32 column scale (1, T)).  ``needs``: per-stage
+    per-level row prefixes (see _pack_stage_ff) -- level i only runs on
+    the input rows that can still reach a valid (sum <= n) member.
 
     (A fully-fused one-shot variant -- recurrence + group dots +
     combine in one kernel with A resident -- measured NO faster than
@@ -104,20 +122,29 @@ def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs):
         pk = stage_refs[3 * codim][:]
         P = stage_refs[3 * codim + 1][:]
         norms = stage_refs[3 * codim + 2][:]
-        a1 = FF(pk[:, 0:1], pk[:, 1:2])
-        b1 = FF(pk[:, 2:3], pk[:, 3:4])
+        need = needs[codim]
+
+        def cut(ff_arr, k):
+            return (ff_arr if ff_arr.hi.shape[0] == k
+                    else FF(ff_arr.hi[:k], ff_arr.lo[:k]))
+
         levels = [R]
         if n >= 1:
+            k = need[1]
+            a1 = FF(pk[:k, 0:1], pk[:k, 1:2])
+            b1 = FF(pk[:k, 2:3], pk[:k, 3:4])
             u = ff_sub(ff_mul(a1, fa), ff_mul(b1, fb))
-            levels.append(ff_mul(u, R))
+            levels.append(ff_mul(u, cut(R, k)))
         for i in range(2, n + 1):
+            k = need[i]
             o = 4 + 6 * (i - 2)
-            a = FF(pk[:, o:o + 1], pk[:, o + 1:o + 2])
-            b = FF(pk[:, o + 2:o + 3], pk[:, o + 3:o + 4])
-            c = FF(pk[:, o + 4:o + 5], pk[:, o + 5:o + 6])
+            a = FF(pk[:k, o:o + 1], pk[:k, o + 1:o + 2])
+            b = FF(pk[:k, o + 2:o + 3], pk[:k, o + 3:o + 4])
+            c = FF(pk[:k, o + 4:o + 5], pk[:k, o + 5:o + 6])
             u = ff_sub(ff_mul(a, fa), ff_mul(b, fb))
-            levels.append(ff_sub(ff_mul(u, levels[-1]),
-                                 ff_mul(ff_mul(c, fc), levels[-2])))
+            levels.append(ff_sub(ff_mul(u, cut(levels[-1], k)),
+                                 ff_mul(ff_mul(c, fc),
+                                        cut(levels[-2], k))))
         big_hi = jnp.concatenate([L.hi for L in levels], axis=0)
         big_lo = jnp.concatenate([L.lo for L in levels], axis=0)
         # exact permutation: each P row has ONE unit entry, so the
@@ -184,7 +211,8 @@ class PallasSliceRecurrence:
         stage_refs, out_refs = rest[:-self.nslices - 1], rest[-self.nslices - 1:]
         slice_refs, sB_ref = out_refs[:-1], out_refs[-1]
         slices, sB = emit_slices(self.sd, self.degree, self.scale,
-                                 self.nslices, hi_ref, lo_ref, stage_refs)
+                                 self.nslices, hi_ref, lo_ref, stage_refs,
+                                 [st[3] for st in self.stages])
         for i in range(self.nslices):
             slice_refs[i][:] = slices[i]
         sB_ref[:] = sB
@@ -195,8 +223,7 @@ class PallasSliceRecurrence:
         stacks double the f32 engine's live set, and the slice outputs
         add nslices bf16 rows."""
         budget = 6 * 1024 * 1024
-        ncand = max((self.degree + 1) * pk.shape[0]
-                    for pk, _, _ in self.stages)
+        ncand = max(sum(need) for _pk, _P, _n, need in self.stages)
         per_point = 4 * (2 * 3 * ncand              # ff levels + big
                          + 2 * self.nexp            # selected pair
                          + 2 * self.sd * 2) \
@@ -227,7 +254,7 @@ class PallasSliceRecurrence:
                                 memory_space=pltpu.VMEM)
         in_specs = [pts_spec, pts_spec]
         operands = [hi, lo]
-        for pk, P, norms in self.stages:
+        for pk, P, norms, _need in self.stages:
             for arr in (pk, P, norms):
                 in_specs.append(full(arr))
                 operands.append(jnp.asarray(arr))
