@@ -61,6 +61,20 @@ class NodeSolver:
         Q = make_quadrature(self.cell, max_degree // 2 + 2)
         self._b_full = self.es.tabulate(max_degree, Q.get_points()) \
             @ Q.get_weights()
+        # affine barycentric map bary = A x + c for the interior
+        # penalty: the trf box bounds only encode 0 <= x_i <= 1, not
+        # sum(x) <= 1, so converged solutions can park points just
+        # outside the simplex (measured: deg-11 repair hits residual
+        # 2e-16 with 6 points at bary -1.5e-2).  The moment system is
+        # underdetermined ((sd+1)n dofs vs nexp rows), so interior
+        # solutions exist on the same manifold; a smooth squared-hinge
+        # on each barycentric coordinate steers onto them.
+        # bary solves [V^T; 1^T] bary = [x; 1]
+        T = np.linalg.inv(np.vstack([self.verts.T, np.ones(self.sd + 1)]))
+        self._bary_A = T[:, :self.sd]          # (sd+1, sd)
+        self._bary_c = T[:, self.sd]           # (sd+1,)
+        self.pen_margin = 5e-3                  # start pushing inside here
+        self.pen_scale = 0.3
 
     def moments(self, d):
         return self._b_full[:self.es.get_num_members(d)]
@@ -74,16 +88,29 @@ class NodeSolver:
         X = theta[:sd * n].reshape(n, sd)
         w = theta[sd * n:]
         b = self.moments(d)
+        # interior penalty rows: one squared hinge per (point, bary
+        # coordinate); C^1-smooth, zero (with zero jacobian) for any
+        # point deeper inside than pen_margin, so exactness rows alone
+        # define the solution there
+        bary = X @ self._bary_A.T + self._bary_c
+        gap = np.maximum(self.pen_margin - bary, 0.0)     # (n, sd+1)
+        pen = self.pen_scale * gap.reshape(-1) ** 2
         if want_jac:
             tabs = self.es._tabulate(d, X, order=1)
             phi = tabs[(0,) * sd][:len(b)]
-            J = np.empty((len(b), (sd + 1) * n))
+            J = np.zeros((len(b) + (sd + 1) * n, (sd + 1) * n))
             for j, a in enumerate(np.eye(sd, dtype=int)):
-                J[:, j:sd * n:sd] = tabs[tuple(a)][:len(b)] * w
-            J[:, sd * n:] = phi
-            return phi @ w - b, J
+                J[:len(b), j:sd * n:sd] = tabs[tuple(a)][:len(b)] * w
+            J[:len(b), sd * n:] = phi
+            dpen = -2.0 * self.pen_scale * gap                # (n, sd+1)
+            for q in range(n):
+                rows = slice(len(b) + q * (sd + 1),
+                             len(b) + (q + 1) * (sd + 1))
+                J[rows, q * sd:(q + 1) * sd] = \
+                    dpen[q][:, None] * self._bary_A
+            return np.concatenate([phi @ w - b, pen]), J
         phi = self.es.tabulate(d, X)[:len(b)]
-        return phi @ w - b, None
+        return np.concatenate([phi @ w - b, pen]), None
 
     def solve(self, d, X0, w0, max_nfev=None):
         sd = self.sd
@@ -113,7 +140,9 @@ class NodeSolver:
         if bary.min() < MARGIN or w.min() <= 0:
             return False
         r, _ = self.residual(d, np.concatenate([X.reshape(-1), w]))
-        return np.abs(r).max() < self.tol(d)
+        # moment rows only: a verified rule may keep points shallower
+        # than pen_margin (nonzero penalty) as long as they are inside
+        return np.abs(r[:len(self.moments(d))]).max() < self.tol(d)
 
     def reseed_weights(self, d, X, w):
         """Nonnegative least-squares refit of the weights at fixed
