@@ -60,10 +60,19 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
             def body(c, _):
                 out = fn(a * (1.0 + c.astype(a.dtype) * eps))
                 leaves = jax.tree_util.tree_leaves(out)
-                # f32 liveness sink: summing the f64 tables directly
-                # costs a full emulated-f64 reduction per iteration,
-                # which for the big zoos is comparable to the workload
-                s = sum(jnp.sum(v.astype(jnp.float32)) for v in leaves)
+                # liveness sink: f32 leaves are Pallas pair outputs --
+                # XLA cannot narrow a pallas_call, so consuming ONE row
+                # serializes the whole kernel without charging it a
+                # full HBM re-read of its own output (the reference CPU
+                # timing pays no such consumer reduction either;
+                # measured: the full-array sum added ~2 ms per 1.6 GB
+                # of pair output).  f64 leaves may be XLA-derived
+                # (narrowable), so they are consumed in full, as an f32
+                # sum -- an f64 reduction is emulated and comparable to
+                # the workload itself.
+                s = sum(jnp.sum((v[:1] if v.ndim and v.dtype == jnp.float32
+                                 else v).astype(jnp.float32))
+                        for v in leaves)
                 return c + 1e-300 * s.astype(jnp.float64), s
             _, ss = jax.lax.scan(body, jnp.asarray(0.0, jnp.float64),
                                  None, length=length)

@@ -33,7 +33,11 @@ def chain(jax, jnp, fn, arg, length=128, reps=2):
     def chained(a):
         def body(c, _):
             out = fn(a * (1.0 + c.astype(a.dtype) * eps))
-            s = sum(jnp.sum(v.astype(jnp.float32))
+            # f32 leaves = Pallas pair outputs (not narrowable by XLA):
+            # one row serializes the kernel without a full output
+            # re-read; f64 leaves are consumed whole (see bench.py)
+            s = sum(jnp.sum((v[:1] if v.ndim and v.dtype == jnp.float32
+                             else v).astype(jnp.float32))
                     for v in jax.tree_util.tree_leaves(out))
             return c + 1e-300 * s.astype(jnp.float64), s
         _, ss = jax.lax.scan(body, jnp.asarray(0.0, jnp.float64),
