@@ -100,15 +100,33 @@ class FusedMultiwordMatmul:
         # (t+1)*K columns) splits into <= 256-column chunks whose
         # partials the TwoSum chain combines error-free.
         dots = []
+        tail_parts = []
         for t, idx in enumerate(self.batches):
             Acat = jnp.concatenate([a_vals[i] for i, _ in idx], axis=1)
             Bcat = jnp.concatenate([b_vals[j] for _, j in idx], axis=0)
+            if t >= self.TAIL:
+                # tail groups join the chain through plain f32 adds (see
+                # below), so the 256-column exactness chunking buys them
+                # nothing: merge ALL tail groups into one concatenated
+                # dot with wide (1024) chunks -- the in-dot f32
+                # accumulation rounds at ~2^-24 of the tail's OWN
+                # magnitude (<= 2^(-8*TAIL) of the result), the same
+                # budget the plain adds already spend.  Cuts the
+                # MXU-call + VPU-pass count ~40% at the default order.
+                tail_parts.append((Acat, Bcat))
+                continue
             if Acat.shape[1] > 256:
                 for k0 in range(0, Acat.shape[1], 256):
                     dots.append((t, Acat[:, k0:k0 + 256],
                                  Bcat[k0:k0 + 256, :]))
             else:
                 dots.append((t, Acat, Bcat))
+        if tail_parts:
+            Acat = jnp.concatenate([a for a, _ in tail_parts], axis=1)
+            Bcat = jnp.concatenate([b for _, b in tail_parts], axis=0)
+            for k0 in range(0, Acat.shape[1], 1024):
+                dots.append((self.TAIL, Acat[:, k0:k0 + 1024],
+                             Bcat[k0:k0 + 1024, :]))
         # groups t >= TAIL are <= 2^(-8*TAIL) of the leading magnitude:
         # plain f32 adds there round at <= 2^-24 of their OWN size, i.e.
         # ~2^-(24 + 8*TAIL) of the result -- far below the pair budget --
