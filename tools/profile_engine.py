@@ -122,9 +122,40 @@ def main():
         t = chain(jax, jnp, fz._specials, pts) - floor
         print(f"[{which}] macro specials     {t:8.3f} ms "
               f"({len(fz.macro_fms)} programs)")
+        if fz._macro_rec is not None:
+            t = chain(jax, jnp, fz._macro_rec._apply, pts) - floor
+            print(f"[{which}] macro recurrence   {t:8.3f} ms "
+                  f"(dedicated, nexp {fz._macro_rec.nexp})")
+        if fz.macro_merged is not None:
+            from fiat_tpu.core.expansions import partition_of_unity_masks
 
+            def masks_only(q):
+                outs = []
+                for prog in bt.macro_programs:
+                    unique = (prog.es.continuity is not None
+                              and bt.order == 0)
+                    m, _tot = partition_of_unity_masks(
+                        prog.es.ref_el, q, unique=unique, raw=True)
+                    outs.append(jnp.stack(
+                        [m[pos] for pos, _c in enumerate(prog.cells)]))
+                return outs
+            t = chain(jax, jnp, masks_only, pts) - floor
+            print(f"[{which}] binning masks      {t:8.3f} ms")
+
+            def merged_only(q):
+                sl, sB = (fz._macro_rec._apply(q)
+                          if fz._macro_rec is not None
+                          else fz._prepared(q))
+                M = jnp.concatenate(masks_only(q), axis=0)
+                return fz.macro_merged.apply_pair_masked(sl, sB, M)
+            t = chain(jax, jnp, merged_only, pts) - floor
+            print(f"[{which}] rec+masks+merged   {t:8.3f} ms "
+                  f"(K {fz.macro_merged.K}, rpad {fz.macro_merged.rpad})")
+
+    t = chain(jax, jnp, fz._pair_blocks, pts) - floor
+    print(f"[{which}] FULL _pair_blocks  {t:8.3f} ms (default surface)")
     t = chain(jax, jnp, fz._f64_blocks, pts) - floor
-    print(f"[{which}] FULL _f64_blocks   {t:8.3f} ms")
+    print(f"[{which}] FULL _f64_blocks   {t:8.3f} ms (promoted)")
 
 
 if __name__ == "__main__":
