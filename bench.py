@@ -400,6 +400,49 @@ def probe_device(max_wait=1500, attempt_timeout=150):
         backoff = min(backoff * 2, 180)
 
 
+def _pause_generators():
+    """SIGSTOP background quadrature-generator chains for the duration of
+    the bench, SIGCONT at exit.  The host has one CPU core: a running
+    tools/gen_symquad.py / tools/gen_quad3d.py chain inflates the
+    reference-CPU timing (and the TPU host-dispatch path) and corrupts
+    vs_baseline.  Pausing (not killing) lets the chains resume exactly
+    where they were once the bench finishes."""
+    import atexit
+    import signal
+    me = os.getpid()
+    paused = []
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return
+    for pid_s in pids:
+        pid = int(pid_s)
+        if pid == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "gen_quad3d.py" in cmd or "gen_symquad.py" in cmd:
+            try:
+                os.kill(pid, signal.SIGSTOP)
+                paused.append(pid)
+            except OSError:
+                pass
+    if paused:
+        sys.stderr.write(f"[bench] paused generator pid(s) {paused} "
+                         "for the duration of the bench\n")
+
+        def _resume():
+            for pid in paused:
+                try:
+                    os.kill(pid, signal.SIGCONT)
+                except OSError:
+                    pass
+        atexit.register(_resume)
+
+
 def _cpu_fallback(reason):
     """Re-exec this bench on the CPU XLA backend when the TPU tunnel is
     unreachable.  The child's JSON is explicitly labelled degraded — a
@@ -418,6 +461,7 @@ def _cpu_fallback(reason):
 
 
 def main():
+    _pause_generators()
     import jax
     if os.environ.get("JAX_PLATFORMS"):  # CPU smoke runs (see _PROBE_SRC)
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
@@ -604,6 +648,7 @@ def mesh_main(n_devices):
     tabulate/moment steps on an N-virtual-device CPU mesh, with the
     collective inventory asserted from the compiled HLO (tabulation
     must be collective-free; moments exactly one all-reduce)."""
+    _pause_generators()
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count"
