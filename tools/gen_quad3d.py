@@ -247,6 +247,30 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
             best = improved
             hops = 0
             continue
+        # removal stalled: try merging the closest pairs -- both points
+        # collapse to their weighted centroid (weight sum), a different
+        # escape move that succeeds when no single point is removable
+        # but a local cluster is over-resolved
+        D = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=-1)
+        iu = np.triu_indices(n, k=1)
+        close = np.argsort(D[iu])[:6]
+        for k in close:
+            if time.time() > deadline:
+                break
+            i, j = iu[0][k], iu[1][k]
+            keep = (np.arange(n) != i) & (np.arange(n) != j)
+            xm = (w[i] * X[i] + w[j] * X[j]) / (w[i] + w[j])
+            Xt = np.vstack([X[keep], xm])
+            wt = np.concatenate([w[keep], [w[i] + w[j]]])
+            got = solver.solve(d, Xt, solver.reseed_weights(d, Xt, wt))
+            if got is not None:
+                improved = got
+                log(f"    merge({i},{j}) -> {len(got[1])} pts")
+                break
+        if improved is not None:
+            best = improved
+            hops = 0
+            continue
         # stalled at this count: basin hop (re-solve the same count from
         # a jittered start) so the next removal round attacks a
         # different solution branch
