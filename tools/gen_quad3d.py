@@ -162,33 +162,42 @@ class NodeSolver:
         return np.abs(w) * np.linalg.norm(phi, axis=0)
 
 
-def seed_points(solver, d):
-    """Best available exact positive seed as raw points, smallest first:
-    (1) the stored symmetric rule covering d when its weights are
-    already positive; (2) the SMALLEST higher-degree stored rule with
-    positive weights (a positive rule at the exact count may not exist
-    -- negative weights are sometimes essential at the symmetric
-    minimum, e.g. tet degree 8); (3) a positivity repair of the
-    negative rule at its own count; (4) collapsed Gauss."""
+def seed_points(solver, d, elim_table=None):
+    """Best available exact seed as raw points.
+
+    Candidates are every stored rule covering degree d -- the symmetric
+    orbit tables AND the eliminator's own general tables (all positive
+    by construction) -- walked in ascending point count.  A positive
+    candidate is returned directly; a negative one gets a positivity
+    repair at its own count (negative weights are sometimes essential
+    at the symmetric minimum, e.g. tet degree 8, but a repaired rule at
+    that count beats eliminating down from a much larger positive
+    rule).  Falls back to collapsed Gauss."""
     from fiat_tpu.core import symquad_data
     from fiat_tpu.core.symquad import ORBIT_SIZE, expand_rule
     table = (symquad_data.TRIANGLE if solver.sd == 2
              else symquad_data.TETRAHEDRON)
-    # (point count, degree) of every stored rule covering d, smallest
-    # first; expand_rule weights already integrate over the UFC tet
-    # (volume 1/3! -- the mapping scale is exactly 1 there)
-    covering = sorted((sum(ORBIT_SIZE[k] for k, _, _ in table[dd]), dd)
-                      for dd in table if dd >= d)
-    for _, dd in covering:
-        bary, w = expand_rule(table[dd])
-        if w.min() > 0:
-            return bary @ solver.verts, w
-    # no positive covering rule: repair the smallest negative one
-    if covering:
-        _, dd = covering[0]
-        bary, w = expand_rule(table[dd])
+    # (point count, kind, degree); expand_rule weights already
+    # integrate over the UFC cell (volume 1/d! -- mapping scale 1)
+    covering = [(sum(ORBIT_SIZE[k] for k, _, _ in table[dd]), "sym", dd)
+                for dd in table if dd >= d]
+    if elim_table:
+        covering += [(len(elim_table[dd][1]), "elim", dd)
+                     for dd in elim_table if dd >= d]
+    rng = np.random.default_rng(d)
+    repairs = 0
+    for _, kind, dd in sorted(covering):
+        if kind == "elim":
+            bary = np.asarray(elim_table[dd][0]).reshape(-1, solver.sd + 1)
+            w = np.asarray(elim_table[dd][1])
+        else:
+            bary, w = expand_rule(table[dd])
         X = bary @ solver.verts
-        rng = np.random.default_rng(d)
+        if w.min() > 0:
+            return X, w
+        if repairs >= 2:     # bound the repair spend; larger positive
+            continue         # candidates follow in the ordering anyway
+        repairs += 1
         for jit in (0.0, 0.004, 0.012, 0.03):
             Xj = np.clip(X + jit * rng.standard_normal(X.shape), 0, 1)
             got = solver.solve(d, Xj,
@@ -359,7 +368,7 @@ def main():
         target = targets.get(d, 10 ** 9)
         have = table.get(d)
         have_n = len(have[1]) if have else None
-        X, w = seed_points(solver, d)
+        X, w = seed_points(solver, d, elim_table=table)
         if have_n is not None and have_n <= len(w):
             bary = np.asarray(have[0]).reshape(-1, args.dim + 1)
             X = bary @ solver.verts
