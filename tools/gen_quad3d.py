@@ -77,7 +77,10 @@ class NodeSolver:
         self.pen_scale = 0.3
 
     def moments(self, d):
-        return self._b_full[:self.es.get_num_members(d)]
+        n = self.es.get_num_members(d)
+        assert n <= len(self._b_full), \
+            f"degree {d} exceeds the solver's max_degree moment table"
+        return self._b_full[:n]
 
     def tol(self, d):
         return 5e-14 * max(1.0, (d / 10.0) ** 1.5)
@@ -359,7 +362,10 @@ def main():
     else:
         degrees = list(range(2, args.max_degree + 1))
 
-    solver = NodeSolver(args.max_degree, dim=args.dim)
+    # the solver's moment table must cover every requested degree --
+    # moments(d) slices the table and numpy silently returns fewer rows
+    # past the end, which would "verify" exactness only to max_degree
+    solver = NodeSolver(max(args.max_degree, max(degrees)), dim=args.dim)
     table = load_table(args.out, args.dim)
     targets = XG_TRI if args.dim == 2 else XG_TET
     from fiat_tpu.core.quadrature import QuadratureRule  # noqa: F401
