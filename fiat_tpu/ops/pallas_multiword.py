@@ -355,7 +355,12 @@ class _Bucket:
     fits ``K``: the tall per-alpha change-of-basis blocks, the member
     element row ranges, and the row padding bookkeeping."""
 
-    def __init__(self, K, gslices, mats, alphas, align, interpret, kw):
+    def __init__(self, K, gslices, mats, alphas, align, interpret, kw,
+                 post=None):
+        """``post``: optional (nexp, K) change of FEATURE basis folded
+        into the A rows in longdouble (the Bernstein path: A' = A @ M
+        so the kernel contracts Bernstein features instead of the
+        Dubiner tabulation)."""
         self.K = K
         self.gslices = gslices          # [(element index, glo, ghi)]
         self.rows = sum(ghi - glo for _, glo, ghi in gslices)
@@ -365,6 +370,9 @@ class _Bucket:
         for a in alphas:
             rows = np.vstack([mats[a][glo:ghi]
                               for (_, glo, ghi) in gslices])
+            if post is not None:
+                rows = np.asarray(rows.astype(np.longdouble)
+                                  @ post.astype(np.longdouble), np.float64)
             dropped = rows[:, K:]
             if dropped.size:
                 limit = 1e-8 * (np.abs(rows).max() + 1.0)
@@ -413,7 +421,13 @@ class FusedZooTabulator:
     #: the kernel output costs a shifted copy on TPU)
     ROW_ALIGN = 8
 
-    def __init__(self, batched, interpret=False, **kw):
+    def __init__(self, batched, interpret=False, features="auto", **kw):
+        """``features``: 'bernstein' swaps the B operand to the
+        Bernstein feature kernel when the zoo is a single full-width
+        bucket with no macro programs (see pallas_bernstein.py --
+        measured SLOWER than the recurrence on v5e, kept as an
+        independently-derived accuracy cross-check); 'auto'/'dubiner'
+        (default) keep the slice recurrence everywhere."""
         self.batched = batched
         self.sd = batched.sd
         self.rows = batched.stacked.shape[0]
@@ -466,6 +480,7 @@ class FusedZooTabulator:
         # XLA df32 recurrence graph runs ~5x below VPU speed; the
         # in-VMEM kernel also keeps the (hi, lo) pair out of HBM)
         self._slice_rec = None
+        self._bern = None
         if self._ff_ok and not interpret:
             from .pallas_recurrence import PallasSliceRecurrence
             try:
@@ -474,6 +489,42 @@ class FusedZooTabulator:
                     nslices=self.fm.nslices)
             except NotImplementedError:
                 pass
+        # Bernstein feature path for single-bucket zoos (OPT-IN: pass
+        # features="bernstein").  The degree buckets need the Dubiner
+        # basis's graded prefixes, but a zoo with ONE full-width bucket
+        # and no macro side programs can contract Bernstein features
+        # instead, with the basis conversion folded into A on the host
+        # (ops/pallas_bernstein.py).  Kept opt-in after measurement:
+        # despite ~10x less nominal arithmetic, every vectorized
+        # formulation of the feature kernel lost to the recurrence on
+        # v5e (1.5 ms recurrence vs 2.8-6.4 ms across three kernel
+        # designs at tet degree 8 / 1e5 pts) -- the VPU cost there is
+        # sublane-broadcast relayouts and per-op materialisation, not
+        # flops.  Parity through this path measures 2.9e-11 (<= the
+        # 1e-10 budget; the Dubiner path gives 6.4e-12).
+        if (features == "bernstein" and not interpret
+                and self._ff_ok and len(self.buckets) == 1
+                and not batched.special
+                and self.buckets[0].K == nexp_full):
+            try:
+                from .pallas_bernstein import (PallasBernsteinFeatures,
+                                               bernstein_conversion)
+                feat = PallasBernsteinFeatures(
+                    batched.target_es, batched.max_degree,
+                    nslices=self.fm.nslices)
+            except NotImplementedError:
+                feat = None
+            if feat is not None:
+                M = np.asarray(bernstein_conversion(
+                    batched.target_es, batched.max_degree), np.float64)
+                b0 = self.buckets[0]
+                # same gslices/row order: _plain_loc stays valid
+                self.buckets = [_Bucket(b0.K, b0.gslices, mats,
+                                        self.alphas, self.ROW_ALIGN,
+                                        interpret, kw, post=M)]
+                self.fm = self.buckets[0].fm
+                self._bern = feat
+                self._slice_rec = feat      # same (slices, sB) contract
         # one fused kernel per macro side program (the tall GEMM there was
         # the emulated-f64 bottleneck of the macro zoo: native dot by
         # default, or the XLA multiword variant at +190 s compile)
@@ -708,6 +759,10 @@ class FusedZooTabulator:
         from .doublefloat import prepare_B_ff
         if self._slice_rec is not None and points.dtype == jnp.float64:
             return self._slice_rec._apply(points)
+        if self._bern is not None:
+            # the bucket A is folded onto the Bernstein basis: every
+            # fallback must tabulate Bernstein features, never Dubiner
+            return prepare_B(self._bern.xla_f64(points))
         elif self._ff_ok and points.dtype == jnp.float64:
             return prepare_B_ff(self._phi_pair(points))
         return prepare_B(self._phi(points))

@@ -155,7 +155,14 @@ def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs, needs):
                          precision=jax.lax.Precision.HIGHEST)
         R = _ff_mul_c(norms[:, 0:1], norms[:, 1:2], FF(sel_hi, sel_lo))
 
-    # ---- prepare_B_ff: pow2 column scale by exponent extraction ----
+    return slice_split_ff(R, nslices)
+
+
+def slice_split_ff(R, nslices):
+    """prepare_B_ff traced for a kernel body: pow2 column scale by
+    integer exponent extraction (no transcendentals) + the fixed
+    CHUNK-bit-window bf16 slice split of an FF pair (rows, T).
+    Returns ([bf16 slice values], f32 (1, T) column scale)."""
     hi, lo = R
     m = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
     bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
