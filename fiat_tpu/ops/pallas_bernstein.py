@@ -44,7 +44,7 @@ tabulate; the Bernstein basis itself mirrors
 ``/root/reference/FIAT/bernstein.py`` (values only, re-derived).
 """
 
-from math import comb, factorial
+from math import factorial
 
 import numpy as np
 import jax
