@@ -8,9 +8,11 @@ are identical; this rebuild's 'default' scheme picks the CHEAPEST of the
 interchangeable exact candidates: the in-repo generated fully symmetric
 orbit rules (core/symquad.py, gated on weight conditioning
 sum|w|/sum w <= 2 -- badly signed rules can make variable-coefficient
-mass matrices indefinite), the generated general node-elimination tet
-rules (core/elimquad.py, all-positive and asymmetric like the reference's
-own tet tables), and collapsed Gauss.  Grundmann-Moller is available as
+mass matrices indefinite), the generated general node-elimination
+simplex rules (core/elimquad.py, all-positive and asymmetric like the
+reference's own tet tables; at several degrees SMALLER than the
+reference's published counts, e.g. triangle degree 6: 11 pts vs XG's
+12, degree 7: 14 vs 15, tet degree 8: 43 vs 44), and collapsed Gauss.  Grundmann-Moller is available as
 scheme='gm' only: its alternating weights fail the same conditioning
 gate at every order past s=0.  KMV lumped schemes ship with the KMV
 element.
