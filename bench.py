@@ -442,6 +442,19 @@ def _pause_generators():
                     pass
         atexit.register(_resume)
 
+        # atexit does NOT run on an unhandled SIGTERM/SIGINT (e.g. the
+        # driver's `timeout` wrapper): resume the chains, then re-raise
+        # the default action so the exit code stays honest.
+        def _on_signal(signum, frame):
+            _resume()
+            signal.signal(signum, signal.SIG_DFL)
+            os.kill(me, signum)
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _on_signal)
+            except (ValueError, OSError):
+                pass
+
 
 def _cpu_fallback(reason):
     """Re-exec this bench on the CPU XLA backend when the TPU tunnel is
