@@ -27,11 +27,15 @@ _SECOND_ORDER = {"CubicHermite", "Morley", "Argyris", "WuXuH3NC",
 
 #: high-conditioning plate families: both sides solve the same
 #: ~1e8-conditioned Vandermonde.  Our nodal solve is refined to the true
-#: (V, B) solution in extended precision (core/finite_element.py), so the
-#: remaining gap IS the reference's own plain-solve forward error --
-#: measured ~1.5e-9 for BZ C2 degree 10, ~5e-10 for AlfeldC2 degree 6 by
-#: a refinement experiment (round 4); bounds cover that floor with
-#: margin.  Every other family meets the global 1e-10 target.
+#: (V, B) solution in extended precision (core/finite_element.py).
+#: Refined-truth attribution (tests/test_solve_accuracy.py, round 4):
+#: * BrambleZlamalC2: the gap IS the reference's plain-solve forward
+#:   error -- vs a refined-solve rebuild of the reference itself, the
+#:   reference is 1.3e-9 off at degree 10 while we are 2.6e-10.
+#: * AlfeldC2: the residual ~4.8e-10 at degree 6 is OURS (macro C2
+#:   constrained-space assembly, not the nodal solve: forcing extra
+#:   refinement steps leaves it unchanged), within the 2e-9 bound.
+#: Every other family meets the global 1e-10 target.
 _ATOL = {"BrambleZlamalC2": 5e-9, "AlfeldC2": 2e-9}
 
 
