@@ -325,27 +325,32 @@ def ff_l1_distance(pts, A, b):
 # ---------------------------------------------------------------------------
 # Ozaki slice preparation straight from the pair
 
-def prepare_B_ff(phi_ff, nslices=None):
-    """Fixed CHUNK-bit-window bf16 slices + pow2 column scales of an FF
-    tabulation -- drop-in for ops/multiword.py:prepare_B(phi_f64), with
-    every step in native f32.
+def prepare_B_ff(phi_ff, nslices=None, wdtype="bf16"):
+    """Fixed window slices + pow2 column scales of an FF tabulation --
+    drop-in for ops/multiword.py:prepare_B(phi_f64), with every step in
+    native f32.  ``wdtype='int8'`` emits the 7-bit integer windows
+    (quarter-scaled; see multiword.CHUNK_I8).
 
     The window subtractions are exact: each slice s carries the leading
     bits of the running hi word (Sterbenz), and the pair renormalises
     with one TwoSum so lo's bits surface once hi is consumed."""
-    from .multiword import CHUNK, DEFAULT_SLICES
-    if nslices is None:
-        nslices = DEFAULT_SLICES
+    from .multiword import resolve_scheme
+    chunk, nslices, _ = resolve_scheme(wdtype, nslices)
     hi, lo = phi_ff
     m = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
     m = jnp.where(m == 0, np.float32(1.0), m)
-    sB = jnp.exp2(jnp.ceil(jnp.log2(m)))           # exact power of two
+    if wdtype == "int8":
+        _mant, e = jnp.frexp(m)
+        sB = jnp.exp2((e + 1).astype(m.dtype))     # max|.| in [1/4, 1/2)
+    else:
+        sB = jnp.exp2(jnp.ceil(jnp.log2(m)))       # exact power of two
     inv = np.float32(1.0) / sB                     # pow2: exact
     rh, rl = hi * inv, lo * inv
     out = []
     for i in range(nslices):
-        scale = np.float32(2.0 ** (CHUNK * (i + 1)))
+        scale = np.float32(2.0 ** (chunk * (i + 1)))
         s = jnp.round(rh * scale) / scale
-        out.append(s.astype(jnp.bfloat16))
+        out.append((s * scale).astype(jnp.int8) if wdtype == "int8"
+                   else s.astype(jnp.bfloat16))
         rh, rl = two_sum(rh - s, rl)
     return out, sB

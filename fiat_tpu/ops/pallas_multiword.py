@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .multiword import (DEFAULT_ORDER, DEFAULT_SLICES, prepare_B,
-                        split_scaled_host)
+                        resolve_scheme, split_scaled_host)
 
 
 def _batch_index_sets(order, nslices):
@@ -51,11 +51,13 @@ class FusedMultiwordMatmul:
     #: first order group accumulated with plain f32 adds (see _kernel)
     TAIL = 3
 
-    def __init__(self, A, nslices=DEFAULT_SLICES, order=DEFAULT_ORDER,
-                 row_block=None, point_tile=None, interpret=False):
+    def __init__(self, A, nslices=None, order=None,
+                 row_block=None, point_tile=None, interpret=False,
+                 wdtype="bf16"):
         self.shape = A.shape
-        self.nslices = nslices
-        self.order = order
+        self.wdtype = wdtype
+        _, self.nslices, self.order = resolve_scheme(wdtype, nslices, order)
+        nslices, order = self.nslices, self.order
         self.interpret = interpret
         rows, self.K = A.shape
         # narrow contractions fit longer point tiles in VMEM, and the
@@ -79,12 +81,16 @@ class FusedMultiwordMatmul:
         # on the latency-bound configs
         self.point_tile = 512 if point_tile is None else point_tile
 
-        slices, sA = split_scaled_host(A, nslices)
+        slices, sA = split_scaled_host(A, nslices, wdtype=wdtype)
         pad = self.rpad - rows
-        self.A_slices = [jnp.asarray(np.pad(np.asarray(s, np.float32),
-                                            ((0, pad), (0, 0))
-                                            ).astype(s.dtype))
-                         for s in slices]
+        if wdtype == "int8":
+            self.A_slices = [jnp.asarray(np.pad(s, ((0, pad), (0, 0))))
+                             for s in slices]
+        else:
+            self.A_slices = [jnp.asarray(np.pad(np.asarray(s, np.float32),
+                                                ((0, pad), (0, 0))
+                                                ).astype(s.dtype))
+                             for s in slices]
         self.sA = jnp.asarray(np.pad(sA.astype(np.float32),
                                      ((0, pad), (0, 0)), constant_values=1.0))
         self.batches = _batch_index_sets(order, nslices)
@@ -99,6 +105,9 @@ class FusedMultiwordMatmul:
         # contractions, so EVERY group's concatenated dot (group t has
         # (t+1)*K columns) splits into <= 256-column chunks whose
         # partials the TwoSum chain combines error-free.
+        if self.wdtype == "int8":
+            return self._combine_dots_i8(a_vals, b_vals, sa, sb,
+                                         hi_ref, lo_ref)
         dots = []
         tail_parts = []
         for t, idx in enumerate(self.batches):
@@ -150,6 +159,46 @@ class FusedMultiwordMatmul:
             e = e + ((s - (tt - bp)) + (acc - bp))
             s = tt
         scale = sa * sb                           # pow2 * pow2: exact in f32
+        hi_ref[:] = s * scale
+        lo_ref[:] = e * scale
+
+    def _combine_dots_i8(self, a_vals, b_vals, sa, sb, hi_ref, lo_ref):
+        """int8 window variant: one s8 x s8 -> s32 dot per order group
+        (2x the bf16 MXU rate on v5e) with EXACT integer accumulation --
+        no 256-column chunking, no in-dot rounding.  Each group's int32
+        result converts to f32 (exactly when its magnitude bound fits
+        2^24, else via an exact two-float split) and joins the same
+        TwoSum chain at its window quantum 2^{-7(t+2)}."""
+        from .multiword import CHUNK_I8
+        s = e = None
+        for t, idx in enumerate(self.batches):
+            Acat = jnp.concatenate([a_vals[i] for i, _ in idx], axis=1)
+            Bcat = jnp.concatenate([b_vals[j] for _, j in idx], axis=0)
+            gi = jnp.dot(Acat, Bcat, preferred_element_type=jnp.int32)
+            q = np.float32(2.0 ** (-CHUNK_I8 * (t + 2)))
+            v1 = gi.astype(jnp.float32)
+            # |gi| <= ncols * 64^2: the f32 convert is exact while that
+            # bound stays under 2^24 (ncols <= 4096); past it, recover
+            # the dropped low bits with one exact round-trip
+            v2 = (None if Acat.shape[1] <= 4096
+                  else (gi - v1.astype(jnp.int32)).astype(jnp.float32))
+            g = v1 * q
+            if s is None:
+                s, e = g, jnp.zeros_like(g)
+            else:
+                # FULL TwoSum for every group: unlike the bf16 path
+                # (19 chunked dots, tail shortcut), int8 has only
+                # order+1 dots, and a plain-add tail would round at
+                # 2^(-24 - 7*TAIL) -- measured 7.7e-11 at tet8, the
+                # dominant error of the whole pipeline.  Six extra VPU
+                # ops per group are noise next to the dots.
+                tt = s + g
+                bp = tt - s
+                e = e + ((s - (tt - bp)) + (g - bp))  # Knuth TwoSum
+                s = tt
+            if v2 is not None:
+                e = e + v2 * q
+        scale = sa * sb                           # pow2 * pow2: exact
         hi_ref[:] = s * scale
         lo_ref[:] = e * scale
 
@@ -206,8 +255,9 @@ class FusedMultiwordMatmul:
             interpret=self.interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * self.rpad * tpad * K * npairs,
-                bytes_accessed=2 * K * tpad * self.nslices * grid[0]
-                + 2 * self.rpad * K * self.nslices + 8 * self.rpad * tpad,
+                bytes_accessed=(1 if self.wdtype == "int8" else 2)
+                * K * self.nslices * (tpad * grid[0] + self.rpad)
+                + 8 * self.rpad * tpad,
                 transcendentals=0,
             ),
         )(*self.A_slices, *Bp, self.sA, sBp)
@@ -216,7 +266,8 @@ class FusedMultiwordMatmul:
         return hi[:self.rows, :npts], lo[:self.rows, :npts]
 
     def __call__(self, B):
-        hi, lo = self.apply_pair(prepare_B(jnp.asarray(B), self.nslices))
+        hi, lo = self.apply_pair(prepare_B(jnp.asarray(B), self.nslices,
+                                           wdtype=self.wdtype))
         return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
     def apply(self, B_prepared):
@@ -255,10 +306,19 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
         m_ref = refs[2 * n]
         sa_ref, sb_ref = refs[2 * n + 1], refs[2 * n + 2]
         hi_ref, lo_ref = refs[2 * n + 3], refs[2 * n + 4]
-        b_vals = [jnp.concatenate(
-            [m_ref[m:m + 1, :] * s_refs[j][:nexp, :]
-             for m, nexp in self.pieces], axis=0)
-            for j in range(n)]
+        if self.wdtype == "int8":
+            # {0,1} selection instead of an int8 multiply (s8 vector
+            # multiplies lower poorly in Mosaic; the select is free)
+            b_vals = [jnp.concatenate(
+                [jnp.where(m_ref[m:m + 1, :] != 0,
+                           s_refs[j][:nexp, :], 0)
+                 for m, nexp in self.pieces], axis=0)
+                for j in range(n)]
+        else:
+            b_vals = [jnp.concatenate(
+                [m_ref[m:m + 1, :] * s_refs[j][:nexp, :]
+                 for m, nexp in self.pieces], axis=0)
+                for j in range(n)]
         self._combine_dots([a[:] for a in a_refs], b_vals,
                            sa_ref[:], sb_ref[:], hi_ref, lo_ref)
 
@@ -273,9 +333,10 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
         T = self.point_tile
         tpad = -(-npts // T) * T
         pad = tpad - npts
-        S = [jnp.pad(s[:self.max_nexp].astype(jnp.bfloat16),
+        wdt = jnp.int8 if self.wdtype == "int8" else jnp.bfloat16
+        S = [jnp.pad(s[:self.max_nexp].astype(wdt),
                      ((0, 0), (0, pad))) for s in slices]
-        M = jnp.pad(masks.astype(jnp.bfloat16), ((0, 0), (0, pad)))
+        M = jnp.pad(masks.astype(wdt), ((0, 0), (0, pad)))
         sBp = jnp.pad(sB.astype(jnp.float32), ((0, 0), (0, pad)),
                       constant_values=1.0)
 
@@ -319,7 +380,8 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
         return hi[:self.rows, :npts], lo[:self.rows, :npts]
 
 
-def _plan_buckets(widths_rows, nalpha, order, nslices, align):
+def _plan_buckets(widths_rows, nalpha, order, nslices, align,
+                  wdtype="bf16"):
     """Contiguous partition of the distinct contraction widths
     minimizing total padded-rows x contraction-columns MXU work (plus a
     per-kernel fixed cost).  ``widths_rows``: {K: row count}.  Returns
@@ -330,7 +392,10 @@ def _plan_buckets(widths_rows, nalpha, order, nslices, align):
         cols = 0
         for t in range(order + 1):
             c = min(t + 1, nslices) * K
-            cols += c + 128 * (-(-c // 256) - 1)   # chunk-split penalty
+            if wdtype == "int8":
+                cols += c / 2           # s8 dots run at 2x; no chunking
+            else:
+                cols += c + 128 * (-(-c // 256) - 1)  # chunk-split penalty
         return cols
 
     def rpad(rows):
@@ -453,10 +518,13 @@ class FusedZooTabulator:
         widths_rows = {}
         for _, lo, hi, w in entries:
             widths_rows[w] = widths_rows.get(w, 0) + (hi - lo)
+        self.wdtype = kw.get("wdtype", "bf16")
+        _, plan_nsl, plan_ord = resolve_scheme(self.wdtype,
+                                               kw.get("nslices"),
+                                               kw.get("order"))
         caps = _plan_buckets(widths_rows, len(self.alphas),
-                             kw.get("order", DEFAULT_ORDER),
-                             kw.get("nslices", DEFAULT_SLICES),
-                             self.ROW_ALIGN)
+                             plan_ord, plan_nsl, self.ROW_ALIGN,
+                             self.wdtype)
 
         self.buckets = []
         self._plain_loc = {}            # element index -> (bucket, lo, hi)
@@ -486,7 +554,7 @@ class FusedZooTabulator:
             try:
                 self._slice_rec = PallasSliceRecurrence(
                     batched.target_es, batched.max_degree,
-                    nslices=self.fm.nslices)
+                    nslices=self.fm.nslices, wdtype=self.wdtype)
             except NotImplementedError:
                 pass
         # Bernstein feature path for single-bucket zoos (OPT-IN: pass
@@ -503,6 +571,7 @@ class FusedZooTabulator:
         # flops.  Parity through this path measures 2.9e-11 (<= the
         # 1e-10 budget; the Dubiner path gives 6.4e-12).
         if (features == "bernstein" and not interpret
+                and self.wdtype == "bf16"
                 and self._ff_ok and len(self.buckets) == 1
                 and not batched.special
                 and self.buckets[0].K == nexp_full):
@@ -530,14 +599,16 @@ class FusedZooTabulator:
         # default, or the XLA multiword variant at +190 s compile)
         self.macro_fms = []
         for prog in getattr(batched, "macro_programs", None) or ():
-            fm = FusedMultiwordMatmul(prog.tall, interpret=interpret)
+            fm = FusedMultiwordMatmul(prog.tall, interpret=interpret,
+                                      wdtype=self.wdtype)
             ff_ok = supports_ff(prog.parent_es)
             rec = None
             if ff_ok and not interpret:
                 from .pallas_recurrence import PallasSliceRecurrence
                 try:
                     rec = PallasSliceRecurrence(prog.parent_es, prog.degree,
-                                                nslices=fm.nslices)
+                                                nslices=fm.nslices,
+                                                wdtype=self.wdtype)
                 except NotImplementedError:
                     pass
             self.macro_fms.append((fm, ff_ok, rec))
@@ -590,7 +661,8 @@ class FusedZooTabulator:
             from .pallas_recurrence import PallasSliceRecurrence
             try:
                 self._macro_rec = PallasSliceRecurrence(
-                    t_es, rec_deg, nslices=self.fm.nslices)
+                    t_es, rec_deg, nslices=self.fm.nslices,
+                    wdtype=self.wdtype)
             except NotImplementedError:
                 return
         rows_t = sum(p.tall.shape[0] for p in progs)
@@ -657,8 +729,9 @@ class FusedZooTabulator:
             masks, total = partition_of_unity_masks(
                 prog.es.ref_el, points, unique=unique, raw=True)
             slices, sB = rec._apply(points)
+            wdt = jnp.int8 if self.wdtype == "int8" else jnp.bfloat16
             Bs = [jnp.concatenate(
-                [masks[pos].astype(jnp.bfloat16) * s
+                [masks[pos].astype(wdt) * s
                  for pos, c in enumerate(prog.cells)], axis=0)
                 for s in slices]
             recip = (None if total is None
@@ -667,9 +740,11 @@ class FusedZooTabulator:
 
         def body(pts):
             if ff_ok:
-                slices, sB = prepare_B_ff(prog.b_stack_ff(pts, b.order), n)
+                slices, sB = prepare_B_ff(prog.b_stack_ff(pts, b.order), n,
+                                          wdtype=self.wdtype)
             else:
-                slices, sB = prepare_B(prog.b_stack(pts, b.order), n)
+                slices, sB = prepare_B(prog.b_stack(pts, b.order), n,
+                                       wdtype=self.wdtype)
             out = {f"s{i:02d}": s for i, s in enumerate(slices)}
             out["scale"] = sB
             return out
@@ -764,8 +839,10 @@ class FusedZooTabulator:
             # fallback must tabulate Bernstein features, never Dubiner
             return prepare_B(self._bern.xla_f64(points))
         elif self._ff_ok and points.dtype == jnp.float64:
-            return prepare_B_ff(self._phi_pair(points))
-        return prepare_B(self._phi(points))
+            return prepare_B_ff(self._phi_pair(points), self.fm.nslices,
+                                wdtype=self.wdtype)
+        return prepare_B(self._phi(points), self.fm.nslices,
+                         wdtype=self.wdtype)
 
     def _padded_pairs(self, points, prepared=None):
         """{alpha: [per-bucket padded (hi, lo)]} off the fused kernels.

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.expansions import _stage_constants
-from .multiword import CHUNK, DEFAULT_SLICES
+from .multiword import resolve_scheme
 from .doublefloat import (FF, ff_add, ff_mul, ff_scale_pow2, ff_sub,
                           two_sum)
 
@@ -83,7 +83,8 @@ def _ff_mul_c(ch, cl, x):
     return ff_mul(FF(ch, cl), x)
 
 
-def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs, needs):
+def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs, needs,
+                wdtype="bf16"):
     """Trace the df32 Dubiner recurrence + fixed-window slice split
     inside a Pallas kernel body: returns (list of bf16 slice VALUES
     (nexp, T), f32 column scale (1, T)).  ``needs``: per-stage
@@ -155,29 +156,38 @@ def emit_slices(sd, n, scale, nslices, hi_ref, lo_ref, stage_refs, needs):
                          precision=jax.lax.Precision.HIGHEST)
         R = _ff_mul_c(norms[:, 0:1], norms[:, 1:2], FF(sel_hi, sel_lo))
 
-    return slice_split_ff(R, nslices)
+    return slice_split_ff(R, nslices, wdtype)
 
 
-def slice_split_ff(R, nslices):
+def slice_split_ff(R, nslices, wdtype="bf16"):
     """prepare_B_ff traced for a kernel body: pow2 column scale by
     integer exponent extraction (no transcendentals) + the fixed
-    CHUNK-bit-window bf16 slice split of an FF pair (rows, T).
-    Returns ([bf16 slice values], f32 (1, T) column scale)."""
+    window slice split of an FF pair (rows, T).  ``wdtype='int8'``
+    emits 7-bit integer windows at the quarter scaling (multiword
+    CHUNK_I8) for the s8 x s8 -> s32 MXU path.
+    Returns ([slice values], f32 (1, T) column scale)."""
+    chunk, _n, _o = resolve_scheme(wdtype, nslices)
     hi, lo = R
     m = jnp.max(jnp.abs(hi), axis=0, keepdims=True)
     bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
     exp = bits >> np.uint32(23)
-    frac = bits & np.uint32(0x007FFFFF)
-    e_ceil = exp + jnp.where(frac == 0, np.uint32(0), np.uint32(1))
-    sB = jax.lax.bitcast_convert_type(e_ceil << np.uint32(23), jnp.float32)
+    if wdtype == "int8":
+        # scale = 2^(floor(log2 m) + 2): max|.| lands in [1/4, 1/2]
+        e_sel = exp + np.uint32(2)
+    else:
+        frac = bits & np.uint32(0x007FFFFF)
+        e_sel = exp + jnp.where(frac == 0, np.uint32(0), np.uint32(1))
+    sB = jax.lax.bitcast_convert_type(e_sel << np.uint32(23), jnp.float32)
     sB = jnp.where(m == 0, np.float32(1.0), sB)
     inv = np.float32(1.0) / sB                  # pow2: exact
     rh, rl = hi * inv, lo * inv
     out = []
     for i in range(nslices):
-        sc = np.float32(2.0 ** (CHUNK * (i + 1)))
-        s = jnp.round(rh * sc) / sc
-        out.append(s.astype(jnp.bfloat16))
+        sc = np.float32(2.0 ** (chunk * (i + 1)))
+        k = jnp.round(rh * sc)
+        s = k / sc
+        out.append(k.astype(jnp.int8) if wdtype == "int8"
+                   else s.astype(jnp.bfloat16))
         rh, rl = two_sum(rh - s, rl)
     return out, sB
 
@@ -187,8 +197,8 @@ class PallasSliceRecurrence:
     matching ``prepare_B_ff(tabulate_ff(es, degree, pts))`` to pair
     accuracy, with the whole pipeline fused per point tile."""
 
-    def __init__(self, es, degree, nslices=DEFAULT_SLICES, tile=None,
-                 interpret=False):
+    def __init__(self, es, degree, nslices=None, tile=None,
+                 interpret=False, wdtype="bf16"):
         if es.variant is not None or len(es.affine_mappings) != 1:
             raise NotImplementedError(
                 "Pallas slice recurrence: plain single-cell variant only")
@@ -200,7 +210,8 @@ class PallasSliceRecurrence:
                 "Pallas slice recurrence: 2x-1 cell map only")
         self.es = es
         self.degree = degree
-        self.nslices = nslices
+        self.wdtype = wdtype
+        _, self.nslices, _ = resolve_scheme(wdtype, nslices)
         self.interpret = interpret
         self.sd = es.ref_el.get_spatial_dimension()
         A, b = es.affine_mappings[0]
@@ -219,7 +230,8 @@ class PallasSliceRecurrence:
         slice_refs, sB_ref = out_refs[:-1], out_refs[-1]
         slices, sB = emit_slices(self.sd, self.degree, self.scale,
                                  self.nslices, hi_ref, lo_ref, stage_refs,
-                                 [st[3] for st in self.stages])
+                                 [st[3] for st in self.stages],
+                                 wdtype=self.wdtype)
         for i in range(self.nslices):
             slice_refs[i][:] = slices[i]
         sB_ref[:] = sB
@@ -231,10 +243,11 @@ class PallasSliceRecurrence:
         add nslices bf16 rows."""
         budget = 6 * 1024 * 1024
         ncand = max(sum(need) for _pk, _P, _n, need in self.stages)
+        wbytes = 1 if self.wdtype == "int8" else 2
         per_point = 4 * (2 * 3 * ncand              # ff levels + big
                          + 2 * self.nexp            # selected pair
                          + 2 * self.sd * 2) \
-            + 2 * self.nslices * self.nexp          # bf16 slice blocks
+            + wbytes * self.nslices * self.nexp     # slice blocks
         T = budget // max(per_point, 1)
         return max(256, min(self._tile or 4096, (T // 128) * 128))
 
@@ -276,14 +289,17 @@ class PallasSliceRecurrence:
             in_specs=in_specs,
             out_specs=tuple([out_spec] * self.nslices + [sB_spec]),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((self.nexp, ntiles * T), jnp.bfloat16)]
+                [jax.ShapeDtypeStruct(
+                    (self.nexp, ntiles * T),
+                    jnp.int8 if self.wdtype == "int8" else jnp.bfloat16)]
                 * self.nslices
                 + [jax.ShapeDtypeStruct((1, ntiles * T), jnp.float32)]),
             interpret=self.interpret,
             cost_estimate=pl.CostEstimate(
                 flops=150 * self.nexp * ntiles * T,
                 bytes_accessed=8 * self.sd * ntiles * T
-                + (2 * self.nslices * self.nexp + 4) * ntiles * T,
+                + ((1 if self.wdtype == "int8" else 2)
+                   * self.nslices * self.nexp + 4) * ntiles * T,
                 transcendentals=0,
             ),
         )(*operands)

@@ -347,6 +347,39 @@ def test_fused_zoo_macro_side_programs_interpret():
                                host[a], atol=1e-10), (type(el).__name__, a)
 
 
+def test_fused_multiword_int8_windows_interpret():
+    """wdtype='int8': 7-bit integer windows on the s8 MXU path match the
+    exact product (kernel) and the host tabulation (zoo, incl. a macro
+    side program riding the int8 masked kernel)."""
+    from fiat_tpu.ops.pallas_multiword import (FusedMultiwordMatmul,
+                                               FusedZooTabulator)
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((500, 66)) * np.exp(rng.uniform(-8, 8, (500, 1)))
+    B = rng.standard_normal((66, 700)) * np.exp(rng.uniform(-6, 6, (1, 700)))
+    ref = (A.astype(np.longdouble) @ B.astype(np.longdouble)
+           ).astype(np.float64)
+    fm = FusedMultiwordMatmul(A, interpret=True, wdtype="int8",
+                              row_block=256, point_tile=256)
+    assert fm.nslices == 7 and fm.order == 6
+    assert fm.A_slices[0].dtype == jnp.int8
+    got = np.asarray(fm(jnp.asarray(B)))
+    scale = np.abs(A).max(1)[:, None] * np.abs(B).max(0)[None, :] * 66
+    assert (np.abs(got - ref) / scale).max() < 1e-13
+
+    els = [fe.Lagrange(T, 3), fe.RaviartThomas(T, 2),
+           fe.HsiehCloughTocher(T, 3)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True, wdtype="int8",
+                           row_block=256, point_tile=256)
+    pts = RNG.random((120, 2)) / 2
+    fused = fz(jnp.asarray(pts))
+    for el, tab in zip(els, bt.unpack(fused)):
+        host = el.tabulate(1, pts)
+        for a in host:
+            assert np.allclose(np.asarray(tab[a]).reshape(host[a].shape),
+                               host[a], atol=2e-10), (type(el).__name__, a)
+
+
 def test_fused_masked_multiword_matches_explicit_B():
     """FusedMaskedMultiword (B assembled in VMEM from shared slice
     prefixes x {0,1} mask rows) equals the plain fused kernel on the
