@@ -55,6 +55,8 @@ class FusedMultiwordMatmul:
                  row_block=None, point_tile=None, interpret=False,
                  wdtype="bf16"):
         self.shape = A.shape
+        if wdtype == "auto":
+            wdtype = "int8" if A.shape[1] >= 128 else "bf16"
         self.wdtype = wdtype
         _, self.nslices, self.order = resolve_scheme(wdtype, nslices, order)
         nslices, order = self.nslices, self.order
@@ -307,11 +309,14 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
         sa_ref, sb_ref = refs[2 * n + 1], refs[2 * n + 2]
         hi_ref, lo_ref = refs[2 * n + 3], refs[2 * n + 4]
         if self.wdtype == "int8":
-            # {0,1} selection instead of an int8 multiply (s8 vector
-            # multiplies lower poorly in Mosaic; the select is free)
+            # Mosaic cannot legalize i8 vector multiplies (arith.muli on
+            # vector<i8>); a {0,1} select is equivalent for binning
+            # masks.  The third operand must be a concrete i8 array --
+            # a python scalar 0 sends promote_dtypes into unbounded
+            # recursion under the pallas ref transforms.
             b_vals = [jnp.concatenate(
-                [jnp.where(m_ref[m:m + 1, :] != 0,
-                           s_refs[j][:nexp, :], 0)
+                [jnp.where(m_ref[m:m + 1, :] != 0, s_refs[j][:nexp, :],
+                           jnp.zeros_like(s_refs[j][:nexp, :]))
                  for m, nexp in self.pieces], axis=0)
                 for j in range(n)]
         else:
@@ -518,7 +523,16 @@ class FusedZooTabulator:
         widths_rows = {}
         for _, lo, hi, w in entries:
             widths_rows[w] = widths_rows.get(w, 0) + (hi - lo)
-        self.wdtype = kw.get("wdtype", "bf16")
+        # window dtype: 'auto' picks int8 for wide contractions, where
+        # the s8 MXU's 2x rate dominates (measured on v5e: tet deg 8,
+        # K=165: 5.14 -> 4.09 ms; but the K=66 full triangle zoo is
+        # pair-write bound and the int8 scheme's extra groups cost 4%),
+        # and bf16 for narrow ones.  128 = the MXU tile edge.
+        self.wdtype = kw.pop("wdtype", "auto")
+        if self.wdtype == "auto":
+            max_k = max(widths_rows) if widths_rows else 0
+            self.wdtype = "int8" if max_k >= 128 else "bf16"
+        kw["wdtype"] = self.wdtype
         _, plan_nsl, plan_ord = resolve_scheme(self.wdtype,
                                                kw.get("nslices"),
                                                kw.get("order"))
