@@ -283,6 +283,36 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
             best = improved
             hops = 0
             continue
+        # removal AND merge stalled: JUMP -- drop several points at
+        # once (keep the highest-significance subset), nnls-reseed the
+        # weights, and give the solver a long leash.  One-at-a-time
+        # descent follows a single basin; the moment system is strongly
+        # underdetermined ((sd+1)m dofs vs nexp rows), so a direct jump
+        # to a smaller count often converges where the n-1 step cannot.
+        keep_order = np.argsort(solver.scores(d, X, w))[::-1]
+        for m in (n - 2, n - 4, max(target, -(-nexp // (solver.sd + 1)))):
+            if m >= n or (solver.sd + 1) * m < nexp:
+                continue
+            if time.time() > deadline:
+                break
+            for jit in (0.0, 0.01):
+                Xt = X[np.sort(keep_order[:m])]
+                if jit:
+                    Xt = np.clip(
+                        Xt + jit * rng.standard_normal(Xt.shape), 0, 1)
+                wt = solver.reseed_weights(
+                    d, Xt, np.full(m, w.sum() / m))
+                got = solver.solve(d, Xt, wt, max_nfev=400 + 12 * d)
+                if got is not None:
+                    improved = got
+                    log(f"    jump -> {len(got[1])} pts")
+                    break
+            if improved is not None:
+                break
+        if improved is not None:
+            best = improved
+            hops = 0
+            continue
         # stalled at this count: basin hop (re-solve the same count from
         # a jittered start) so the next removal round attacks a
         # different solution branch
