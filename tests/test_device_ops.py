@@ -493,6 +493,18 @@ def test_pallas_slice_recurrence_interpret():
     assert rel < 1e-5, rel
     assert slices[0].dtype == jnp.bfloat16
 
+    # int8 window emission: integer slices at their window quanta
+    rec8 = PallasSliceRecurrence(es, 7, interpret=True, tile=256,
+                                 wdtype="int8")
+    slices8, sB8 = rec8(jnp.asarray(pts))
+    assert slices8[0].dtype == jnp.int8
+    assert rec8.nslices == 7
+    got8 = sum(np.asarray(s, np.float64) * 2.0 ** (-7 * (i + 1))
+               for i, s in enumerate(slices8)) * np.asarray(sB8, np.float64)
+    rel8 = np.abs(got8 - want).max() / np.abs(want).max()
+    assert rel8 < 1e-5, rel8
+    assert int(max(np.abs(np.asarray(s)).max() for s in slices8)) <= 64
+
 
 def test_batched_zoo_degree0_embedding():
     """P0/DG0 embed into a higher-degree fused zoo with the correct
