@@ -168,9 +168,13 @@ def engine_model_floor(jax, fz, npts, seconds):
         tpad = -(-npts // fm.point_tile) * fm.point_tile
         nblocks = fm.rpad // fm.row_block
         npairs = sum(len(idx) for idx in fm.batches)
-        flops += 2 * fm.rpad * tpad * fm.K * npairs
-        byts += (2 * fm.K * tpad * fm.nslices * nblocks
-                 + 2 * fm.rpad * fm.K * fm.nslices
+        # int8 windows: s8 dots run at 2x the bf16 MXU rate and slices
+        # are 1 B (count s8 flops at half weight against the bf16 peak)
+        mxu_w, sbytes = ((0.5, 1) if getattr(fm, "wdtype", "bf16")
+                         == "int8" else (1.0, 2))
+        flops += 2 * fm.rpad * tpad * fm.K * npairs * mxu_w
+        byts += (sbytes * fm.K * tpad * fm.nslices * nblocks
+                 + sbytes * fm.rpad * fm.K * fm.nslices
                  + 8 * fm.rpad * tpad)
     hbm_peak, mxu_peak = _device_peaks(jax)
     out = {"kernel_flops": flops, "kernel_hbm_bytes": byts}
