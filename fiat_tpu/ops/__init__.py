@@ -15,8 +15,10 @@ def device_tabulator(elements, order=0, f64=True, **kw):
 
     * ``f64=True`` (default): the fused multiword pipeline
       (ops/pallas_multiword.py) -- f64-accurate tabulation on the bf16
-      MXU.  The TPU Pallas kernels run natively on ``tpu`` backends and
-      in interpret mode on ``cpu``; any other backend (e.g. ``gpu``)
+      MXU, or on the 2x-rate s8 MXU path for wide contractions
+      (``wdtype`` keyword: 'auto' (default) / 'bf16' / 'int8').  The
+      TPU Pallas kernels run natively on ``tpu`` backends and in
+      interpret mode on ``cpu``; any other backend (e.g. ``gpu``)
       falls back to the XLA Ozaki engine (BatchedTabulator).
     * ``f64=False``: the f32 throughput engine where available
       (ops/pallas_tabulate.py), else the XLA engine in f32.
@@ -39,4 +41,5 @@ def device_tabulator(elements, order=0, f64=True, **kw):
         except NotImplementedError:
             return bt
     from .pallas_multiword import FusedZooTabulator
-    return FusedZooTabulator(bt, interpret=interpret)
+    return FusedZooTabulator(bt, interpret=interpret,
+                             wdtype=kw.get("wdtype", "auto"))
