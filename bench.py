@@ -595,6 +595,22 @@ def main():
         return zoo_config(jax, jnp, "c1_macro_zoo", c1, rc1, pts2)
     guard("c1_macro_zoo", c1_macro)
 
+    def c1_macro_hessians():
+        # the same zoo at order=2: second-derivative tables ride the
+        # identical engine (Taylor-jet recurrence + dmats folded into
+        # the stacked change of basis), tripling the alpha rows
+        c1 = [fe.CubicHermite(tri), fe.Morley(tri), fe.Argyris(tri, 5),
+              fe.Bell(tri), fe.HsiehCloughTocher(tri, 3),
+              fe.QuadraticPowellSabin6(tri), fe.QuadraticPowellSabin12(tri)]
+        rc1 = ([FIAT.CubicHermite(rtri), FIAT.Morley(rtri),
+                FIAT.Argyris(rtri, 5), FIAT.Bell(rtri),
+                FIAT.HsiehCloughTocher(rtri, 3),
+                FIAT.QuadraticPowellSabin6(rtri),
+                FIAT.QuadraticPowellSabin12(rtri)] if FIAT else None)
+        return zoo_config(jax, jnp, "c1_macro_hessians", c1, rc1, pts2,
+                          order=2)
+    guard("c1_macro_hessians", c1_macro_hessians)
+
     # -- config 5: the full triangle sweep (headline) -------------------------
     def full_zoo(mods):
         cell, L, DG, RT, N, BDM, H, M, A, B, HCT, PS6 = mods
