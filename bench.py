@@ -446,18 +446,19 @@ def _pause_generators():
                     pass
         atexit.register(_resume)
 
-        # atexit does NOT run on an unhandled SIGTERM/SIGINT (e.g. the
+        # atexit does NOT run on an unhandled SIGTERM (e.g. the
         # driver's `timeout` wrapper): resume the chains, then re-raise
-        # the default action so the exit code stays honest.
+        # the default action so the exit code stays honest.  SIGINT is
+        # left alone -- KeyboardInterrupt unwinds Python normally and
+        # atexit (including _resume) already runs.
         def _on_signal(signum, frame):
             _resume()
             signal.signal(signum, signal.SIG_DFL)
             os.kill(me, signum)
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            try:
-                signal.signal(sig, _on_signal)
-            except (ValueError, OSError):
-                pass
+        try:
+            signal.signal(signal.SIGTERM, _on_signal)
+        except (ValueError, OSError):
+            pass
 
 
 def _cpu_fallback(reason):
@@ -582,34 +583,22 @@ def main():
     guard("hdiv_hcurl_tri", hdiv_tri)
     guard("hdiv_hcurl_tet", hdiv_tet)
 
-    # -- config 4: C1 + macro zoo ---------------------------------------------
-    def c1_macro():
-        c1 = [fe.CubicHermite(tri), fe.Morley(tri), fe.Argyris(tri, 5),
-              fe.Bell(tri), fe.HsiehCloughTocher(tri, 3),
-              fe.QuadraticPowellSabin6(tri), fe.QuadraticPowellSabin12(tri)]
-        rc1 = ([FIAT.CubicHermite(rtri), FIAT.Morley(rtri),
-                FIAT.Argyris(rtri, 5), FIAT.Bell(rtri),
-                FIAT.HsiehCloughTocher(rtri, 3),
-                FIAT.QuadraticPowellSabin6(rtri),
-                FIAT.QuadraticPowellSabin12(rtri)] if FIAT else None)
-        return zoo_config(jax, jnp, "c1_macro_zoo", c1, rc1, pts2)
-    guard("c1_macro_zoo", c1_macro)
+    # -- config 4: C1 + macro zoo (order 1, then order 2: Hessian tables
+    # ride the same engine -- jet recurrence + dmats folded into the
+    # stacked change of basis -- with 3x the alpha rows) -------------------
+    def c1_zoo(mod, cell):
+        return [mod.CubicHermite(cell), mod.Morley(cell),
+                mod.Argyris(cell, 5), mod.Bell(cell),
+                mod.HsiehCloughTocher(cell, 3),
+                mod.QuadraticPowellSabin6(cell),
+                mod.QuadraticPowellSabin12(cell)]
 
-    def c1_macro_hessians():
-        # the same zoo at order=2: second-derivative tables ride the
-        # identical engine (Taylor-jet recurrence + dmats folded into
-        # the stacked change of basis), tripling the alpha rows
-        c1 = [fe.CubicHermite(tri), fe.Morley(tri), fe.Argyris(tri, 5),
-              fe.Bell(tri), fe.HsiehCloughTocher(tri, 3),
-              fe.QuadraticPowellSabin6(tri), fe.QuadraticPowellSabin12(tri)]
-        rc1 = ([FIAT.CubicHermite(rtri), FIAT.Morley(rtri),
-                FIAT.Argyris(rtri, 5), FIAT.Bell(rtri),
-                FIAT.HsiehCloughTocher(rtri, 3),
-                FIAT.QuadraticPowellSabin6(rtri),
-                FIAT.QuadraticPowellSabin12(rtri)] if FIAT else None)
-        return zoo_config(jax, jnp, "c1_macro_hessians", c1, rc1, pts2,
-                          order=2)
-    guard("c1_macro_hessians", c1_macro_hessians)
+    guard("c1_macro_zoo", lambda: zoo_config(
+        jax, jnp, "c1_macro_zoo", c1_zoo(fe, tri),
+        c1_zoo(FIAT, rtri) if FIAT else None, pts2))
+    guard("c1_macro_hessians", lambda: zoo_config(
+        jax, jnp, "c1_macro_hessians", c1_zoo(fe, tri),
+        c1_zoo(FIAT, rtri) if FIAT else None, pts2, order=2))
 
     # -- config 5: the full triangle sweep (headline) -------------------------
     def full_zoo(mods):

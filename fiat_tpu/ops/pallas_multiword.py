@@ -25,8 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .multiword import (DEFAULT_ORDER, DEFAULT_SLICES, prepare_B,
-                        resolve_scheme, split_scaled_host)
+from .multiword import prepare_B, resolve_scheme, split_scaled_host
 
 
 def _batch_index_sets(order, nslices):
@@ -374,9 +373,13 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
             interpret=self.interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * self.rpad * tpad * K * npairs,
-                bytes_accessed=(2 * self.max_nexp * self.nslices
-                                + 2 * M.shape[0]) * tpad * grid[0]
-                + 2 * self.rpad * K * self.nslices + 8 * self.rpad * tpad,
+                bytes_accessed=(
+                    (1 if self.wdtype == "int8" else 2)
+                    * (self.max_nexp * self.nslices + M.shape[0])
+                    * tpad * grid[0]
+                    + (1 if self.wdtype == "int8" else 2)
+                    * self.rpad * K * self.nslices
+                    + 8 * self.rpad * tpad),
                 transcendentals=0,
             ),
         )(*self.A_slices, *S, M, self.sA, sBp)
@@ -851,7 +854,8 @@ class FusedZooTabulator:
         if self._bern is not None:
             # the bucket A is folded onto the Bernstein basis: every
             # fallback must tabulate Bernstein features, never Dubiner
-            return prepare_B(self._bern.xla_f64(points))
+            return prepare_B(self._bern.xla_f64(points), self.fm.nslices,
+                             wdtype=self.wdtype)
         elif self._ff_ok and points.dtype == jnp.float64:
             return prepare_B_ff(self._phi_pair(points), self.fm.nslices,
                                 wdtype=self.wdtype)
