@@ -924,8 +924,18 @@ def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None,
 
 
 def _save(dim, table, out_path):
+    # preserve the OTHER cell's table already in the output file --
+    # a dim-2 run must not clobber TETRAHEDRON and vice versa
     name = "TRIANGLE" if dim == 2 else "TETRAHEDRON"
-    emit({name: table}, out_path)
+    other = "TETRAHEDRON" if dim == 2 else "TRIANGLE"
+    tables = {"TRIANGLE": {}, "TETRAHEDRON": {}}
+    if os.path.exists(out_path):
+        ns = {}
+        with open(out_path) as f:
+            exec(compile(f.read(), out_path, "exec"), ns)
+        tables[other] = dict(ns.get(other, {}))
+    tables[name] = table
+    emit(tables, out_path)
 
 
 def emit(tables, out_path):
