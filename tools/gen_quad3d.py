@@ -212,9 +212,14 @@ def seed_points(solver, d, elim_table=None):
     return np.asarray(Q.get_points()), np.asarray(Q.get_weights())
 
 
-def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
+def eliminate(solver, d, X, w, target, deadline, log, max_hops=12,
+              on_improve=None):
+    """``on_improve(X, w)``: called at every accepted point-count
+    reduction so long chains persist progress incrementally (a budget
+    or session expiry no longer loses the whole degree's work)."""
     nexp = len(solver.moments(d))
     best = (X, w)
+    seed_n = len(w)
     hops = 0
     while len(best[1]) > target and time.time() < deadline:
         X, w = best
@@ -255,9 +260,13 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
                     break
             if improved is not None or time.time() > deadline:
                 break
+            log(f"    sweep at {n} pts: no single removal "
+                f"({'cheap' if nfev else 'full'} pass)")
         if improved is not None:
             best = improved
             hops = 0
+            if on_improve is not None and len(best[1]) < seed_n:
+                on_improve(*best)
             continue
         # removal stalled: try merging the closest pairs -- both points
         # collapse to their weighted centroid (weight sum), a different
@@ -282,6 +291,8 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
         if improved is not None:
             best = improved
             hops = 0
+            if on_improve is not None and len(best[1]) < seed_n:
+                on_improve(*best)
             continue
         # removal AND merge stalled: JUMP -- drop several points at
         # once (keep the highest-significance subset), nnls-reseed the
@@ -312,6 +323,8 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12):
         if improved is not None:
             best = improved
             hops = 0
+            if on_improve is not None and len(best[1]) < seed_n:
+                on_improve(*best)
             continue
         # stalled at this count: basin hop (re-solve the same count from
         # a jittered start) so the next removal round attacks a
@@ -418,14 +431,20 @@ def main():
             print(f"degree {d:3d}: seed does not verify, skipping",
                   flush=True)
             continue
+        def save(Xs, ws, _d=d):
+            bary = xy_to_bary(solver.cell.get_vertices(), Xs)
+            table[_d] = ([float(x) for x in bary.reshape(-1)],
+                         [float(x) for x in ws])
+            emit(table, args.out, args.dim)
+
         X, w = eliminate(solver, d, X, w, int(args.ratio * target),
                          t0 + args.budget,
-                         log=lambda s: print(s, flush=True))
+                         log=lambda s: print(s, flush=True),
+                         on_improve=(save if have_n is None
+                                     else lambda Xs, ws: len(ws) < have_n
+                                     and save(Xs, ws)))
         if have_n is None or len(w) < have_n:
-            bary = xy_to_bary(solver.cell.get_vertices(), X)
-            table[d] = ([float(x) for x in bary.reshape(-1)],
-                        [float(x) for x in w])
-            emit(table, args.out, args.dim)
+            save(X, w)
         flag = "OK" if len(w) <= args.ratio * target else "over"
         print(f"degree {d:3d}: {len(w):4d} pts (reference {target}) "
               f"{flag} [{time.time() - t0:.0f}s]", flush=True)
