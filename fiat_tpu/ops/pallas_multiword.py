@@ -292,37 +292,87 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
     slice_k(mask * phi) at the shared per-point column scale.
 
     ``pieces``: [(mask_row, nexp_k)] in A-column order (one entry per
-    (program, subcell) block of the merged macro A)."""
+    (program, subcell) block of the merged macro A).
+
+    B assembly runs on the MXU, not piecewise on the VPU: with the
+    static one-hot matrices G[off_k + i, i] = 1 (slice-row expansion)
+    and E[off_k + i, m_k] = 1 (mask-row expansion),
+
+        B_j = (E @ masks) * (G @ slices_j)
+
+    replaces the per-piece concatenation of ~20 tiny (nexp_k, T)
+    broadcast-multiplies.  One-hot selection is exact in every window
+    dtype, so the numerics are bit-identical to the piecewise form.
+    (Measured on the C1 zoo: the two forms are within noise -- the
+    kernel is MXU-bound at 21 multiword pair-dots, not assembly-bound;
+    ``mxu_assembly=False`` restores the piecewise form.)"""
+
+    mxu_assembly = True
 
     def __init__(self, A, pieces, **kw):
         super().__init__(A, **kw)
         self.pieces = list(pieces)
         assert sum(n for _, n in self.pieces) == self.K
         self.max_nexp = max(n for _, n in self.pieces)
+        n_mask_rows = max(m for m, _ in self.pieces) + 1
+        G = np.zeros((self.K, self.max_nexp))
+        E = np.zeros((self.K, n_mask_rows))
+        off = 0
+        for m, nexp in self.pieces:
+            G[off:off + nexp, :nexp] = np.eye(nexp)
+            E[off:off + nexp, m] = 1.0
+            off += nexp
+        wdt = np.int8 if self.wdtype == "int8" else jnp.bfloat16
+        self._G = jnp.asarray(G.astype(wdt))
+        self._E = jnp.asarray(E.astype(wdt))
 
     def _masked_kernel(self, *refs):
         n = self.nslices
         a_refs = refs[:n]
         s_refs = refs[n:2 * n]
-        m_ref = refs[2 * n]
-        sa_ref, sb_ref = refs[2 * n + 1], refs[2 * n + 2]
-        hi_ref, lo_ref = refs[2 * n + 3], refs[2 * n + 4]
+        m_ref, g_ref, e_ref = refs[2 * n], refs[2 * n + 1], refs[2 * n + 2]
+        sa_ref, sb_ref = refs[2 * n + 3], refs[2 * n + 4]
+        hi_ref, lo_ref = refs[2 * n + 5], refs[2 * n + 6]
+        if not self.mxu_assembly:
+            if self.wdtype == "int8":
+                # piecewise select (i8 vector multiply is not legal)
+                b_vals = [jnp.concatenate(
+                    [jnp.where(m_ref[m:m + 1, :] != 0, s_refs[j][:nexp, :],
+                               jnp.zeros_like(s_refs[j][:nexp, :]))
+                     for m, nexp in self.pieces], axis=0)
+                    for j in range(n)]
+            else:
+                b_vals = [jnp.concatenate(
+                    [m_ref[m:m + 1, :] * s_refs[j][:nexp, :]
+                     for m, nexp in self.pieces], axis=0)
+                    for j in range(n)]
+            self._combine_dots([a[:] for a in a_refs], b_vals,
+                               sa_ref[:], sb_ref[:], hi_ref, lo_ref)
+            return
         if self.wdtype == "int8":
             # Mosaic cannot legalize i8 vector multiplies (arith.muli on
-            # vector<i8>); a {0,1} select is equivalent for binning
-            # masks.  The third operand must be a concrete i8 array --
-            # a python scalar 0 sends promote_dtypes into unbounded
-            # recursion under the pallas ref transforms.
-            b_vals = [jnp.concatenate(
-                [jnp.where(m_ref[m:m + 1, :] != 0, s_refs[j][:nexp, :],
-                           jnp.zeros_like(s_refs[j][:nexp, :]))
-                 for m, nexp in self.pieces], axis=0)
-                for j in range(n)]
+            # vector<i8>): select on the expanded mask instead.  The
+            # int32 -> int8 narrowing of the one-hot dots is exact
+            # (windows fit int8 by construction; masks are {0,1}).
+            m_exp = jnp.dot(e_ref[:], m_ref[:],
+                            preferred_element_type=jnp.int32)
+            b_vals = []
+            for j in range(n):
+                s_exp = jnp.dot(g_ref[:], s_refs[j][:],
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.int8)
+                b_vals.append(jnp.where(m_exp != 0, s_exp,
+                                        jnp.zeros_like(s_exp)))
         else:
-            b_vals = [jnp.concatenate(
-                [m_ref[m:m + 1, :] * s_refs[j][:nexp, :]
-                 for m, nexp in self.pieces], axis=0)
-                for j in range(n)]
+            # one-hot f32 dot results are bf16 values exactly, and
+            # mask * value is exact for {0,1} masks in any precision
+            m_exp = jnp.dot(e_ref[:], m_ref[:],
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            b_vals = [m_exp * jnp.dot(g_ref[:], s_refs[j][:],
+                                      preferred_element_type=jnp.float32
+                                      ).astype(jnp.bfloat16)
+                      for j in range(n)]
         self._combine_dots([a[:] for a in a_refs], b_vals,
                            sa_ref[:], sb_ref[:], hi_ref, lo_ref)
 
@@ -354,6 +404,10 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
                               memory_space=pltpu.VMEM)
         m_spec = pl.BlockSpec((M.shape[0], T), lambda r, t: (r * 0, t),
                               memory_space=pltpu.VMEM)
+        g_spec = pl.BlockSpec(self._G.shape, lambda r, t: (r * 0, t * 0),
+                              memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec(self._E.shape, lambda r, t: (r * 0, t * 0),
+                              memory_space=pltpu.VMEM)
         sa_spec = pl.BlockSpec((Rb, 1), lambda r, t: (r, t * 0),
                                memory_space=pltpu.VMEM)
         sb_spec = pl.BlockSpec((1, T), lambda r, t: (r * 0, t),
@@ -366,7 +420,7 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
             self._masked_kernel,
             grid=grid,
             in_specs=[a_spec] * self.nslices + [s_spec] * self.nslices
-            + [m_spec, sa_spec, sb_spec],
+            + [m_spec, g_spec, e_spec, sa_spec, sb_spec],
             out_specs=(out_spec, out_spec),
             out_shape=(jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32),
                        jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32)),
@@ -382,7 +436,7 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
                     + 8 * self.rpad * tpad),
                 transcendentals=0,
             ),
-        )(*self.A_slices, *S, M, self.sA, sBp)
+        )(*self.A_slices, *S, M, self._G, self._E, self.sA, sBp)
         if not trim:
             return hi, lo
         return hi[:self.rows, :npts], lo[:self.rows, :npts]
@@ -665,25 +719,37 @@ class FusedZooTabulator:
         if float(np.asarray(t_es.get_scale(rec_deg))) != float(
                 np.asarray(t_es.get_scale(batched.max_degree))):
             return
+        rows_t = sum(p.tall.shape[0] for p in progs)
+        K_t = sum(p.K for p in progs)
+        # the merged kernel picks its OWN window dtype: its contraction
+        # width K_t (sum of per-piece parent widths) usually crosses the
+        # int8 threshold even when the plain buckets are narrow, and the
+        # kernel is MXU-bound (21 bf16 pair-dots at order 5), so the s8
+        # MXU's 2x rate pays here regardless of the zoo-wide choice.
+        # A dtype differing from the zoo's requires a DEDICATED
+        # recurrence (the shared slices carry the zoo scheme's windows).
+        macro_wdt = "int8" if K_t >= 128 else self.wdtype
         # a DEDICATED low-degree recurrence when the zoo's plain degree
         # exceeds the macro degree: the shared per-point column scale is
         # max|phi| over ALL rows, so quantising a degree-1 macro basis
         # at a degree-10 zoo's scale costs ~2.5 digits (measured on
         # Johnson-Mercier: 1.4e-13 -> 5.2e-11); the small recurrence is
         # ~0.1 ms and keeps the macro pair budget at its own scale
-        if rec_deg != batched.max_degree:
+        if rec_deg != batched.max_degree or macro_wdt != self.wdtype:
             from .doublefloat import supports_ff
-            if not (supports_ff(t_es) and not interpret):
-                return
             from .pallas_recurrence import PallasSliceRecurrence
-            try:
-                self._macro_rec = PallasSliceRecurrence(
-                    t_es, rec_deg, nslices=self.fm.nslices,
-                    wdtype=self.wdtype)
-            except NotImplementedError:
-                return
-        rows_t = sum(p.tall.shape[0] for p in progs)
-        K_t = sum(p.K for p in progs)
+            ok_ff = supports_ff(t_es) and not interpret
+            if ok_ff:
+                _, nsl, _ = resolve_scheme(macro_wdt, None, None)
+                try:
+                    self._macro_rec = PallasSliceRecurrence(
+                        t_es, rec_deg, nslices=nsl, wdtype=macro_wdt)
+                except NotImplementedError:
+                    self._macro_rec = None
+            if self._macro_rec is None:
+                if rec_deg != batched.max_degree:
+                    return
+                macro_wdt = self.wdtype     # shared slices, zoo scheme
         A = np.zeros((rows_t, K_t))
         pieces, self._merged_rows = [], []
         r0 = c0 = mrow = 0
@@ -697,8 +763,8 @@ class FusedZooTabulator:
             self._merged_rows.append((p, r0, r0 + p.tall.shape[0]))
             r0 += p.tall.shape[0]
             c0 += p.K
-        self.macro_merged = FusedMaskedMultiword(A, pieces,
-                                                 interpret=interpret, **kw)
+        self.macro_merged = FusedMaskedMultiword(
+            A, pieces, interpret=interpret, **{**kw, "wdtype": macro_wdt})
 
     def _phi(self, points):
         from .tabulate import _tiled_apply
@@ -816,7 +882,9 @@ class FusedZooTabulator:
             if self.macro_merged is not None and (
                     (self._macro_rec is not None
                      and points.dtype == jnp.float64)
-                    or (prepared is not None and prepared[0][0].shape[0]
+                    or (prepared is not None
+                        and self.macro_merged.wdtype == self.wdtype
+                        and prepared[0][0].shape[0]
                         >= self.macro_merged.max_nexp)):
                 return self._specials_merged(points, prepared)
             per_elem = {}

@@ -380,10 +380,13 @@ def test_fused_multiword_int8_windows_interpret():
                                host[a], atol=2e-10), (type(el).__name__, a)
 
 
-def test_fused_masked_multiword_matches_explicit_B():
+@pytest.mark.parametrize("wdtype", ["bf16", "int8"])
+@pytest.mark.parametrize("mxu_assembly", [True, False])
+def test_fused_masked_multiword_matches_explicit_B(wdtype, mxu_assembly):
     """FusedMaskedMultiword (B assembled in VMEM from shared slice
     prefixes x {0,1} mask rows) equals the plain fused kernel on the
-    explicitly masked, per-cell-expanded B."""
+    explicitly masked, per-cell-expanded B -- for both window dtypes
+    and both assembly forms (one-hot MXU expansion / piecewise)."""
     from fiat_tpu.ops.multiword import prepare_B
     from fiat_tpu.ops.pallas_multiword import (FusedMaskedMultiword,
                                                FusedMultiwordMatmul)
@@ -395,17 +398,19 @@ def test_fused_masked_multiword_matches_explicit_B():
     phi = rng.standard_normal((nexp, npts))
     masks = (rng.random((5, npts)) < 0.5).astype(np.float64)
 
-    fm = FusedMaskedMultiword(A, pieces, interpret=True,
+    fm = FusedMaskedMultiword(A, pieces, interpret=True, wdtype=wdtype,
                               row_block=256, point_tile=256)
-    slices, sB = prepare_B(jnp.asarray(phi), fm.nslices)
+    fm.mxu_assembly = mxu_assembly
+    slices, sB = prepare_B(jnp.asarray(phi), fm.nslices, wdtype=wdtype)
     hi, lo = jax.jit(lambda s, c, m: fm.apply_pair_masked(s, c, m))(
         slices, sB, jnp.asarray(masks))
     got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
     B = np.vstack([masks[m] * phi[:n] for m, n in pieces])
-    ref = FusedMultiwordMatmul(A, interpret=True, row_block=256,
-                               point_tile=256)
-    hi2, lo2 = jax.jit(lambda b: ref.apply_pair(prepare_B(b, ref.nslices)))(
+    ref = FusedMultiwordMatmul(A, interpret=True, wdtype=wdtype,
+                               row_block=256, point_tile=256)
+    hi2, lo2 = jax.jit(lambda b: ref.apply_pair(prepare_B(b, ref.nslices,
+                                                          wdtype=wdtype)))(
         jnp.asarray(B))
     want = np.asarray(hi2, np.float64) + np.asarray(lo2, np.float64)
     assert np.allclose(got, want, atol=1e-13)
