@@ -138,6 +138,73 @@ class NodeSolver:
             return X, w
         return None
 
+    def solve_free(self, d, X0, w0, max_nfev=None):
+        """Unconstrained Gauss-Newton in transformed variables:
+        bary = softmax(U) per point (interior by construction),
+        w = exp(v) (positive by construction).
+
+        The bounded trf solve stalls when the active set chatters at
+        the box walls; this parametrization has no walls at all, so a
+        trust-region step can cross regions the bounded solve cannot.
+        The softmax gauge freedom (U_q + c) is pinned by n tiny
+        regularization rows on mean(U_q).  verify() still gates."""
+        sd = self.sd
+        n = len(w0)
+        if max_nfev is None:
+            max_nfev = 300 + 12 * d
+        b = self.moments(d)
+        bary0 = np.clip(xy_to_bary(self.cell.get_vertices(), X0),
+                        1e-7, 1.0)
+        theta0 = np.concatenate([
+            np.log(bary0).reshape(-1),
+            np.log(np.maximum(w0, self.wmin))])
+        nb = len(b)
+
+        def unpack(th):
+            U = th[:n * (sd + 1)].reshape(n, sd + 1)
+            E = np.exp(U - U.max(axis=1, keepdims=True))
+            bary = E / E.sum(axis=1, keepdims=True)
+            return U, bary, bary @ self.verts, np.exp(th[n * (sd + 1):])
+
+        GAUGE = 1e-7
+
+        def fun(th):
+            U, _, X, w = unpack(th)
+            phi = self.es.tabulate(d, X)[:nb]
+            return np.concatenate([phi @ w - b, GAUGE * U.mean(axis=1)])
+
+        def jac(th):
+            U, bary, X, w = unpack(th)
+            tabs = self.es._tabulate(d, X, order=1)
+            phi = tabs[(0,) * sd][:nb]
+            # G[:, q, s] = d phi / d x_s at point q
+            G = np.stack([tabs[tuple(a)][:nb]
+                          for a in np.eye(sd, dtype=int)], axis=-1)
+            # X_q = sum_k bary_{qk} v_k  =>  dX_q/dU_{qk} =
+            # bary_{qk} (v_k - X_q)
+            dXdU = bary[:, :, None] * (self.verts[None, :, :]
+                                       - X[:, None, :])   # (n, sd+1, sd)
+            J = np.zeros((nb + n, n * (sd + 1) + n))
+            J[:nb, :n * (sd + 1)] = np.einsum(
+                "bqs,qks->bqk", G * w[None, :, None],
+                dXdU).reshape(nb, n * (sd + 1))
+            J[:nb, n * (sd + 1):] = phi * w[None, :]
+            for q in range(n):
+                J[nb + q, q * (sd + 1):(q + 1) * (sd + 1)] = \
+                    GAUGE / (sd + 1)
+            return J
+
+        try:
+            sol = least_squares(fun, theta0, jac=jac, method="trf",
+                                xtol=3e-16, ftol=3e-16, gtol=1e-14,
+                                max_nfev=max_nfev)
+        except Exception:
+            return None
+        _, _, X, w = unpack(sol.x)
+        if self.verify(d, X, w):
+            return X, w
+        return None
+
     def verify(self, d, X, w):
         bary = xy_to_bary(self.cell.get_vertices(), X)
         if bary.min() < MARGIN or w.min() <= 0:
@@ -230,38 +297,47 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12,
         order = np.argsort(solver.scores(d, X, w))
         rng = np.random.default_rng(9000 * n + hops)
 
-        def try_remove(q, jit, nfev):
+        def try_remove(q, jit, nfev, free=False):
             keep = np.arange(n) != q
             Xt = X[keep] if not jit else np.clip(
                 X[keep] + jit * rng.standard_normal((n - 1, solver.sd)),
                 0, 1)
-            return solver.solve(d, Xt,
-                                solver.reseed_weights(d, Xt, w[keep]),
-                                max_nfev=nfev)
+            wt = solver.reseed_weights(d, Xt, w[keep])
+            if free:
+                return solver.solve_free(d, Xt, wt, max_nfev=nfev)
+            return solver.solve(d, Xt, wt, max_nfev=nfev)
 
         improved = None
         # failed attempts burn their full iteration budget, so sweep a
         # wide candidate set with a CHEAP budget first, then give the
         # best few candidates the full budget (successful removals
-        # converge fast; verify() guards accuracy regardless)
-        passes = ((70 + 3 * d, order[:24], (0.0, 0.008)),
-                  (None, order[:6], (0.01, 0.03)))
-        for nfev, cands, jits in passes:
+        # converge fast; verify() guards accuracy regardless).  The
+        # unconstrained transformed solver leads: it escapes the
+        # bounded-trf active-set stalls (measured: removed a point from
+        # the 86-pt tet-10 rule in 1 s where hours of bounded sweeps
+        # found nothing), with bounded trf as the fallback flavor
+        passes = ((120 + 5 * d, order[:24], (0.0,), True),
+                  (70 + 3 * d, order[:24], (0.0, 0.008), False),
+                  (600 + 20 * d, order[:10], (0.0, 0.01), True),
+                  (None, order[:6], (0.01, 0.03), False))
+        for nfev, cands, jits, free in passes:
             for q in cands:
                 if time.time() > deadline:
                     break
                 for jit in jits:
-                    got = try_remove(q, jit, nfev)
+                    got = try_remove(q, jit, nfev, free=free)
                     if got is not None:
                         improved = got
-                        log(f"    rm -> {len(got[1])} pts")
+                        log(f"    rm{'(free)' if free else ''} -> "
+                            f"{len(got[1])} pts")
                         break
                 if improved is not None:
                     break
             if improved is not None or time.time() > deadline:
                 break
             log(f"    sweep at {n} pts: no single removal "
-                f"({'cheap' if nfev else 'full'} pass)")
+                f"({'free' if free else 'cheap' if nfev else 'full'}"
+                " pass)")
         if improved is not None:
             best = improved
             hops = 0
@@ -284,6 +360,9 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12,
             Xt = np.vstack([X[keep], xm])
             wt = np.concatenate([w[keep], [w[i] + w[j]]])
             got = solver.solve(d, Xt, solver.reseed_weights(d, Xt, wt))
+            if got is None:
+                got = solver.solve_free(
+                    d, Xt, solver.reseed_weights(d, Xt, wt))
             if got is not None:
                 improved = got
                 log(f"    merge({i},{j}) -> {len(got[1])} pts")
@@ -314,6 +393,9 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12,
                 wt = solver.reseed_weights(
                     d, Xt, np.full(m, w.sum() / m))
                 got = solver.solve(d, Xt, wt, max_nfev=400 + 12 * d)
+                if got is None:
+                    got = solver.solve_free(d, Xt, wt,
+                                            max_nfev=500 + 15 * d)
                 if got is not None:
                     improved = got
                     log(f"    jump -> {len(got[1])} pts")
