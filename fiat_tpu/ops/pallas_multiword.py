@@ -740,7 +740,13 @@ class FusedZooTabulator:
             from .pallas_recurrence import PallasSliceRecurrence
             ok_ff = supports_ff(t_es) and not interpret
             if ok_ff:
-                _, nsl, _ = resolve_scheme(macro_wdt, None, None)
+                # resolve with the caller's kw overrides so the
+                # dedicated recurrence emits exactly the slice count
+                # the merged kernel (built from the same kw below)
+                # expects -- a bare resolve here desynchronises them
+                # when the caller passes nslices/order explicitly
+                _, nsl, _ = resolve_scheme(macro_wdt, kw.get("nslices"),
+                                           kw.get("order"))
                 try:
                     self._macro_rec = PallasSliceRecurrence(
                         t_es, rec_deg, nslices=nsl, wdtype=macro_wdt)

@@ -924,8 +924,11 @@ def generate(dim, max_degree, out_path, budget=240.0, start=1, table=None,
 
 
 def _save(dim, table, out_path):
-    # preserve the OTHER cell's table already in the output file --
-    # a dim-2 run must not clobber TETRAHEDRON and vice versa
+    # merge with the tables already in the output file: a dim-2 run
+    # must not clobber TETRAHEDRON (and vice versa), and a partial run
+    # (--start / --degrees without --seed-existing) must not erase the
+    # CURRENT cell's on-disk degrees it never touched -- this run's
+    # entries win on collision
     name = "TRIANGLE" if dim == 2 else "TETRAHEDRON"
     other = "TETRAHEDRON" if dim == 2 else "TRIANGLE"
     tables = {"TRIANGLE": {}, "TETRAHEDRON": {}}
@@ -934,7 +937,8 @@ def _save(dim, table, out_path):
         with open(out_path) as f:
             exec(compile(f.read(), out_path, "exec"), ns)
         tables[other] = dict(ns.get(other, {}))
-    tables[name] = table
+        tables[name] = dict(ns.get(name, {}))
+    tables[name].update(table)
     emit(tables, out_path)
 
 
