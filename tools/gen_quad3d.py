@@ -316,9 +316,14 @@ def eliminate(solver, d, X, w, target, deadline, log, max_hops=12,
         # bounded-trf active-set stalls (measured: removed a point from
         # the 86-pt tet-10 rule in 1 s where hours of bounded sweeps
         # found nothing), with bounded trf as the fallback flavor
-        passes = ((120 + 5 * d, order[:24], (0.0,), True),
-                  (70 + 3 * d, order[:24], (0.0, 0.008), False),
-                  (600 + 20 * d, order[:10], (0.0, 0.01), True),
+        # nfev caps: successful removals converge fast (<~100 iters
+        # even at tri degree 50); FAILED attempts burn the whole cap,
+        # and at large n one lsq iteration costs seconds, so an uncapped
+        # 120+5d cheap pass can blow 10x past the degree deadline on a
+        # single doomed candidate
+        passes = ((min(120 + 5 * d, 160), order[:24], (0.0,), True),
+                  (min(70 + 3 * d, 140), order[:24], (0.0, 0.008), False),
+                  (min(600 + 20 * d, 420), order[:10], (0.0, 0.01), True),
                   (None, order[:6], (0.01, 0.03), False))
         for nfev, cands, jits, free in passes:
             for q in cands:
