@@ -268,11 +268,19 @@ def seed_points(solver, d, elim_table=None):
         if repairs >= 2:     # bound the repair spend; larger positive
             continue         # candidates follow in the ordering anyway
         repairs += 1
+        # repair nfev is capped like the elimination passes: at large n
+        # one lsq iteration costs seconds, and seeding runs OUTSIDE the
+        # degree budget, so an uncapped 600+20d spend here can stall a
+        # degree for an hour before elimination even starts
         for jit in (0.0, 0.004, 0.012, 0.03):
             Xj = np.clip(X + jit * rng.standard_normal(X.shape), 0, 1)
             got = solver.solve(d, Xj,
                                solver.reseed_weights(d, Xj, np.abs(w)),
-                               max_nfev=600 + 20 * d)
+                               max_nfev=min(600 + 20 * d, 350))
+            if got is None:
+                got = solver.solve_free(
+                    d, Xj, solver.reseed_weights(d, Xj, np.abs(w)),
+                    max_nfev=min(600 + 20 * d, 350))
             if got is not None:
                 return got
     Q = make_quadrature(solver.cell, d // 2 + 1)
