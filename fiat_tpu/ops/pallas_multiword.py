@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .multiword import prepare_B, resolve_scheme, split_scaled_host
+from .doublefloat import FF, ff_add, ff_mul, two_prod, two_sum
 
 
 def _batch_index_sets(order, nslices):
@@ -97,9 +98,20 @@ class FusedMultiwordMatmul:
         self.batches = _batch_index_sets(order, nslices)
 
     def _combine_dots(self, a_vals, b_vals, sa, sb, hi_ref, lo_ref):
+        """Group dots + TwoSum combine over VMEM VALUES, scaled and
+        written to the output refs (see _combine_core)."""
+        s, e = self._combine_core(a_vals, b_vals)
+        scale = sa * sb                           # pow2 * pow2: exact in f32
+        hi_ref[:] = s * scale
+        lo_ref[:] = e * scale
+
+    def _combine_core(self, a_vals, b_vals):
         """Group dots + TwoSum combine over VMEM VALUES (the masked
         variant builds its b_vals in-kernel, so the body takes arrays,
-        not refs)."""
+        not refs).  Returns the UNSCALED (s, e) accumulator pair; the
+        caller applies the exact pow2 column/row scales (and, in the
+        one-shot macro kernel, the pair-exact multiplicity reciprocal)
+        before writing."""
         # every dot's result joins one TwoSum accumulation chain, so
         # only (s, e) stay live between dots.  Same-quantum 16-bit slice
         # products fit the f32 accumulator exactly only for <= 256-term
@@ -107,8 +119,7 @@ class FusedMultiwordMatmul:
         # (t+1)*K columns) splits into <= 256-column chunks whose
         # partials the TwoSum chain combines error-free.
         if self.wdtype == "int8":
-            return self._combine_dots_i8(a_vals, b_vals, sa, sb,
-                                         hi_ref, lo_ref)
+            return self._combine_core_i8(a_vals, b_vals)
         dots = []
         tail_parts = []
         for t, idx in enumerate(self.batches):
@@ -159,11 +170,9 @@ class FusedMultiwordMatmul:
             bp = tt - s
             e = e + ((s - (tt - bp)) + (acc - bp))
             s = tt
-        scale = sa * sb                           # pow2 * pow2: exact in f32
-        hi_ref[:] = s * scale
-        lo_ref[:] = e * scale
+        return s, e
 
-    def _combine_dots_i8(self, a_vals, b_vals, sa, sb, hi_ref, lo_ref):
+    def _combine_core_i8(self, a_vals, b_vals):
         """int8 window variant: one s8 x s8 -> s32 dot per order group
         (2x the bf16 MXU rate on v5e) with EXACT integer accumulation --
         no 256-column chunking, no in-dot rounding.  Each group's int32
@@ -199,9 +208,7 @@ class FusedMultiwordMatmul:
                 s = tt
             if v2 is not None:
                 e = e + v2 * q
-        scale = sa * sb                           # pow2 * pow2: exact
-        hi_ref[:] = s * scale
-        lo_ref[:] = e * scale
+        return s, e
 
     def _kernel(self, *refs):
         n = self.nslices
@@ -440,6 +447,291 @@ class FusedMaskedMultiword(FusedMultiwordMatmul):
         if not trim:
             return hi, lo
         return hi[:self.rows, :npts], lo[:self.rows, :npts]
+
+
+class FusedMacroOneShot(FusedMaskedMultiword):
+    """ONE-launch macro (split-complex) engine: reads the RAW df32
+    point pair and performs, per (row-block, point-tile) grid cell,
+    entirely in VMEM:
+
+      * the ff barycentric L1 subcell-binning masks of every macro
+        program (the partition_of_unity_masks XLA pass and its HBM
+        round-trip disappear; identical comparison semantics -- the
+        same df32 distances against best + 1e-12),
+      * the shared parent df32 Dubiner recurrence + window slice split
+        (pallas_recurrence.emit_slices; the dedicated macro recurrence
+        launch and its slice HBM round-trip disappear),
+      * the per-piece masked B assembly + multiword group dots + TwoSum
+        combine of FusedMaskedMultiword,
+      * pair-exact multiplicity averaging for non-unique programs: the
+        in-kernel ff reciprocal of the cover count multiplies the
+        (s, e) accumulator with a full ff_mul, so the emulated-f64
+        promote + f64 reciprocal multiply in XLA disappear too,
+
+    and writes ONLY the (hi, lo) pair.  Workload shape of the reference:
+    /root/reference/FIAT/macro.py:381 (MacroQuadratureRule) +
+    /root/reference/FIAT/expansions.py:368-408 (per-subcell tabulation).
+
+    ``geom``: per program {"maps": [(A_c, b_c) rescaled barycentric map
+    per subcell, host f64], "unique": bool, "rows": (r0, r1) row range
+    in the merged A}; ``parent_map``: the shared parent-cell map.
+    ``rec_deg``/``scale``: the shared parent recurrence degree and
+    normalisation (must match the scale the merged A was built
+    against)."""
+
+    def __init__(self, A, pieces, geom, parent_map, sd, rec_deg, scale,
+                 point_tile=None, **kw):
+        # longer default tiles than the streamed-B kernel: the per-step
+        # recurrence + binning VPU work amortises over the tile, and the
+        # B operand is computed (not streamed), so VMEM holds only the
+        # outputs + ff stacks
+        super().__init__(A, pieces, point_tile=point_tile or 2048, **kw)
+        from .pallas_recurrence import _pack_stage_ff
+        self._geom = list(geom)
+        self._parent_map = (np.asarray(parent_map[0], np.float64),
+                            np.asarray(parent_map[1], np.float64))
+        self._sd = sd
+        self._rec_deg = rec_deg
+        self._scale = float(scale)
+        self.stages = [_pack_stage_ff(sd, rec_deg, c) for c in range(sd)]
+        nonuni = [g for g in self._geom if not g["unique"]]
+        self._n_nonuni = len(nonuni)
+        # stacked barycentric maps (parent row 0, then every program's
+        # cells in merged piece order): the in-kernel distances run as
+        # (ncells+1, T) ff ops -- per-cell (1, T) chains waste 7/8 of
+        # the VPU sublanes (measured 0.33 ms of the c1 kernel)
+        from .doublefloat import const_ff
+        maps = [self._parent_map]
+        self._prog_cells = []
+        pos = 1
+        for g in self._geom:
+            maps.extend(g["maps"])
+            self._prog_cells.append((pos, pos + len(g["maps"])))
+            pos += len(g["maps"])
+        nbary = max(Am.shape[0] for Am, _ in maps)
+        assert all(Am.shape[0] == nbary for Am, _ in maps)
+        # one packed (ncells+1, nbary*(4*sd+2)) f32 operand: per bary
+        # row j, the pre-split ff columns [hi|lo|sh|sl] of each coord's
+        # coefficient plus [hi|lo] of the offset (Pallas kernels cannot
+        # capture array constants)
+        self._nbary = nbary
+        pack = []
+        for j in range(nbary):
+            for i in range(sd):
+                c = const_ff(np.asarray([Am[j, i] for Am, _ in maps],
+                                        np.float64)[:, None])
+                pack.extend([c.hi, c.lo, c.sh, c.sl])
+            o = const_ff(np.asarray([bm[j] for _, bm in maps],
+                                    np.float64)[:, None])
+            pack.extend([o.hi, o.lo])
+        self._bary_pack = jnp.asarray(np.concatenate(pack, axis=1,
+                                                     dtype=np.float32))
+        # one-hot row -> (non-unique program | virtual ones) selector:
+        # the trailing virtual column carries recip == exactly 1 for
+        # unique-program rows and block padding, so the in-kernel
+        # selection dot is an exact copy everywhere
+        E = np.zeros((self.rpad, self._n_nonuni + 1), np.float32)
+        E[:, -1] = 1.0
+        for j, g in enumerate(nonuni):
+            r0, r1 = g["rows"]
+            E[r0:r1, j], E[r0:r1, -1] = 1.0, 0.0
+        self._Erow = jnp.asarray(E)
+
+    # ------------------------------------------------------------------
+    def _binning(self, xs, bary_ref, T):
+        """All programs' {0,1} masks (merged piece order) + per-program
+        ff multiplicity reciprocals (None for unique programs).
+
+        All distances compute at once over the stacked (ncells+1, T)
+        barycentric rows (parent first), with the same df32 arithmetic
+        and best + 1e-12 comparison as partition_of_unity_masks."""
+        from .doublefloat import split32
+        one = jnp.ones((1, T), jnp.float32)
+        zero = jnp.zeros((1, T), jnp.float32)
+        nc = bary_ref.shape[0]
+        # EXPANSION (non-renormalising) arithmetic: the fully-normalised
+        # ff_add chain costs 92 VPU ops per bary row; here every exact
+        # product/sum error just joins a plain-add error channel, so the
+        # result is exact to O(eps^2 * nterms) ~ 4e-15 absolute -- far
+        # below the 1e-12 binning tolerance -- at ~1/3 the ops.  The
+        # point-coordinate splits are computed once per tile and shared
+        # by every barycentric row of every cell.
+        x_splits = [split32(x.hi) for x in xs]
+        dS = dE = None
+        col = 0
+        for j in range(self._nbary):
+            s = jnp.broadcast_to(bary_ref[:, col + 4 * self._sd:
+                                          col + 4 * self._sd + 1], (nc, T))
+            err = jnp.broadcast_to(bary_ref[:, col + 4 * self._sd + 1:
+                                            col + 4 * self._sd + 2], (nc, T))
+            for i in range(self._sd):
+                ch, cl = bary_ref[:, col:col + 1], bary_ref[:, col + 1:col + 2]
+                sh, sl = bary_ref[:, col + 2:col + 3], bary_ref[:, col + 3:col + 4]
+                col += 4
+                p, e = two_prod(ch, xs[i].hi, a_split=(sh, sl),
+                                b_split=x_splits[i])
+                s, e2 = two_sum(s, p)
+                err = err + (e + e2 + (ch * xs[i].lo + cl * xs[i].hi))
+            col += 2
+            lam_hi = s
+            neg = lam_hi + err < 0
+            ph = jnp.where(neg, -lam_hi, np.float32(0.0))
+            pe = jnp.where(neg, -err, np.float32(0.0))
+            if dS is None:
+                dS, dE = ph, pe
+            else:
+                dS, e2 = two_sum(dS, ph)
+                dE = dE + (pe + e2)
+        dist = dS + dE                            # (ncells+1, T) f32
+        near = dist[1:] <= dist[0:1] + np.float32(1e-12)
+        M = jnp.where(near, np.float32(1.0), np.float32(0.0))
+        masks, recips = [], []
+        for g, (c0, c1) in zip(self._geom, self._prog_cells):
+            raw = [M[c - 1:c, :] for c in range(c0, c1)]
+            if g["unique"]:
+                taken = zero
+                uniq = []
+                for m in raw:
+                    m = m * (one - taken)
+                    taken = jnp.maximum(taken, m)
+                    uniq.append(m)
+                raw = uniq
+                recips.append(None)
+            else:
+                totp = jnp.sum(M[c0 - 1:c1 - 1, :], axis=0,
+                               keepdims=True)    # small-int f32: exact
+                r = one / totp
+                p, e = two_prod(r, totp)
+                d = (one - p) - e            # Sterbenz: p within 1 ulp of 1
+                recips.append(FF(r, r * d))  # == 1/totp to ~2^-48
+            masks.extend(raw)
+        return masks, recips
+
+    def _oneshot_kernel(self, *refs):
+        from .pallas_recurrence import emit_slices
+        n = self.nslices
+        phi_ref, plo_ref = refs[0], refs[1]
+        k = 2
+        stage_refs = refs[k:k + 3 * self._sd]
+        k += 3 * self._sd
+        a_refs = refs[k:k + n]
+        k += n
+        (sa_ref, e_ref, bary_ref, g_ref,
+         em_ref) = refs[k], refs[k + 1], refs[k + 2], refs[k + 3], refs[k + 4]
+        hi_ref, lo_ref = refs[k + 5], refs[k + 6]
+
+        T = phi_ref.shape[1]
+        xs = [FF(phi_ref[i, :].reshape(1, T), plo_ref[i, :].reshape(1, T))
+              for i in range(self._sd)]
+        masks, recips = self._binning(xs, bary_ref[:], T)
+        slices, sB = emit_slices(self._sd, self._rec_deg, self._scale, n,
+                                 phi_ref, plo_ref, stage_refs,
+                                 [st[3] for st in self.stages],
+                                 wdtype=self.wdtype)
+        # MXU one-hot B assembly (exact: each G/E row selects one value)
+        # -- the piecewise 21-concat x nslices form measured 0.42 ms of
+        # the 0.88 ms c1 kernel in VMEM relayout copies
+        Mk = jnp.concatenate(masks, axis=0)
+        if self.wdtype == "int8":
+            m_exp = jnp.dot(em_ref[:], Mk.astype(jnp.int8),
+                            preferred_element_type=jnp.int32)
+            b_vals = []
+            for s in slices:
+                s_exp = jnp.dot(g_ref[:], s,
+                                preferred_element_type=jnp.int32
+                                ).astype(jnp.int8)
+                b_vals.append(jnp.where(m_exp != 0, s_exp,
+                                        jnp.zeros_like(s_exp)))
+        else:
+            m_exp = jnp.dot(em_ref[:], Mk.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            b_vals = [m_exp * jnp.dot(g_ref[:], s,
+                                      preferred_element_type=jnp.float32
+                                      ).astype(jnp.bfloat16)
+                      for s in slices]
+        s, e = self._combine_core([a[:] for a in a_refs], b_vals)
+        if self._n_nonuni:
+            # exact one-hot selection of each row's program reciprocal
+            Rh = jnp.concatenate([r.hi for r in recips if r is not None]
+                                 + [jnp.ones((1, T), jnp.float32)], axis=0)
+            Rl = jnp.concatenate([r.lo for r in recips if r is not None]
+                                 + [jnp.zeros((1, T), jnp.float32)], axis=0)
+            rh = jnp.dot(e_ref[:], Rh, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            rl = jnp.dot(e_ref[:], Rl, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            s, e = ff_mul(FF(s, e), FF(rh, rl))
+        scale = sa_ref[:] * sB                    # pow2 * pow2: exact
+        hi_ref[:] = s * scale
+        lo_ref[:] = e * scale
+
+    # ------------------------------------------------------------------
+    def apply_pair_points(self, points, trim=True):
+        """(hi, lo) pair of recip-applied macro tables straight from f64
+        points: masks + parent recurrence + dots in ONE kernel."""
+        npts = points.shape[0]
+        T = self.point_tile
+        tpad = -(-npts // T) * T
+        pad = tpad - npts
+        # the only f64 arithmetic: one subtract for the pair split
+        hi = points.astype(jnp.float32)
+        lo = ((points - hi.astype(jnp.float64)).astype(jnp.float32)
+              if points.dtype == jnp.float64 else jnp.zeros_like(hi))
+        hi = jnp.pad(hi, ((0, pad), (0, 0))).T    # (sd, tpad)
+        lo = jnp.pad(lo, ((0, pad), (0, 0))).T
+
+        Rb = self.row_block
+        grid = (self.rpad // Rb, tpad // T)
+
+        pts_spec = pl.BlockSpec((self._sd, T), lambda r, t: (r * 0, t),
+                                memory_space=pltpu.VMEM)
+        full = lambda arr: pl.BlockSpec(arr.shape, lambda r, t: tuple(
+            r * 0 for _ in arr.shape), memory_space=pltpu.VMEM)
+        in_specs = [pts_spec, pts_spec]
+        operands = [hi, lo]
+        for pk, P, norms, _need in self.stages:
+            for arr in (pk, P, norms):
+                in_specs.append(full(arr))
+                operands.append(jnp.asarray(arr))
+        a_spec = pl.BlockSpec((Rb, self.K), lambda r, t: (r, t * 0),
+                              memory_space=pltpu.VMEM)
+        sa_spec = pl.BlockSpec((Rb, 1), lambda r, t: (r, t * 0),
+                               memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((Rb, self._Erow.shape[1]),
+                              lambda r, t: (r, t * 0),
+                              memory_space=pltpu.VMEM)
+        in_specs += [a_spec] * self.nslices + [sa_spec, e_spec,
+                                               full(self._bary_pack),
+                                               full(self._G), full(self._E)]
+        operands += [*self.A_slices, self.sA, self._Erow, self._bary_pack,
+                     self._G, self._E]
+        out_spec = pl.BlockSpec((Rb, T), lambda r, t: (r, t),
+                                memory_space=pltpu.VMEM)
+
+        npairs = sum(len(idx) for idx in self.batches)
+        hi_o, lo_o = pl.pallas_call(
+            self._oneshot_kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32),
+                       jax.ShapeDtypeStruct((self.rpad, tpad), jnp.float32)),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=(2 * self.rpad * tpad * self.K * npairs
+                       + 400 * (self.max_nexp + len(self.pieces))
+                       * tpad * grid[0]),
+                bytes_accessed=8 * self._sd * tpad * grid[0]
+                + (1 if self.wdtype == "int8" else 2)
+                * self.rpad * self.K * self.nslices
+                + 8 * self.rpad * tpad,
+                transcendentals=0,
+            ),
+        )(*operands)
+        if not trim:
+            return hi_o, lo_o
+        return hi_o[:self.rows, :npts], lo_o[:self.rows, :npts]
 
 
 def _plan_buckets(widths_rows, nalpha, order, nslices, align,
@@ -702,6 +994,7 @@ class FusedZooTabulator:
         hierarchical Dubiner basis, same per-point column scale) --
         exactly the prefix property the degree buckets already use."""
         self.macro_merged = None
+        self.macro_oneshot = None
         self._macro_rec = None
         progs = getattr(batched, "macro_programs", None) or ()
         if not progs:
@@ -771,6 +1064,52 @@ class FusedZooTabulator:
             c0 += p.K
         self.macro_merged = FusedMaskedMultiword(
             A, pieces, interpret=interpret, **{**kw, "wdtype": macro_wdt})
+        self._build_macro_oneshot(batched, A, pieces, t_es, rec_deg,
+                                  macro_wdt, interpret, kw)
+
+    def _build_macro_oneshot(self, batched, A, pieces, t_es, rec_deg,
+                             macro_wdt, interpret, kw):
+        """The ONE-launch macro engine (FusedMacroOneShot): in-kernel
+        binning masks + parent recurrence + masked dots + pair-exact
+        multiplicity averaging.  Gated on the same preconditions as the
+        Pallas slice recurrence (plain single-cell parent, 2x-1 cell
+        map) -- the fallback chain (merged masked kernel, per-program
+        kernels, traced engine) is unchanged."""
+        self.macro_oneshot = None
+        if interpret:
+            return
+        from .doublefloat import supports_ff
+        if not supports_ff(t_es):
+            return
+        if t_es.variant is not None or len(t_es.affine_mappings) != 1:
+            return
+        A0, b0 = t_es.affine_mappings[0]
+        sd = t_es.ref_el.get_spatial_dimension()
+        if not (np.allclose(np.asarray(A0), 2.0 * np.eye(sd))
+                and np.allclose(np.asarray(b0), -1.0)):
+            return
+        progs = batched.macro_programs
+        geom = []
+        for (prog, r0, r1) in self._merged_rows:
+            ref = prog.es.ref_el
+            top = ref.get_topology()
+            assert prog.cells == sorted(top[sd])
+            geom.append({
+                "maps": [ref.barycentric_map(entity=(sd, c), rescale=True)
+                         for c in prog.cells],
+                "unique": (prog.es.continuity is not None
+                           and batched.order == 0),
+                "rows": (r0, r1),
+            })
+        parent_map = progs[0].es.ref_el.get_parent().barycentric_map(
+            rescale=True)
+        scale = float(np.asarray(t_es.get_scale(rec_deg, cell=0)))
+        try:
+            self.macro_oneshot = FusedMacroOneShot(
+                A, pieces, geom, parent_map, sd, rec_deg, scale,
+                interpret=interpret, **{**kw, "wdtype": macro_wdt})
+        except NotImplementedError:
+            self.macro_oneshot = None
 
     def _phi(self, points):
         from .tabulate import _tiled_apply
@@ -876,7 +1215,35 @@ class FusedZooTabulator:
         return {a: [per_elem[i][a] for i, _e in b.special]
                 for a in self.alphas}
 
-    def _specials(self, points, prepared=None):
+    def _specials_oneshot(self, points, pairs=False):
+        """Per-element macro tables off the ONE-launch kernel (masks +
+        recurrence + dots + multiplicity recip all in VMEM).  With
+        ``pairs`` the blocks stay exact (hi, lo) f32 pairs (padded
+        columns; unpack_pairs trims); otherwise each element's slice is
+        promoted to trimmed f64 (promotion runs on the REAL rows only,
+        never the padded kernel block)."""
+        npts = points.shape[0]
+        hi, lo = self.macro_oneshot.apply_pair_points(points, trim=False)
+        per_elem = {}
+        for (prog, r0, r1) in self._merged_rows:
+            r = prog.rows
+            tabs = {}
+            for k, a in enumerate(prog.alphas):
+                tabs[a] = (hi[r0 + k * r:r0 + (k + 1) * r],
+                           lo[r0 + k * r:r0 + (k + 1) * r])
+            for idx, lo_, hi_ in prog.row_slices:
+                d = {}
+                for a in self.alphas:
+                    h, l = tabs[a]
+                    h, l = h[lo_:hi_], l[lo_:hi_]
+                    d[a] = ((h, l) if pairs
+                            else h[:, :npts].astype(jnp.float64)
+                            + l[:, :npts].astype(jnp.float64))
+                per_elem[idx] = d
+        return {a: [per_elem[i][a] for i, _e in self.batched.special]
+                for a in self.alphas}
+
+    def _specials(self, points, prepared=None, pairs=False):
         """Macro side tables {alpha: [blocks]}: one merged masked kernel
         when the programs share the zoo's parent basis (the fast path),
         else each grouped dmats side program runs through its own fused
@@ -885,6 +1252,9 @@ class FusedZooTabulator:
         b = self.batched
         parts = {a: [] for a in self.alphas}
         if getattr(b, "macro_programs", None):
+            if (self.macro_oneshot is not None
+                    and points.dtype == jnp.float64):
+                return self._specials_oneshot(points, pairs=pairs)
             if self.macro_merged is not None and (
                     (self._macro_rec is not None
                      and points.dtype == jnp.float64)
@@ -1011,7 +1381,10 @@ class FusedZooTabulator:
         return out
 
     def _pair_blocks(self, points):
-        """{alpha: [bucket (hi, lo) pair..., macro f64 block...]} -- the
+        """{alpha: [bucket (hi, lo) pair..., macro block...]} -- the
+        macro blocks are (hi, lo) pairs too on the one-shot path
+        (multiplicity recip applied pair-exactly in-kernel), f64
+        otherwise.  This is the
         native output representation of the engine: hi + lo equals the
         f64 table exactly to the pair budget, with no extra HBM
         round-trip through an emulated-f64 convert (pairs leave padded;
@@ -1023,7 +1396,8 @@ class FusedZooTabulator:
                for a, pairs in self._padded_pairs(points,
                                                   prepared).items()}
         if self.batched.special_progs:
-            for a, blocks in self._specials(points, prepared).items():
+            for a, blocks in self._specials(points, prepared,
+                                            pairs=True).items():
                 out[a].extend(blocks)
         return out
 
@@ -1043,6 +1417,11 @@ class FusedZooTabulator:
                     tab = (np.asarray(hi, dtype=np.float64)
                            + np.asarray(lo, dtype=np.float64))
                     conv.append(tab[:self.buckets[k].rows, :npts])
+                elif isinstance(blk, tuple):
+                    hi, lo = blk        # one-shot macro pair (padded cols)
+                    tab = (np.asarray(hi, dtype=np.float64)
+                           + np.asarray(lo, dtype=np.float64))
+                    conv.append(tab[:, :npts])
                 else:
                     conv.append(np.asarray(blk)[:, :npts])
             f64_blocks[a] = conv

@@ -122,6 +122,14 @@ def main():
         t = chain(jax, jnp, fz._specials, pts) - floor
         print(f"[{which}] macro specials     {t:8.3f} ms "
               f"({len(fz.macro_fms)} programs)")
+        if getattr(fz, "macro_oneshot", None) is not None:
+            t = chain(jax, jnp,
+                      lambda q: fz.macro_oneshot.apply_pair_points(
+                          q, trim=False), pts) - floor
+            print(f"[{which}] macro ONE-SHOT     {t:8.3f} ms "
+                  f"(K {fz.macro_oneshot.K}, "
+                  f"rpad {fz.macro_oneshot.rpad}, "
+                  f"T {fz.macro_oneshot.point_tile})")
         if fz._macro_rec is not None:
             t = chain(jax, jnp, fz._macro_rec._apply, pts) - floor
             print(f"[{which}] macro recurrence   {t:8.3f} ms "
