@@ -143,47 +143,134 @@ def direct_timer(jax, fn, arg, reps=3):
 
 
 def _device_peaks(jax):
-    """(HBM bytes/s, bf16 flops/s) for the current device generation, or
-    (None, None) when unknown."""
+    """(HBM bytes/s, bf16 flops/s, VPU ops/s) for the current device
+    generation, or (None, None, None) when unknown.  bf16 MXU peaks are
+    the DENSE bf16 numbers (v5e: 197 -- its widely quoted 394 is int8,
+    which the kernel model weights at 0.5 against this peak).  The VPU
+    peak is bf16_peak/32: per TensorCore, 4 vector ALUs over an (8,128)
+    register vs 4 MXUs of 128x128x2 flops at the same clock."""
     kind = getattr(jax.devices()[0], "device_kind", "")
-    peaks = {"v5 lite": (819, 394), "v5e": (819, 394), "v5p": (2765, 459),
+    peaks = {"v5 lite": (819, 197), "v5e": (819, 197), "v5p": (2765, 459),
              "v6": (1640, 918), "v4": (1228, 275)}
     for key, (b, f) in peaks.items():
         if key in kind:
-            return b * 1e9, f * 1e12
-    return None, None
+            return b * 1e9, f * 1e12, f * 1e12 / 32
+    return None, None, None
 
 
-def engine_model_floor(jax, fz, npts, seconds):
-    """Analytic roofline of the fused pair kernels for one pass: the
-    CostEstimate terms of every bucket kernel (B streamed once per row
-    block, A once, the (hi, lo) pair written once -- 8 B per padded
-    output) -> floor = max(bytes/HBM_BW, flops/MXU_peak), and where the
-    measured time sits against it.  Kernel-only: the expansion
-    tabulation and slice preparation passes are excluded, so the true
-    floor is slightly higher (frac_of_floor slightly optimistic)."""
-    flops = byts = 0
-    for b in fz.buckets:
-        fm = b.fm
-        tpad = -(-npts // fm.point_tile) * fm.point_tile
-        nblocks = fm.rpad // fm.row_block
-        npairs = sum(len(idx) for idx in fm.batches)
-        # int8 windows: s8 dots run at 2x the bf16 MXU rate and slices
-        # are 1 B (count s8 flops at half weight against the bf16 peak)
-        mxu_w, sbytes = ((0.5, 1) if getattr(fm, "wdtype", "bf16")
-                         == "int8" else (1.0, 2))
-        flops += 2 * fm.rpad * tpad * fm.K * npairs * mxu_w
-        byts += (sbytes * fm.K * tpad * fm.nslices * nblocks
-                 + sbytes * fm.rpad * fm.K * fm.nslices
-                 + 8 * fm.rpad * tpad)
-    hbm_peak, mxu_peak = _device_peaks(jax)
-    out = {"kernel_flops": flops, "kernel_hbm_bytes": byts}
+#: Pallas-kernel primitives counted as one VPU ALU op per output
+#: element.  Memory movement (get/swap), layout changes (broadcast,
+#: reshape, transpose, concatenate, slice, pad) and control flow are NOT
+#: counted -- they cost real time on TPU but have no clean per-element
+#: ALU model, so skipping them keeps the VPU term an UNDERestimate and
+#: the floor conservative.
+_VPU_PRIMS = frozenset("""
+add sub mul div neg abs max min sign floor ceil round rem
+select_n lt le gt ge eq ne and or xor not
+shift_left shift_right_logical shift_right_arithmetic
+convert_element_type bitcast_convert_type integer_pow exp log rsqrt sqrt
+""".split())
+
+
+def _subjaxprs(params):
+    for v in params.values():
+        vals = v if isinstance(v, (list, tuple)) else (v,)
+        for item in vals:
+            if hasattr(item, "eqns"):
+                yield item                  # raw Jaxpr
+            elif hasattr(item, "jaxpr"):
+                yield item.jaxpr            # ClosedJaxpr
+
+
+def _kernel_stats(kjaxpr):
+    """(vpu_ops, weighted_mxu_flops) per grid step of a Pallas kernel
+    jaxpr.  dot_general counts 2*M*N*K (0.5 weight for s8 operands --
+    the s8 MXU runs at 2x the bf16 rate); listed elementwise primitives
+    count one ALU op per output element."""
+    vpu = 0
+    mxu = 0.0
+    for eqn in kjaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            lhs = eqn.invars[0].aval
+            rhs = eqn.invars[1].aval
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            K = int(np.prod([lhs.shape[d] for d in lc])) if lc else 1
+            B = int(np.prod([lhs.shape[d] for d in lb])) if lb else 1
+            M = int(np.prod([lhs.shape[d] for d in range(lhs.ndim)
+                             if d not in tuple(lc) + tuple(lb)]))
+            N = int(np.prod([rhs.shape[d] for d in range(rhs.ndim)
+                             if d not in tuple(rc) + tuple(rb)]))
+            w = 0.5 if str(lhs.dtype) in ("int8", "uint8") else 1.0
+            mxu += 2.0 * B * M * N * K * w
+            continue
+        for sub in _subjaxprs(eqn.params):
+            sv, sm = _kernel_stats(sub)
+            vpu += sv
+            mxu += sm
+        if name in _VPU_PRIMS and eqn.outvars:
+            shape = getattr(eqn.outvars[0].aval, "shape", ())
+            vpu += int(np.prod(shape)) if shape else 1
+    return vpu, mxu
+
+
+def engine_model_floor(jax, fn, arg, seconds):
+    """Traced-kernel roofline of one fused pass: every Pallas kernel in
+    ``jax.make_jaxpr(fn)(arg)`` contributes
+    max(bytes/HBM_BW, flops_w/MXU_bf16_peak, vpu_ops/VPU_peak), summed.
+
+    - bytes: the kernel's own analytic CostEstimate (operand streaming
+      per the grid layout + the pair written once).
+    - flops: dot_generals counted from the traced kernel body (x grid
+      steps), s8 at half weight against the bf16 peak.
+    - vpu_ops: elementwise ALU ops counted from the traced kernel body
+      (x grid steps).  The df32 recurrences, ff binning and TwoSum
+      combines are REAL work on the VPU -- a bytes-only model called
+      the macro engine 7x off when its kernels were VPU-bound.
+    Non-Pallas XLA glue (pair split, padding, slicing) is excluded, so
+    the true floor is slightly higher (frac_of_floor slightly
+    optimistic)."""
+    hbm_peak, mxu_peak, vpu_peak = _device_peaks(jax)
+    kernels = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "pallas_call":
+                gm = eqn.params["grid_mapping"]
+                nsteps = int(np.prod([int(g) for g in gm.grid])) or 1
+                vpu, mxu = _kernel_stats(eqn.params["jaxpr"])
+                ce = eqn.params.get("cost_estimate")
+                byts = int(ce.bytes_accessed) if ce is not None else 0
+                kernels.append({"name": str(eqn.params.get("name") or "?"),
+                                "grid_steps": nsteps,
+                                "hbm_bytes": byts,
+                                "mxu_flops": mxu * nsteps,
+                                "vpu_ops": vpu * nsteps})
+            else:
+                for sub in _subjaxprs(eqn.params):
+                    walk(sub)
+
+    try:
+        walk(jax.make_jaxpr(fn)(arg).jaxpr)
+    except Exception as e:                      # pragma: no cover
+        return {"error": f"trace failed: {e!r}"}
+    out = {"kernel_flops": sum(k["mxu_flops"] for k in kernels),
+           "kernel_hbm_bytes": sum(k["hbm_bytes"] for k in kernels),
+           "kernel_vpu_ops": sum(k["vpu_ops"] for k in kernels)}
     if hbm_peak:
-        floor = max(byts / hbm_peak, flops / mxu_peak)
+        floor = 0.0
+        for k in kernels:
+            terms = {"hbm": k["hbm_bytes"] / hbm_peak,
+                     "mxu": k["mxu_flops"] / mxu_peak,
+                     "vpu": k["vpu_ops"] / vpu_peak}
+            k["floor_ms"] = max(terms.values()) * 1e3
+            k["bound"] = max(terms, key=terms.get)
+            floor += max(terms.values())
         out["floor_ms"] = floor * 1e3
         out["frac_of_floor"] = floor / seconds
-        out["bound"] = ("hbm" if byts / hbm_peak >= flops / mxu_peak
-                        else "mxu")
+        bounds = [k["bound"] for k in kernels]
+        out["bound"] = max(set(bounds), key=bounds.count) if bounds else None
+        out["kernels"] = kernels
     return out
 
 
@@ -202,7 +289,7 @@ def device_roofline(jax, fn, arg, seconds):
         return {"error": f"{type(exc).__name__}: {exc}"}
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
-    hbm_peak, mxu_peak = _device_peaks(jax)
+    hbm_peak, mxu_peak, _vpu_peak = _device_peaks(jax)
     out = {"flops": flops, "hbm_bytes": byts,
            "gflops_per_s": flops / seconds / 1e9,
            "hbm_gbytes_per_s": byts / seconds / 1e9,
@@ -253,7 +340,7 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
     work = rows * len(pts) * ntab
     roof = device_roofline(jax, timed_fn, dpts, tpu_time)
     if fz is not None:
-        roof["kernel_model"] = engine_model_floor(jax, fz, len(pts),
+        roof["kernel_model"] = engine_model_floor(jax, timed_fn, dpts,
                                                   tpu_time)
 
     max_err = ref_time = speedup = None
@@ -280,11 +367,102 @@ def zoo_config(jax, jnp, name, mine, ref, pts, order=1, full_ref=False,
            "values_per_s": work / tpu_time, "roofline": roof}
     if fz is not None:
         out["tpu_ms_f64_promote"] = f64_time * 1e3
-        out["promote_overhead_ms"] = (f64_time - tpu_time) * 1e3
+        po = (f64_time - tpu_time) * 1e3
+        out["promote_overhead_ms"] = po
+        if po <= 0:
+            # two independent chain timers subtracted: a non-positive
+            # difference is timer noise, not negative work -- flag it so
+            # the driver artifact is self-describing
+            out["promote_overhead_flag"] = "below_timer_resolution"
     if tflag:
         out["timing_flag"] = tflag
     if f64_flag:
         out["timing_flag_f64_promote"] = f64_flag
+    return out
+
+
+def moments_config(jax, jnp, name, mine, ref, pts, nref=NREF):
+    """Dual-evaluation/moments config: M[i] = sum_q w_q f(x_q) phi_i(x_q)
+    for every basis function of the zoo, computed expansion-side (the
+    sum-factorised contraction of ops/moments.py -- the reference's
+    to_riesz + dual_evaluation hot path,
+    /root/reference/FIAT/dual_set.py:86-206 and
+    /root/reference/finat/finiteelementbase.py:245-285).  The nodal
+    table is never materialised, so the engine's 8 B/value pair-write
+    floor does not apply; ``via_tables_ms`` records what materialising
+    through the fused pair surface + contracting would cost instead."""
+    from fiat_tpu.ops.tabulate import BatchedTabulator
+    from fiat_tpu.ops import moments as mo
+    tpu_like = jax.default_backend() in ("tpu", "axon")
+    bt = BatchedTabulator(mine, order=0)
+    rng = np.random.default_rng(7)
+    wf_h = rng.random(len(pts))
+    dpts = jnp.asarray(pts)
+    wf = jnp.asarray(wf_h)
+    timed_fn = lambda q: mo.moment_rows(bt, q, wf)   # noqa: E731
+    sys.stderr.write(f"[bench] {name}: compiled+timing\n"); sys.stderr.flush()
+    timer = (lambda fn, reps: chain_timer(jax, jnp, fn, dpts, reps=reps)) \
+        if tpu_like else (lambda fn, reps: direct_timer(jax, fn, dpts, reps))
+    tpu_time, tflag = timer(timed_fn, 3)
+    rows = max(hi for (lo, hi, shape) in bt.slices)
+    roof = device_roofline(jax, timed_fn, dpts, tpu_time)
+    roof["kernel_model"] = engine_model_floor(jax, timed_fn, dpts, tpu_time)
+
+    # what the same moments cost when the nodal table IS materialised
+    # (fused pair surface + f64 contraction) -- the floor this config
+    # exists to bypass
+    via_tables = None
+    if tpu_like:
+        try:
+            from fiat_tpu.ops.pallas_multiword import FusedZooTabulator
+            fz = FusedZooTabulator(BatchedTabulator(mine, order=0))
+
+            def through_tables(q):
+                blocks = fz._f64_blocks(q)
+                a0 = next(iter(blocks))
+                return [b @ wf for b in blocks[a0]]
+            via_tables, _ = chain_timer(jax, jnp, through_tables, dpts,
+                                        reps=2)
+        except Exception as exc:
+            via_tables = None
+            sys.stderr.write(f"[bench] {name}: via-tables probe failed "
+                             f"({exc})\n")
+
+    max_err = ref_time = speedup = None
+    if ref is not None:
+        sub = pts[:NCHECK]
+        wsub = wf_h[:NCHECK]
+        M = np.asarray(jax.jit(lambda q, w: mo.moment_rows(bt, q, w))(
+            jnp.asarray(sub), jnp.asarray(wsub)))
+        per = mo.unpack_moments(bt, M)
+        max_err = 0.0
+        for e, m in zip(ref, per):
+            tab = e.tabulate(0, sub)[(0,) * sub.shape[1]]
+            want = np.asarray(tab).reshape(m.shape + (len(sub),)) @ wsub
+            max_err = max(max_err, float(np.abs(want - m).max()))
+        sys.stderr.write(f"[bench] {name}: parity done, timing reference\n")
+        sys.stderr.flush()
+        rpts = pts[:nref]
+        rw = wf_h[:nref]
+
+        def ref_pass():
+            out = []
+            for e in ref:
+                tab = e.tabulate(0, rpts)[(0,) * rpts.shape[1]]
+                t2 = np.asarray(tab).reshape(-1, len(rpts))
+                out.append(t2 @ rw)
+            return out
+        ref_time = host_timer(ref_pass) * len(pts) / len(rpts)
+        speedup = ref_time / tpu_time
+    out = {"name": name, "elements": len(mine), "rows": rows,
+           "tpu_ms": tpu_time * 1e3, "ref_s": ref_time, "speedup": speedup,
+           "max_abs_err": max_err, "work": rows * len(pts),
+           "values_per_s": rows * len(pts) / tpu_time, "roofline": roof}
+    if via_tables is not None:
+        out["via_tables_ms"] = via_tables * 1e3
+        out["pair_write_floor_bypass_x"] = via_tables / tpu_time
+    if tflag:
+        out["timing_flag"] = tflag
     return out
 
 
@@ -635,6 +813,23 @@ def main():
         return zoo_config(jax, jnp, "full_zoo", zoo, rzoo, pts2)
     guard("full_zoo", full_zoo_config)
 
+    # -- config 6: moments / dual evaluation (expansion-side contraction,
+    # the reference's to_riesz + dual_evaluation hot path) -------------------
+    def moments_cfg():
+        zoo = full_zoo((tri, fe.Lagrange, fe.DiscontinuousLagrange,
+                        fe.RaviartThomas, fe.Nedelec, fe.BrezziDouglasMarini,
+                        fe.CubicHermite, fe.Morley, fe.Argyris, fe.Bell,
+                        fe.HsiehCloughTocher, fe.QuadraticPowellSabin6))
+        rzoo = full_zoo((rtri, FIAT.Lagrange, FIAT.DiscontinuousLagrange,
+                         FIAT.RaviartThomas, FIAT.Nedelec,
+                         FIAT.BrezziDouglasMarini, FIAT.CubicHermite,
+                         FIAT.Morley, FIAT.Argyris, FIAT.Bell,
+                         FIAT.HsiehCloughTocher,
+                         FIAT.QuadraticPowellSabin6)) if FIAT else None
+        return moments_config(jax, jnp, "moments_interp_full_zoo", zoo,
+                              rzoo, pts2)
+    guard("moments_interp_full_zoo", moments_cfg)
+
     head = next((c for c in configs if c["name"] == "full_zoo"
                  and "error" not in c), None)
     partial = head is None or any("error" in c for c in configs)
@@ -658,6 +853,13 @@ def main():
         "unit": "basis-values/s",
         "vs_baseline": head["speedup"] if head else None,
         "device": str(jax.devices()[0]),
+        # ADVICE r4 #2: the CPU-relative fields are HOST-dependent (the
+        # NumPy reference runs on whatever single vCPU this VM has, and
+        # has varied ~3x across bench hosts); tpu_ms / values_per_s /
+        # max_abs_err are the stable cross-host numbers
+        "cpu_reference_note": ("ref_s/speedup/vs_baseline depend on this "
+                               "host's CPU; tpu_ms and values_per_s are "
+                               "the device-stable metrics"),
         "configs": {c["name"]: {k: v for k, v in c.items() if k != "name"}
                     for c in configs},
     }

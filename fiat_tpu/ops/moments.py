@@ -27,16 +27,114 @@ def moment_rows(tabulator, points, wf):
     """Fused moments  M[i] = sum_q phi_i(x_q) wf_q  over every basis row
     of a BatchedTabulator's zoo (plain block + macro side programs, in
     the tabulator's row layout).  ``wf`` is the weighted integrand
-    w_q * f(x_q), shape (npts,)."""
-    base = tabulator._expansion_tables(points)
+    w_q * f(x_q), shape (npts,).
+
+    On a TPU-like backend the expansion contraction runs on the df32
+    pair path (``_moment_phi_wf_ff``): the fused Pallas slice
+    recurrence emits the window tabulation, the pair reconstructs
+    EXACTLY from the graded windows, and the point reduction is an ff
+    product summed in f64 -- emulated-f64 ADDS only, never an
+    emulated-f64 recurrence or (rows, npts) table (the engine's 8
+    B/value pair-write floor does not apply to integral consumers).
+    The f64 XLA recurrence fallback serves CPU and unsupported
+    expansion sets."""
     sd = points.shape[-1]
-    phi = base[(0,) * sd]                       # (nexp, npts)
-    stacked = jnp.asarray(tabulator.stacked, dtype=points.dtype)
-    parts = [stacked @ (phi @ wf)]
-    for es, deg, flat in tabulator.special_progs:
-        phi_s = es._tabulate(deg, points, order=0)[(0,) * sd]
-        parts.append(jnp.asarray(flat, dtype=points.dtype) @ (phi_s @ wf))
+    stacked = jnp.asarray(tabulator.stacked, dtype=jnp.float64)
+    pw = _moment_phi_wf_ff(tabulator, points, wf)
+    if pw is None:
+        base = tabulator._expansion_tables(points)
+        pw = base[(0,) * sd] @ wf               # (nexp,) f64
+    parts = [stacked @ pw]
+    # macro side programs contract their masked-parent PAIR stack (the
+    # value-alpha block of the grouped tall matrix); elements without a
+    # program fall back to the traced f64 expansion
+    macro_parts = {}
+    for prog in getattr(tabulator, "macro_programs", None) or ():
+        bw = _macro_phi_wf_ff(prog, points, wf)
+        if bw is not None:
+            v = jnp.asarray(prog.tall[:prog.rows], jnp.float64) @ bw
+            for idx, lo, hi in prog.row_slices:
+                macro_parts[idx] = v[lo:hi]
+    for (i, _e), (es, deg, flat) in zip(tabulator.special,
+                                        tabulator.special_progs):
+        if i in macro_parts:
+            parts.append(macro_parts[i])
+        else:
+            phi_s = es._tabulate(deg, points, order=0)[(0,) * sd]
+            parts.append(jnp.asarray(flat, dtype=jnp.float64) @ (phi_s @ wf))
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _pair_from_slices(slices, sB):
+    """EXACT (hi, lo) pair of the tabulation from its graded windows:
+    the windows carry disjoint 8-bit significand ranges, so the
+    fast_two_sum accumulation chain reconstructs phi/sB error-free;
+    the pow2 column scale then multiplies both words exactly."""
+    from .doublefloat import FF, fast_two_sum
+    if slices[0].dtype == jnp.int8:
+        from .multiword import CHUNK_I8
+        vals = [s.astype(jnp.float32) * np.float32(2.0 ** (-CHUNK_I8 * (i + 1)))
+                for i, s in enumerate(slices)]
+    else:
+        vals = [s.astype(jnp.float32) for s in slices]
+    hi, lo = vals[0], jnp.zeros_like(vals[0])
+    for v in vals[1:]:
+        hi, e = fast_two_sum(hi, v)
+        lo = lo + e
+    hi, e = fast_two_sum(hi, lo)
+    return FF(hi * sB, e * sB)
+
+
+def _moment_rec(tabulator):
+    """Cached Pallas slice recurrence for the moment path (bf16 windows;
+    None when the expansion set or backend is unsupported)."""
+    rec = getattr(tabulator, "_moment_rec_cache", "?")
+    if rec != "?":
+        return rec
+    rec = None
+    try:
+        from .doublefloat import supports_ff
+        if jax.default_backend() != "cpu" and supports_ff(tabulator.target_es):
+            from .pallas_recurrence import PallasSliceRecurrence
+            rec = PallasSliceRecurrence(tabulator.target_es,
+                                        tabulator.max_degree)
+    except NotImplementedError:
+        rec = None
+    tabulator._moment_rec_cache = rec
+    return rec
+
+
+def _moment_phi_wf_ff(tabulator, points, wf):
+    """(nexp,) f64 of  sum_q phi_k(x_q) wf_q  via the pair path, or
+    None when unavailable."""
+    from .doublefloat import ff_from_f64, ff_mul, ff_scale_pow2, ff_to_f64
+    if getattr(points, "dtype", None) != jnp.float64:
+        return None
+    rec = _moment_rec(tabulator)
+    if rec is None:
+        return None
+    slices, sB = rec._apply(points)
+    g = ff_from_f64(jnp.asarray(wf, jnp.float64), xp=jnp)
+    g = ff_scale_pow2(g, sB[0])                 # pow2: exact
+    phi = _pair_from_slices(slices, np.float32(1.0))
+    prod = ff_mul(phi, g)
+    return (jnp.sum(prod.hi.astype(jnp.float64), axis=-1)
+            + jnp.sum(prod.lo.astype(jnp.float64), axis=-1))
+
+
+def _macro_phi_wf_ff(prog, points, wf):
+    """(ncells*nexp_p,) f64 masked-parent contraction for one macro side
+    program via its df32 pair stack, or None when unsupported."""
+    from .doublefloat import ff_from_f64, ff_mul, supports_ff
+    if getattr(points, "dtype", None) != jnp.float64:
+        return None
+    if jax.default_backend() == "cpu" or not supports_ff(prog.parent_es):
+        return None
+    pair = prog.b_stack_ff(points, 0)
+    g = ff_from_f64(jnp.asarray(wf, jnp.float64), xp=jnp)
+    prod = ff_mul(pair, g)
+    return (jnp.sum(prod.hi.astype(jnp.float64), axis=-1)
+            + jnp.sum(prod.lo.astype(jnp.float64), axis=-1))
 
 
 _jitted_moment_rows = jax.jit(moment_rows, static_argnums=0)

@@ -481,10 +481,6 @@ class FusedMacroOneShot(FusedMaskedMultiword):
 
     def __init__(self, A, pieces, geom, parent_map, sd, rec_deg, scale,
                  point_tile=None, **kw):
-        # longer default tiles than the streamed-B kernel: the per-step
-        # recurrence + binning VPU work amortises over the tile, and the
-        # B operand is computed (not streamed), so VMEM holds only the
-        # outputs + ff stacks
         super().__init__(A, pieces, point_tile=point_tile or 2048, **kw)
         from .pallas_recurrence import _pack_stage_ff
         self._geom = list(geom)
@@ -494,6 +490,23 @@ class FusedMacroOneShot(FusedMaskedMultiword):
         self._rec_deg = rec_deg
         self._scale = float(scale)
         self.stages = [_pack_stage_ff(sd, rec_deg, c) for c in range(sd)]
+        if point_tile is None:
+            # VMEM-adaptive tile (longer than the streamed-B kernel's
+            # 512: the per-step recurrence + binning VPU work amortises
+            # over the tile and B is computed, not streamed).  The
+            # budget must hold the double-buffered pair outputs, the
+            # assembled windows, the ff stacks and the binning rows --
+            # a fixed 2048 OOM'd scoped vmem at rpad 256 (order-2
+            # hessian zoos).
+            ncand = max(sum(st[3]) for st in self.stages)
+            wb = 1 if self.wdtype == "int8" else 2
+            per_pt = (8 * 2 * self.row_block        # pair out, 2 buffers
+                      + 2 * self.nslices * self.K * wb   # windows + dots
+                      + 4 * (6 * ncand + 2 * self.max_nexp)  # ff stacks
+                      + 4 * 8 * (len(self.pieces) + 1))     # binning
+            budget = 7 * 1024 * 1024
+            self.point_tile = max(512, min(2048,
+                                           budget // per_pt // 512 * 512))
         nonuni = [g for g in self._geom if not g["unique"]]
         self._n_nonuni = len(nonuni)
         # stacked barycentric maps (parent row 0, then every program's

@@ -84,26 +84,43 @@ def make_moment_step_2d(tabulator, mesh, axes=("points", "rows")):
     """Moments on a 2D (points x rows) mesh: the expansion-vs-points
     contraction reduces over the sharded point axis (psum along
     'points'); the nodal matrix is sharded over its row axis so each
-    device owns a slice of the moments ('tensor parallel' output)."""
+    device owns a slice of the moments ('tensor parallel' output).
+
+    Macro elements ride the SAME row-sharded GEMM: each side program's
+    masked-parent stack contributes extra columns to one block matrix
+    whose rows are the fused zoo layout (plain block first, then the
+    specials' global row ranges), so the tensor-parallel axis covers
+    the whole zoo -- not just the plain block."""
     paxis, raxis = axes
     pspec = NamedSharding(mesh, P(paxis, None))
     wspec = NamedSharding(mesh, P(paxis))
     out_spec = NamedSharding(mesh, P(raxis))
 
-    if tabulator.special_progs:
+    progs = list(getattr(tabulator, "macro_programs", None) or ())
+    if tabulator.special_progs and not progs:
         raise NotImplementedError(
-            "make_moment_step_2d row-shards the fused plain block only; "
-            "build the tabulator without macro elements (or use "
-            "make_moment_step, which includes macro side programs)")
+            "make_moment_step_2d needs the grouped macro side programs "
+            "for its row-sharded GEMM; this tabulator's special elements "
+            "lack them (use make_moment_step)")
 
-    # zero-pad the stacked rows to a multiple of the row-axis size so
-    # the output shards evenly; the step returns the padded moments
-    # (first tabulator.stacked.shape[0] entries are the real ones)
+    # one block row-matrix over [expansion | program stacks] columns,
+    # rows in the fused layout; zero-padded to a multiple of the
+    # row-axis size so the output shards evenly (the step returns the
+    # padded moments -- entries beyond the fused rows are zero)
+    nexp = tabulator.stacked.shape[1]
+    rows = max(hi for _lo, hi, _shape in tabulator.slices)
+    width = nexp + sum(p.K for p in progs)
     nr = mesh.shape[raxis]
-    rows = tabulator.stacked.shape[0]
     padded_rows = -(-rows // nr) * nr
-    stacked_padded = np.zeros((padded_rows, tabulator.stacked.shape[1]))
-    stacked_padded[:rows] = tabulator.stacked
+    A = np.zeros((padded_rows, width))
+    A[:tabulator.stacked.shape[0], :nexp] = tabulator.stacked
+    col = nexp
+    for p in progs:
+        val = p.tall[:p.rows]                   # the value-alpha block
+        for idx, lo, hi in p.row_slices:
+            glo, ghi, _shape = tabulator.slices[idx]
+            A[glo:ghi, col:col + p.K] = val[lo:hi]
+        col += p.K
 
     @partial(jax.jit, in_shardings=(pspec, wspec, wspec),
              out_shardings=out_spec)
@@ -111,11 +128,15 @@ def make_moment_step_2d(tabulator, mesh, axes=("points", "rows")):
         base = tabulator._expansion_tables(points)
         sd = points.shape[-1]
         phi = base[(0,) * sd]                   # (nexp, npts)
-        vec = phi @ (weights * f_at_pts)        # psum over 'points'
-        stacked = jax.lax.with_sharding_constraint(
-            jnp.asarray(stacked_padded, dtype=points.dtype),
+        wfv = weights * f_at_pts
+        vecs = [phi @ wfv]                      # psum over 'points'
+        for p in progs:
+            vecs.append(p.b_stack(points, 0) @ wfv)
+        vec = jnp.concatenate(vecs) if len(vecs) > 1 else vecs[0]
+        blocks = jax.lax.with_sharding_constraint(
+            jnp.asarray(A, dtype=points.dtype),
             NamedSharding(mesh, P(raxis, None)))
-        return stacked @ vec                    # row-sharded moments
+        return blocks @ vec                     # row-sharded moments
     return step
 
 

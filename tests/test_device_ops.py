@@ -274,13 +274,29 @@ def test_moment_step_includes_macro_elements():
     assert np.allclose(vals, host, atol=1e-11)
 
 
-def test_moment_step_2d_rejects_macro():
+def test_moment_step_2d_macro():
+    """Macro elements ride the 2D (points x rows) mesh: the side
+    program's masked-parent stack joins the row-sharded GEMM, and the
+    row-sharded moments match the host contraction (r4 VERDICT #6 --
+    the plain-block-only restriction is gone)."""
     from fiat_tpu.parallel.sharding import make_moment_step_2d, zoo_mesh
-    els = [fe.Lagrange(T, 2), fe.HsiehCloughTocher(T, 3)]
+    els = [fe.Lagrange(T, 2), fe.HsiehCloughTocher(T, 3),
+           fe.QuadraticPowellSabin6(T)]
     bt = BatchedTabulator(els, order=0)
     mesh = zoo_mesh(n_points=4, n_rows=2)
-    with pytest.raises(NotImplementedError):
-        make_moment_step_2d(bt, mesh)
+    step = make_moment_step_2d(bt, mesh)
+    rng = np.random.default_rng(5)
+    npts = 512
+    pts = rng.random((npts, 2)) / 2
+    wts = np.ones(npts) / npts
+    f = rng.random(npts)
+    m = np.asarray(step(jnp.asarray(pts), jnp.asarray(wts), jnp.asarray(f)))
+    want = np.concatenate([
+        np.asarray(el.tabulate(0, pts)[(0, 0)]).reshape(-1, npts) @ (wts * f)
+        for el in els])
+    rows = max(hi for _lo, hi, _s in bt.slices)
+    assert np.abs(m[:rows] - want).max() < 1e-12
+    assert np.abs(m[rows:]).max() == 0.0        # row padding is zero
 
 
 def test_multiword_ozaki_long_contraction():
@@ -755,3 +771,110 @@ def test_fused_zoo_bernstein_features_xla_fallback():
         got = A2 @ B
         assert np.allclose(got.reshape(host[a].shape), host[a],
                            atol=1e-10), a
+
+
+def test_macro_oneshot_kernel_interpret():
+    """Plumbing check of the ONE-launch macro engine (interpret mode):
+    in-kernel ff binning masks + parent recurrence + masked dots +
+    multiplicity reciprocal.  On XLA:CPU the error-free transforms are
+    corrupted by FMA contraction (doublefloat.eft_safe), so only
+    f32-level accuracy is checkable here; the pair-accurate (1e-13)
+    validation runs on real TPU hardware (recorded in STATUS.md r5)."""
+    from fiat_tpu.ops.pallas_multiword import (FusedMacroOneShot,
+                                               FusedZooTabulator)
+    els = [fe.CubicHermite(T), fe.HsiehCloughTocher(T, 3),
+           fe.QuadraticPowellSabin6(T)]
+    bt = BatchedTabulator(els, order=1)
+    fz = FusedZooTabulator(bt, interpret=True)
+    # interpret construction leaves the one-shot off the default path;
+    # build it by hand from the same merged-program geometry
+    t_es = bt.target_es
+    rec_deg = max(p.degree for p in bt.macro_programs)
+    sd = 2
+    geom = []
+    for (prog, r0, r1) in fz._merged_rows:
+        ref = prog.es.ref_el
+        geom.append({"maps": [ref.barycentric_map(entity=(sd, c),
+                                                  rescale=True)
+                              for c in prog.cells],
+                     "unique": (prog.es.continuity is not None
+                                and bt.order == 0),
+                     "rows": (r0, r1)})
+    parent_map = bt.macro_programs[0].es.ref_el.get_parent(
+        ).barycentric_map(rescale=True)
+    rows_t = sum(p.tall.shape[0] for p in bt.macro_programs)
+    K_t = sum(p.K for p in bt.macro_programs)
+    A = np.zeros((rows_t, K_t))
+    pieces = []
+    r0c = c0 = mrow = 0
+    for p in bt.macro_programs:
+        ratio = float(np.asarray(p.parent_es.get_scale(p.degree))
+                      / np.asarray(t_es.get_scale(rec_deg)))
+        A[r0c:r0c + p.tall.shape[0], c0:c0 + p.K] = ratio * p.tall
+        for _c in p.cells:
+            pieces.append((mrow, p.nexp_parent))
+            mrow += 1
+        r0c += p.tall.shape[0]
+        c0 += p.K
+    scale = float(np.asarray(t_es.get_scale(rec_deg, cell=0)))
+    osk = FusedMacroOneShot(A, pieces, geom, parent_map, sd, rec_deg,
+                            scale, interpret=True, wdtype="bf16",
+                            point_tile=256)
+    pts = RNG.random((300, 2))
+    pts = pts / (pts.sum(1)[:, None] + 1e-9) * RNG.random((300, 1))
+    hi, lo = jax.jit(lambda q: osk.apply_pair_points(q))(jnp.asarray(pts))
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    worst = 0.0
+    for (prog, r0, r1) in fz._merged_rows:
+        r = prog.rows
+        for k, a in enumerate(prog.alphas):
+            blk = got[r0 + k * r:r0 + (k + 1) * r]
+            for idx, lo_, hi_ in prog.row_slices:
+                el = bt.elements[idx]
+                glo, ghi, _shape = bt.slices[idx]
+                want = np.asarray(el.tabulate(1, pts)[a]).reshape(
+                    ghi - glo, -1)
+                worst = max(worst, np.abs(blk[lo_:hi_] - want).max())
+    assert worst < 1e-5, worst     # EFT-corrupted CPU bound; TPU: 1e-13
+
+
+def test_moment_pair_reconstruction_exact():
+    """_pair_from_slices rebuilds the window content EXACTLY from the
+    graded bf16 windows (disjoint 8-bit significand ranges;
+    fast_two_sum chain is pure adds, immune to FMA contraction) -- the
+    pair matches phi to the ~48-bit window budget (2^-48 ~ 3.6e-15
+    relative), the same budget as the fused engine's B operand."""
+    from fiat_tpu.ops.moments import _pair_from_slices
+    from fiat_tpu.ops.multiword import prepare_B
+    rng = np.random.default_rng(11)
+    phi = rng.standard_normal((12, 200)) * np.exp(
+        rng.uniform(-8, 8, (1, 200)))
+    slices, sB = prepare_B(jnp.asarray(phi), None)
+    pair = _pair_from_slices([jnp.asarray(s) for s in slices],
+                             np.asarray(sB, np.float32))
+    got = (np.asarray(pair.hi, np.float64)
+           + np.asarray(pair.lo, np.float64))
+    rel = np.abs(got - phi).max() / np.abs(phi).max()
+    assert rel < 1e-14, rel
+
+
+def test_moment_rows_macro_grouping():
+    """moment_rows routes macro elements through their grouped side
+    programs when the ff path is live, and the f64 fallback otherwise;
+    both must match the per-element host contraction (this CPU run
+    exercises the fallback + the program row-slice bookkeeping)."""
+    from fiat_tpu.ops import moments as mo
+    els = [fe.Lagrange(T, 3), fe.HsiehCloughTocher(T, 3),
+           fe.CubicHermite(T), fe.QuadraticPowellSabin6(T)]
+    bt = BatchedTabulator(els, order=0)
+    rng = np.random.default_rng(3)
+    npts = 400
+    pts = rng.random((npts, 2)) / 2
+    wf = rng.random(npts)
+    M = np.asarray(jax.jit(lambda q, w: mo.moment_rows(bt, q, w))(
+        jnp.asarray(pts), jnp.asarray(wf)))
+    per = mo.unpack_moments(bt, M)
+    for el, m in zip(els, per):
+        tab = np.asarray(el.tabulate(0, pts)[(0, 0)]).reshape(-1, npts)
+        want = (tab @ wf).reshape(m.shape)
+        assert np.abs(want - m).max() < 1e-12, type(el).__name__
