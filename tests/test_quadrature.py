@@ -19,6 +19,26 @@ def monomial_integral_simplex(alpha):
             / math.factorial(sum(alpha) + d))
 
 
+def assert_full_basis_exact(pts, wts, degree, rtol, ctx):
+    """FULL-basis exactness gate: the rule integrates EVERY monomial of
+    total degree <= ``degree`` to ``rtol`` relative (vectorised; the
+    integrals are positive so the quadrature sum has condition 1 for
+    positive rules).  This is the shipping gate for the generated
+    tables -- generation-time verification in tools/ is not enough,
+    because the background elimination chains land rules incrementally
+    (r4 VERDICT #4)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    wts = np.asarray(wts, dtype=np.float64)
+    dim = pts.shape[1]
+    E = np.array([a for a in np.ndindex(*(degree + 1,) * dim)
+                  if sum(a) <= degree], dtype=np.int64)
+    vals = np.prod(pts[None, :, :] ** E[:, None, :], axis=2) @ wts
+    exact = np.array([monomial_integral_simplex(tuple(a)) for a in E])
+    rel = np.abs(vals - exact) / exact
+    worst = int(np.argmax(rel))
+    assert rel.max() < rtol, (ctx, tuple(E[worst]), rel.max())
+
+
 @pytest.mark.parametrize("dim", [1, 2, 3])
 @pytest.mark.parametrize("degree", [0, 1, 2, 3, 5, 8, 12])
 def test_simplex_scheme_exactness(dim, degree):
@@ -154,8 +174,6 @@ def test_symmetric_rules_exact_and_economical():
     points than the GM/collapsed schemes the default would otherwise
     pick, and a solid share matches the reference's Xiao-Gimbutas point
     counts outright (FIAT/quadrature_schemes.py:324)."""
-    from itertools import islice, product as iproduct
-    from math import factorial, prod
     from fiat_tpu.core.symquad import available_degrees, symmetric_rule
     ref_counts = {2: {}, 3: {}}
     try:
@@ -191,12 +209,8 @@ def test_symmetric_rules_exact_and_economical():
                 # currently rides the degree-15 rule at 1.36x)
                 assert len(wts) <= 1.4 * ref_counts[dim][degree], \
                     (dim, degree, len(wts), ref_counts[dim][degree])
-            tops = (a for a in iproduct(range(degree + 1), repeat=dim)
-                    if sum(a) == degree)
-            for alpha in islice(tops, 5):
-                exact = prod(factorial(a) for a in alpha) / factorial(degree + dim)
-                val = wts @ np.prod(pts ** np.array(alpha), axis=1)
-                assert abs(val - exact) / exact < 5e-13, (dim, degree, alpha)
+            assert_full_basis_exact(pts, wts, degree, 5e-12,
+                                    ("sym", dim, degree))
             checked += 1
     assert checked >= 8, checked   # tables must cover a real range
     # a solid batch of stored degrees must reach the reference's
@@ -239,8 +253,6 @@ def test_general_elim_rules_exact_positive_interior(dim):
     """Generated general (asymmetric) simplex rules (core/elimquad.py):
     every stored degree integrates its top monomials to ~1e-12 relative,
     with strictly positive weights and strictly interior points."""
-    from itertools import islice, product as iproduct
-    from math import factorial, prod
     from fiat_tpu.core.elimquad import available_degrees, general_rule
     degs = available_degrees(dim)
     if not degs:
@@ -254,12 +266,25 @@ def test_general_elim_rules_exact_positive_interior(dim):
         bary = np.concatenate([1 - pts.sum(axis=1, keepdims=True), pts],
                               axis=1)
         assert bary.min() > 1e-7, d
-        tops = (a for a in iproduct(range(d + 1), repeat=dim)
-                if sum(a) == d)
-        for alpha in islice(tops, 5):
-            exact = prod(factorial(a) for a in alpha) / factorial(d + dim)
-            val = wts @ np.prod(pts ** np.array(alpha), axis=1)
-            assert abs(val - exact) / exact < 2e-12, (d, alpha)
+        assert_full_basis_exact(pts, wts, d, 5e-12, ("elim", dim, d))
+
+
+@pytest.mark.parametrize("dim,maxdeg", [(2, 50), (3, 15)])
+def test_default_dispatch_full_basis_exactness(dim, maxdeg):
+    """The SHIPPING gate on the default quadrature dispatch: for every
+    degree the reference's XG tables cover (tri <= 50, tet <= 15,
+    /root/reference/FIAT/quadrature_schemes.py:324-412), the served
+    rule integrates its FULL monomial basis to ~5e-12 relative, with a
+    positivity/conditioning-gated weight set.  The background
+    elimination chains write the tables incrementally, so the suite --
+    not the generators -- is what certifies every entry that ships."""
+    T = cl.ufc_simplex(dim)
+    for degree in range(1, maxdeg + 1):
+        Q = create_quadrature(T, degree)
+        pts = np.asarray(Q.get_points())
+        wts = np.asarray(Q.get_weights())
+        assert_full_basis_exact(pts, wts, degree, 5e-12,
+                                ("default", dim, degree))
 
 
 def test_gen_quad3d_transformed_solver():
