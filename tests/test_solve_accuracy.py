@@ -16,8 +16,12 @@ refined-reference tabulation is then the shared truth:
   by the reference's own forward error, which the sweep cannot see.
 * AlfeldC2: the plain reference IS accurate (its Vandermonde is only
   ~1e5-conditioned) and the small residual is ours -- macro
-  constrained-space assembly, measured ~5e-10 at degree 6, within the
-  2e-9 bound and asserted here so a regression would be caught.
+  constrained-space assembly.  r5: the extended-precision nullspace
+  refinement in polyset.spanning_basis cut it 4.8e-10 -> ~1.8e-10 at
+  degree 6; the remainder is f64 V/B ASSEMBLY noise (coefficient error
+  ~1e-12 relative, surfacing absolutely through the ~1e2 second
+  derivative magnitudes -- the per-alpha residual scales exactly with
+  |D^alpha|), bounded at 3e-10 here and 4e-10 in the sweep.
 """
 
 import numpy as np
@@ -89,7 +93,7 @@ def test_bramble_zlamal_gap_is_reference_solve_error(degree, ref_floor):
     assert e_ref > 2 * e_mine
 
 
-@pytest.mark.parametrize("degree,bound", [(5, 1e-10), (6, 1.5e-9)])
+@pytest.mark.parametrize("degree,bound", [(5, 1e-10), (6, 3e-10)])
 def test_alfeld_c2_residual_is_ours_and_bounded(degree, bound):
     from FIAT.c2_elements import AlfeldC2 as RefAC2
     rt = FIAT.ufc_simplex(2)
