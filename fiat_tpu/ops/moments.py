@@ -49,7 +49,17 @@ def moment_rows(tabulator, points, wf):
     # value-alpha block of the grouped tall matrix); elements without a
     # program fall back to the traced f64 expansion
     macro_parts = {}
-    for prog in getattr(tabulator, "macro_programs", None) or ():
+    progs = list(getattr(tabulator, "macro_programs", None) or ())
+    grouped = _macro_moment_group(tabulator)
+    if grouped is not None and getattr(points, "dtype", None) == jnp.float64:
+        kernel, ratios = grouped
+        bws = kernel.moment_rows(points, wf)
+        for prog, bw, ratio in zip(progs, bws, ratios):
+            v = jnp.asarray(prog.tall[:prog.rows], jnp.float64) @ (bw * ratio)
+            for idx, lo, hi in prog.row_slices:
+                macro_parts[idx] = v[lo:hi]
+        progs = []
+    for prog in progs:
         bw = _macro_phi_wf_ff(prog, points, wf)
         if bw is not None:
             v = jnp.asarray(prog.tall[:prog.rows], jnp.float64) @ bw
@@ -95,9 +105,9 @@ def _moment_rec(tabulator):
     try:
         from .doublefloat import supports_ff
         if jax.default_backend() != "cpu" and supports_ff(tabulator.target_es):
-            from .pallas_recurrence import PallasSliceRecurrence
-            rec = PallasSliceRecurrence(tabulator.target_es,
-                                        tabulator.max_degree)
+            from .pallas_recurrence import PallasPairMoments
+            rec = PallasPairMoments(tabulator.target_es,
+                                    tabulator.max_degree)
     except NotImplementedError:
         rec = None
     tabulator._moment_rec_cache = rec
@@ -105,21 +115,59 @@ def _moment_rec(tabulator):
 
 
 def _moment_phi_wf_ff(tabulator, points, wf):
-    """(nexp,) f64 of  sum_q phi_k(x_q) wf_q  via the pair path, or
-    None when unavailable."""
-    from .doublefloat import ff_from_f64, ff_mul, ff_scale_pow2, ff_to_f64
+    """(nexp,) f64 of  sum_q phi_k(x_q) wf_q  via the one-kernel pair
+    moment contraction (pallas_recurrence.PallasPairMoments), or None
+    when unavailable."""
     if getattr(points, "dtype", None) != jnp.float64:
         return None
     rec = _moment_rec(tabulator)
     if rec is None:
         return None
-    slices, sB = rec._apply(points)
-    g = ff_from_f64(jnp.asarray(wf, jnp.float64), xp=jnp)
-    g = ff_scale_pow2(g, sB[0])                 # pow2: exact
-    phi = _pair_from_slices(slices, np.float32(1.0))
-    prod = ff_mul(phi, g)
-    return (jnp.sum(prod.hi.astype(jnp.float64), axis=-1)
-            + jnp.sum(prod.lo.astype(jnp.float64), axis=-1))
+    return rec.moment_rows(points, wf)
+
+
+def _macro_moment_group(tabulator):
+    """Cached ONE-kernel masked pair-moment group over all macro side
+    programs (PallasMaskedPairMoments), or None when the parent
+    expansion sets do not share the fused kernel's preconditions.
+    Returns (kernel, per-program scale ratios)."""
+    cached = getattr(tabulator, "_macro_moment_group_cache", "?")
+    if cached != "?":
+        return cached
+    out = None
+    progs = list(getattr(tabulator, "macro_programs", None) or ())
+    try:
+        from .doublefloat import supports_ff
+        if (progs and jax.default_backend() != "cpu"
+                and all(type(p.parent_es) is type(progs[0].parent_es)
+                        for p in progs)
+                and supports_ff(progs[0].parent_es)):
+            from .pallas_recurrence import PallasMaskedPairMoments
+            rec_deg = max(p.degree for p in progs)
+            t_es = progs[0].parent_es
+            sd = t_es.ref_el.get_spatial_dimension()
+            entries = []
+            for p in progs:
+                ref = p.es.ref_el
+                entries.append({
+                    "nexp": p.nexp_parent,
+                    "maps": [ref.barycentric_map(entity=(sd, c),
+                                                 rescale=True)
+                             for c in p.cells],
+                    "unique": p.es.continuity is not None,  # order 0
+                })
+            parent_map = progs[0].es.ref_el.get_parent().barycentric_map(
+                rescale=True)
+            kernel = PallasMaskedPairMoments(t_es, rec_deg, entries,
+                                             parent_map)
+            ratios = [float(np.asarray(p.parent_es.get_scale(p.degree))
+                            / np.asarray(t_es.get_scale(rec_deg)))
+                      for p in progs]
+            out = (kernel, ratios)
+    except NotImplementedError:
+        out = None
+    tabulator._macro_moment_group_cache = out
+    return out
 
 
 def _macro_phi_wf_ff(prog, points, wf):

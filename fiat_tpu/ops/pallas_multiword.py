@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .multiword import prepare_B, resolve_scheme, split_scaled_host
-from .doublefloat import FF, ff_add, ff_mul, two_prod, two_sum
+from .doublefloat import FF, ff_mul
 
 
 def _batch_index_sets(order, nslices):
@@ -509,36 +509,13 @@ class FusedMacroOneShot(FusedMaskedMultiword):
                                            budget // per_pt // 512 * 512))
         nonuni = [g for g in self._geom if not g["unique"]]
         self._n_nonuni = len(nonuni)
-        # stacked barycentric maps (parent row 0, then every program's
-        # cells in merged piece order): the in-kernel distances run as
-        # (ncells+1, T) ff ops -- per-cell (1, T) chains waste 7/8 of
-        # the VPU sublanes (measured 0.33 ms of the c1 kernel)
-        from .doublefloat import const_ff
-        maps = [self._parent_map]
-        self._prog_cells = []
-        pos = 1
-        for g in self._geom:
-            maps.extend(g["maps"])
-            self._prog_cells.append((pos, pos + len(g["maps"])))
-            pos += len(g["maps"])
-        nbary = max(Am.shape[0] for Am, _ in maps)
-        assert all(Am.shape[0] == nbary for Am, _ in maps)
-        # one packed (ncells+1, nbary*(4*sd+2)) f32 operand: per bary
-        # row j, the pre-split ff columns [hi|lo|sh|sl] of each coord's
-        # coefficient plus [hi|lo] of the offset (Pallas kernels cannot
-        # capture array constants)
-        self._nbary = nbary
-        pack = []
-        for j in range(nbary):
-            for i in range(sd):
-                c = const_ff(np.asarray([Am[j, i] for Am, _ in maps],
-                                        np.float64)[:, None])
-                pack.extend([c.hi, c.lo, c.sh, c.sl])
-            o = const_ff(np.asarray([bm[j] for _, bm in maps],
-                                    np.float64)[:, None])
-            pack.extend([o.hi, o.lo])
-        self._bary_pack = jnp.asarray(np.concatenate(pack, axis=1,
-                                                     dtype=np.float32))
+        # stacked barycentric maps + in-kernel ff binning (shared with
+        # the masked pair-moment kernel): distances run as (ncells+1, T)
+        # ff ops -- per-cell (1, T) chains waste 7/8 of the VPU
+        # sublanes (measured 0.33 ms of the c1 kernel)
+        from .pallas_recurrence import SubcellBinning
+        self._bin = SubcellBinning(geom, parent_map, sd)
+        self._bary_pack = jnp.asarray(self._bin.pack)
         # one-hot row -> (non-unique program | virtual ones) selector:
         # the trailing virtual column carries recip == exactly 1 for
         # unique-program rows and block padding, so the in-kernel
@@ -552,73 +529,8 @@ class FusedMacroOneShot(FusedMaskedMultiword):
 
     # ------------------------------------------------------------------
     def _binning(self, xs, bary_ref, T):
-        """All programs' {0,1} masks (merged piece order) + per-program
-        ff multiplicity reciprocals (None for unique programs).
-
-        All distances compute at once over the stacked (ncells+1, T)
-        barycentric rows (parent first), with the same df32 arithmetic
-        and best + 1e-12 comparison as partition_of_unity_masks."""
-        from .doublefloat import split32
-        one = jnp.ones((1, T), jnp.float32)
-        zero = jnp.zeros((1, T), jnp.float32)
-        nc = bary_ref.shape[0]
-        # EXPANSION (non-renormalising) arithmetic: the fully-normalised
-        # ff_add chain costs 92 VPU ops per bary row; here every exact
-        # product/sum error just joins a plain-add error channel, so the
-        # result is exact to O(eps^2 * nterms) ~ 4e-15 absolute -- far
-        # below the 1e-12 binning tolerance -- at ~1/3 the ops.  The
-        # point-coordinate splits are computed once per tile and shared
-        # by every barycentric row of every cell.
-        x_splits = [split32(x.hi) for x in xs]
-        dS = dE = None
-        col = 0
-        for j in range(self._nbary):
-            s = jnp.broadcast_to(bary_ref[:, col + 4 * self._sd:
-                                          col + 4 * self._sd + 1], (nc, T))
-            err = jnp.broadcast_to(bary_ref[:, col + 4 * self._sd + 1:
-                                            col + 4 * self._sd + 2], (nc, T))
-            for i in range(self._sd):
-                ch, cl = bary_ref[:, col:col + 1], bary_ref[:, col + 1:col + 2]
-                sh, sl = bary_ref[:, col + 2:col + 3], bary_ref[:, col + 3:col + 4]
-                col += 4
-                p, e = two_prod(ch, xs[i].hi, a_split=(sh, sl),
-                                b_split=x_splits[i])
-                s, e2 = two_sum(s, p)
-                err = err + (e + e2 + (ch * xs[i].lo + cl * xs[i].hi))
-            col += 2
-            lam_hi = s
-            neg = lam_hi + err < 0
-            ph = jnp.where(neg, -lam_hi, np.float32(0.0))
-            pe = jnp.where(neg, -err, np.float32(0.0))
-            if dS is None:
-                dS, dE = ph, pe
-            else:
-                dS, e2 = two_sum(dS, ph)
-                dE = dE + (pe + e2)
-        dist = dS + dE                            # (ncells+1, T) f32
-        near = dist[1:] <= dist[0:1] + np.float32(1e-12)
-        M = jnp.where(near, np.float32(1.0), np.float32(0.0))
-        masks, recips = [], []
-        for g, (c0, c1) in zip(self._geom, self._prog_cells):
-            raw = [M[c - 1:c, :] for c in range(c0, c1)]
-            if g["unique"]:
-                taken = zero
-                uniq = []
-                for m in raw:
-                    m = m * (one - taken)
-                    taken = jnp.maximum(taken, m)
-                    uniq.append(m)
-                raw = uniq
-                recips.append(None)
-            else:
-                totp = jnp.sum(M[c0 - 1:c1 - 1, :], axis=0,
-                               keepdims=True)    # small-int f32: exact
-                r = one / totp
-                p, e = two_prod(r, totp)
-                d = (one - p) - e            # Sterbenz: p within 1 ulp of 1
-                recips.append(FF(r, r * d))  # == 1/totp to ~2^-48
-            masks.extend(raw)
-        return masks, recips
+        """Delegates to the shared SubcellBinning (pallas_recurrence)."""
+        return self._bin.binning(xs, bary_ref, T)
 
     def _oneshot_kernel(self, *refs):
         from .pallas_recurrence import emit_slices

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.expansions import _stage_constants
 from .multiword import resolve_scheme
-from .doublefloat import (FF, ff_add, ff_mul, ff_scale_pow2, ff_sub,
+from .doublefloat import (FF, ff_add, ff_mul, ff_scale_pow2, ff_sub, two_prod,
                           two_sum)
 
 
@@ -192,6 +192,118 @@ def slice_split_ff(R, nslices, wdtype="bf16"):
     return out, sB
 
 
+class SubcellBinning:
+    """Host-packed barycentric maps + traceable in-kernel ff subcell
+    binning for a group of macro side programs (shared by the one-shot
+    macro engine and the masked pair-moment kernel).
+
+    ``geom``: per program {"maps": [(A_c, b_c) rescaled barycentric map
+    per subcell], "unique": bool}; ``parent_map``: the shared parent
+    cell's map.  All distances compute at once over the stacked
+    (ncells+1, T) barycentric rows (parent first) with the same df32
+    arithmetic and best + 1e-12 comparison as
+    partition_of_unity_masks."""
+
+    def __init__(self, geom, parent_map, sd):
+        from .doublefloat import const_ff
+        self.sd = sd
+        self.geom = list(geom)
+        maps = [(np.asarray(parent_map[0], np.float64),
+                 np.asarray(parent_map[1], np.float64))]
+        self.prog_cells = []
+        pos = 1
+        for g in self.geom:
+            maps.extend(g["maps"])
+            self.prog_cells.append((pos, pos + len(g["maps"])))
+            pos += len(g["maps"])
+        self.ncells = pos - 1
+        nbary = max(Am.shape[0] for Am, _ in maps)
+        assert all(Am.shape[0] == nbary for Am, _ in maps)
+        self.nbary = nbary
+        # one packed (ncells+1, nbary*(4*sd+2)) f32 operand: per bary
+        # row j, the pre-split ff columns [hi|lo|sh|sl] of each coord's
+        # coefficient plus [hi|lo] of the offset (Pallas kernels cannot
+        # capture array constants)
+        cols = []
+        for j in range(nbary):
+            for i in range(sd):
+                c = const_ff(np.asarray([Am[j, i] for Am, _ in maps],
+                                        np.float64)[:, None])
+                cols.extend([c.hi, c.lo, c.sh, c.sl])
+            o = const_ff(np.asarray([bm[j] for _, bm in maps],
+                                    np.float64)[:, None])
+            cols.extend([o.hi, o.lo])
+        self.pack = np.concatenate(cols, axis=1, dtype=np.float32)
+
+    def binning(self, xs, bary_ref, T):
+        """All programs' {0,1} masks (merged piece order) + per-program
+        ff multiplicity reciprocals (None for unique programs), traced
+        over a kernel's point-tile ff coordinates ``xs``.
+
+        EXPANSION (non-renormalising) arithmetic: the fully-normalised
+        ff_add chain costs 92 VPU ops per bary row; here every exact
+        product/sum error joins a plain-add error channel, so the
+        result is exact to O(eps^2 * nterms) ~ 4e-15 absolute -- far
+        below the 1e-12 binning tolerance -- at ~1/3 the ops.  The
+        point-coordinate splits are computed once per tile and shared
+        by every barycentric row of every cell."""
+        from .doublefloat import split32
+        one = jnp.ones((1, T), jnp.float32)
+        zero = jnp.zeros((1, T), jnp.float32)
+        nc = bary_ref.shape[0]
+        sd = self.sd
+        x_splits = [split32(x.hi) for x in xs]
+        dS = dE = None
+        col = 0
+        for j in range(self.nbary):
+            s = jnp.broadcast_to(bary_ref[:, col + 4 * sd:
+                                          col + 4 * sd + 1], (nc, T))
+            err = jnp.broadcast_to(bary_ref[:, col + 4 * sd + 1:
+                                            col + 4 * sd + 2], (nc, T))
+            for i in range(sd):
+                ch, cl = bary_ref[:, col:col + 1], bary_ref[:, col + 1:col + 2]
+                sh, sl = (bary_ref[:, col + 2:col + 3],
+                          bary_ref[:, col + 3:col + 4])
+                col += 4
+                p, e = two_prod(ch, xs[i].hi, a_split=(sh, sl),
+                                b_split=x_splits[i])
+                s, e2 = two_sum(s, p)
+                err = err + (e + e2 + (ch * xs[i].lo + cl * xs[i].hi))
+            col += 2
+            neg = s + err < 0
+            ph = jnp.where(neg, -s, np.float32(0.0))
+            pe = jnp.where(neg, -err, np.float32(0.0))
+            if dS is None:
+                dS, dE = ph, pe
+            else:
+                dS, e2 = two_sum(dS, ph)
+                dE = dE + (pe + e2)
+        dist = dS + dE                            # (ncells+1, T) f32
+        near = dist[1:] <= dist[0:1] + np.float32(1e-12)
+        M = jnp.where(near, np.float32(1.0), np.float32(0.0))
+        masks, recips = [], []
+        for g, (c0, c1) in zip(self.geom, self.prog_cells):
+            raw = [M[c - 1:c, :] for c in range(c0, c1)]
+            if g["unique"]:
+                taken = zero
+                uniq = []
+                for m_ in raw:
+                    m_ = m_ * (one - taken)
+                    taken = jnp.maximum(taken, m_)
+                    uniq.append(m_)
+                raw = uniq
+                recips.append(None)
+            else:
+                totp = jnp.sum(M[c0 - 1:c1 - 1, :], axis=0,
+                               keepdims=True)    # small-int f32: exact
+                r = one / totp
+                p, e = two_prod(r, totp)
+                d = (one - p) - e            # Sterbenz: p within 1 ulp of 1
+                recips.append(FF(r, r * d))  # == 1/totp to ~2^-48
+            masks.extend(raw)
+        return masks, recips
+
+
 class PallasSliceRecurrence:
     """``rec = PallasSliceRecurrence(es, degree); slices, sB = rec(pts)``
     matching ``prepare_B_ff(tabulate_ff(es, degree, pts))`` to pair
@@ -308,3 +420,326 @@ class PallasSliceRecurrence:
 
     def __call__(self, points):
         return self._jitted(jnp.asarray(points))
+
+
+class PallasPairMoments(PallasSliceRecurrence):
+    """Fused expansion-side moment contraction:
+    ``m = PallasPairMoments(es, degree); M = m(points, wf)`` returns the
+    (nexp,) f64 vector  sum_q phi_k(x_q) wf_q  with the WHOLE pipeline
+    in one kernel per point tile:
+
+      * the df32 Dubiner recurrence + window split (emit_slices),
+      * exact pair reconstruction from the graded windows,
+      * prod = ff_mul(phi_pair, wf_pair * sB)  (pair-exact product),
+      * an EXACT within-tile point reduction: each prod row is
+        row-pow2-scaled and re-windowed, every 8-bit window summing
+        exactly in f32 (|k| <= 2^8 over <= 2^12 columns < 2^24), the
+        residual pair summed as a tail window; the tile's (hi, lo)
+        partial combines the window sums with a TwoSum chain,
+      * per-tile pair partials written to their own output column; the
+        cross-tile reduction is ntiles f64 adds in XLA.
+
+    This is the engine's dual-evaluation path (the reference's to_riesz
+    + dual_evaluation contraction, /root/reference/FIAT/dual_set.py:86
+    and /root/reference/finat/finiteelementbase.py:245-285) with no
+    (rows, npts) table and no emulated-f64 recurrence: the 8 B/value
+    pair-write floor of tabulating consumers does not apply."""
+
+    def _moment_kernel(self, *refs):
+        from .doublefloat import FF, fast_two_sum, ff_mul
+        n = self.nslices
+        phi_ref, plo_ref = refs[0], refs[1]
+        wh_ref, wl_ref = refs[2], refs[3]
+        stage_refs = refs[4:4 + 3 * self.sd]
+        hi_ref, lo_ref = refs[-2], refs[-1]
+
+        slices, sB = emit_slices(self.sd, self.degree, self.scale,
+                                 n, phi_ref, plo_ref, stage_refs,
+                                 [st[3] for st in self.stages],
+                                 wdtype=self.wdtype)
+        # exact pair reconstruction (disjoint 8-bit windows)
+        if self.wdtype == "int8":
+            from .multiword import CHUNK_I8
+            vals = [s.astype(jnp.float32)
+                    * np.float32(2.0 ** (-CHUNK_I8 * (i + 1)))
+                    for i, s in enumerate(slices)]
+        else:
+            vals = [s.astype(jnp.float32) for s in slices]
+        ph, pl = vals[0], jnp.zeros_like(vals[0])
+        for v in vals[1:]:
+            ph, e = fast_two_sum(ph, v)
+            pl = pl + e
+        ph, e = fast_two_sum(ph, pl)
+        phi = FF(ph, e)                           # == sum(windows) exactly
+
+        # wf pair at the shared column scale (pow2: exact)
+        g = FF(wh_ref[0, :].reshape(1, -1) * sB,
+               wl_ref[0, :].reshape(1, -1) * sB)
+        prod = ff_mul(phi, g)                     # (nexp, T) pair
+
+        # ---- exact within-tile reduction ----------------------------
+        # row pow2 scale so every window's integer sum fits f32 exactly
+        m = jnp.max(jnp.abs(prod.hi), axis=1, keepdims=True)
+        bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+        e_sel = (bits >> np.uint32(23)) + np.uint32(1)
+        ms = jax.lax.bitcast_convert_type(e_sel << np.uint32(23),
+                                          jnp.float32)
+        ms = jnp.where(m == 0, np.float32(1.0), ms)
+        inv = np.float32(1.0) / ms                # pow2: exact
+        rh, rl = prod.hi * inv, prod.lo * inv
+        acc_s = acc_e = None
+        chunk = 8
+        for i in range(self.nslices):
+            sc = np.float32(2.0 ** (chunk * (i + 1)))
+            k = jnp.round(rh * sc)
+            s = k / sc                            # exact window value
+            part = jnp.sum(s, axis=1, keepdims=True)   # EXACT in f32
+            if acc_s is None:
+                acc_s, acc_e = part, jnp.zeros_like(part)
+            else:
+                t, e2 = two_sum(acc_s, part)
+                acc_s, acc_e = t, acc_e + e2
+            rh, rl = two_sum(rh - s, rl)
+        # tail: the residual pair, plain f32 sums (terms <= 2^-8n of max)
+        tail = jnp.sum(rh, axis=1, keepdims=True) \
+            + jnp.sum(rl, axis=1, keepdims=True)
+        t, e2 = two_sum(acc_s, tail)
+        acc_s, acc_e = t, acc_e + e2
+        # the (nexp, 1) pair broadcast over a full 128-lane block (TPU
+        # blocks need lane-dim 128); XLA reads back lane 0
+        hi_ref[:] = jnp.broadcast_to(acc_s * ms, hi_ref.shape)
+        lo_ref[:] = jnp.broadcast_to(acc_e * ms, lo_ref.shape)
+
+    def moment_rows(self, points, wf):
+        """(nexp,) f64 of  sum_q phi_k(x_q) wf_q."""
+        from .doublefloat import ff_from_f64
+        npts = points.shape[0]
+        T = min(self._vmem_tile(), max(128, npts))
+        ntiles = -(-npts // T)
+        pad = ntiles * T - npts
+        if points.dtype == jnp.float64:
+            hi = points.astype(jnp.float32)
+            lo = (points - hi.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            hi = points.astype(jnp.float32)
+            lo = jnp.zeros_like(hi)
+        hi = jnp.pad(hi, ((0, pad), (0, 0))).T
+        lo = jnp.pad(lo, ((0, pad), (0, 0))).T
+        g = ff_from_f64(jnp.asarray(wf, jnp.float64), xp=jnp)
+        # padded wf columns are ZERO: padded points contribute nothing
+        wh = jnp.pad(g.hi, (0, pad)).reshape(1, -1)
+        wl = jnp.pad(g.lo, (0, pad)).reshape(1, -1)
+
+        full = lambda arr: pl.BlockSpec(arr.shape, lambda i: tuple(
+            i * 0 for _ in arr.shape), memory_space=pltpu.VMEM)
+        pts_spec = pl.BlockSpec((self.sd, T), lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((1, T), lambda i: (i * 0, i),
+                              memory_space=pltpu.VMEM)
+        in_specs = [pts_spec, pts_spec, w_spec, w_spec]
+        operands = [hi, lo, wh, wl]
+        for pk, P, norms, _need in self.stages:
+            for arr in (pk, P, norms):
+                in_specs.append(full(arr))
+                operands.append(jnp.asarray(arr))
+        out_spec = pl.BlockSpec((self.nexp, 128), lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+        hi_o, lo_o = pl.pallas_call(
+            self._moment_kernel,
+            grid=(ntiles,),
+            in_specs=in_specs,
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((self.nexp, ntiles * 128),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((self.nexp, ntiles * 128),
+                                            jnp.float32)),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=250 * self.nexp * ntiles * T,
+                bytes_accessed=(8 * self.sd + 8) * ntiles * T
+                + 8 * self.nexp * ntiles,
+                transcendentals=0,
+            ),
+        )(*operands)
+        hi_c = hi_o.reshape(self.nexp, ntiles, 128)[..., 0]
+        lo_c = lo_o.reshape(self.nexp, ntiles, 128)[..., 0]
+        return (jnp.sum(hi_c.astype(jnp.float64), axis=1)
+                + jnp.sum(lo_c.astype(jnp.float64), axis=1))
+
+
+class PallasMaskedPairMoments(PallasSliceRecurrence):
+    """Masked (macro side-program) pair moments in ONE kernel:
+    ``bw[c*nexp_p + k] = sum_q mask_c(x_q) phi_k(x_q) wf_q`` for every
+    subcell c of every program in a group sharing one parent expansion
+    set -- the b_stack contraction of MacroSideProgram.tables
+    (ops/tabulate.py) without the XLA df32 tabulation or any
+    (rows, npts) intermediate.
+
+    Per point tile: in-kernel ff subcell binning (SubcellBinning), the
+    shared parent recurrence (emit_slices) + exact pair reconstruction,
+    g = wf_pair * sB (pair-exact; non-unique programs fold their ff
+    multiplicity reciprocal into g), then the same exact window
+    reduction as PallasPairMoments with the point sum replaced by an
+    MXU dot against the {0,1} mask columns (window values x {0,1}
+    products are exact; each 8-bit window's f32 accumulation over
+    <= 2^12 columns is exact).
+
+    ``entries``: per program {"nexp": parent members, "maps": subcell
+    barycentric maps, "unique": binning mode}; ``parent_map``: shared
+    parent-cell map.  Outputs are per-program (nexp_p, ncells_p) pair
+    blocks; ``moment_rows`` returns them flattened in b_stack row order
+    (cell-major)."""
+
+    def __init__(self, es, degree, entries, parent_map, **kw):
+        super().__init__(es, degree, **kw)
+        self.entries = list(entries)
+        geom = [{"maps": e["maps"], "unique": e["unique"]}
+                for e in self.entries]
+        self._bin = SubcellBinning(geom, parent_map, self.sd)
+        self._rows = []
+        r0 = 0
+        for e in self.entries:
+            self._rows.append((r0, r0 + e["nexp"], len(e["maps"])))
+            r0 += e["nexp"]
+        self._rtot = r0
+
+    def _vmem_tile(self):
+        # the base budget tracks only the recurrence stacks; this
+        # kernel adds the binning rows, per-program pair products and
+        # window temporaries (T=4096 measured 18.7M scoped vmem > 16M)
+        return min(2048, super()._vmem_tile())
+
+    def _masked_moment_kernel(self, *refs):
+        from .doublefloat import FF, fast_two_sum, ff_mul
+        n = self.nslices
+        phi_ref, plo_ref = refs[0], refs[1]
+        wh_ref, wl_ref, bary_ref = refs[2], refs[3], refs[4]
+        stage_refs = refs[5:5 + 3 * self.sd]
+        hi_ref, lo_ref = refs[-2], refs[-1]
+
+        T = phi_ref.shape[1]
+        xs = [FF(phi_ref[i, :].reshape(1, T), plo_ref[i, :].reshape(1, T))
+              for i in range(self.sd)]
+        masks, recips = self._bin.binning(xs, bary_ref[:], T)
+
+        slices, sB = emit_slices(self.sd, self.degree, self.scale,
+                                 n, phi_ref, plo_ref, stage_refs,
+                                 [st[3] for st in self.stages],
+                                 wdtype=self.wdtype)
+        if self.wdtype == "int8":
+            from .multiword import CHUNK_I8
+            vals = [s.astype(jnp.float32)
+                    * np.float32(2.0 ** (-CHUNK_I8 * (i + 1)))
+                    for i, s in enumerate(slices)]
+        else:
+            vals = [s.astype(jnp.float32) for s in slices]
+        ph, pl = vals[0], jnp.zeros_like(vals[0])
+        for v in vals[1:]:
+            ph, e = fast_two_sum(ph, v)
+            pl = pl + e
+        ph, e = fast_two_sum(ph, pl)
+        phi = FF(ph, e)
+
+        g0 = FF(wh_ref[0, :].reshape(1, T) * sB,
+                wl_ref[0, :].reshape(1, T) * sB)
+        mpos = 0
+        for (r0, r1, nc), ent, recip in zip(self._rows, self.entries,
+                                            recips):
+            nexp = ent["nexp"]
+            Mk = jnp.concatenate(masks[mpos:mpos + nc], axis=0)  # (nc, T)
+            mpos += nc
+            g = g0 if recip is None else ff_mul(g0, recip)
+            prod = ff_mul(FF(phi.hi[:nexp], phi.lo[:nexp]), g)
+            m = jnp.max(jnp.abs(prod.hi), axis=1, keepdims=True)
+            bits = jax.lax.bitcast_convert_type(m, jnp.uint32)
+            e_sel = (bits >> np.uint32(23)) + np.uint32(1)
+            ms = jax.lax.bitcast_convert_type(e_sel << np.uint32(23),
+                                              jnp.float32)
+            ms = jnp.where(m == 0, np.float32(1.0), ms)
+            inv = np.float32(1.0) / ms
+            rh, rl = prod.hi * inv, prod.lo * inv
+            acc_s = acc_e = None
+            for i in range(self.nslices):
+                sc = np.float32(2.0 ** (8 * (i + 1)))
+                k = jnp.round(rh * sc)
+                s = k / sc
+                part = jnp.dot(s, Mk.T,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                if acc_s is None:
+                    acc_s, acc_e = part, jnp.zeros_like(part)
+                else:
+                    t, e2 = two_sum(acc_s, part)
+                    acc_s, acc_e = t, acc_e + e2
+                rh, rl = two_sum(rh - s, rl)
+            tail = jnp.dot(rh + rl, Mk.T,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            t, e2 = two_sum(acc_s, tail)
+            acc_s, acc_e = t, acc_e + e2
+            pad = ((0, 0), (0, 128 - nc))
+            hi_ref[r0:r1, :] = jnp.pad(acc_s * ms, pad)
+            lo_ref[r0:r1, :] = jnp.pad(acc_e * ms, pad)
+
+    def moment_rows(self, points, wf):
+        """[(ncells_p * nexp_p,) f64 per program] -- b_stack row order
+        (cell-major), at the SHARED recurrence scale (callers apply
+        their per-program normalisation ratio)."""
+        from .doublefloat import ff_from_f64
+        npts = points.shape[0]
+        T = min(self._vmem_tile(), max(128, npts))
+        ntiles = -(-npts // T)
+        pad = ntiles * T - npts
+        if points.dtype == jnp.float64:
+            hi = points.astype(jnp.float32)
+            lo = (points - hi.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            hi = points.astype(jnp.float32)
+            lo = jnp.zeros_like(hi)
+        hi = jnp.pad(hi, ((0, pad), (0, 0))).T
+        lo = jnp.pad(lo, ((0, pad), (0, 0))).T
+        g = ff_from_f64(jnp.asarray(wf, jnp.float64), xp=jnp)
+        wh = jnp.pad(g.hi, (0, pad)).reshape(1, -1)
+        wl = jnp.pad(g.lo, (0, pad)).reshape(1, -1)
+
+        full = lambda arr: pl.BlockSpec(arr.shape, lambda i: tuple(
+            i * 0 for _ in arr.shape), memory_space=pltpu.VMEM)
+        pts_spec = pl.BlockSpec((self.sd, T), lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((1, T), lambda i: (i * 0, i),
+                              memory_space=pltpu.VMEM)
+        bary = jnp.asarray(self._bin.pack)
+        in_specs = [pts_spec, pts_spec, w_spec, w_spec, full(bary)]
+        operands = [hi, lo, wh, wl, bary]
+        for pk, P, norms, _need in self.stages:
+            for arr in (pk, P, norms):
+                in_specs.append(full(arr))
+                operands.append(jnp.asarray(arr))
+        out_spec = pl.BlockSpec((self._rtot, 128), lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+        hi_o, lo_o = pl.pallas_call(
+            self._masked_moment_kernel,
+            grid=(ntiles,),
+            in_specs=in_specs,
+            out_specs=(out_spec, out_spec),
+            out_shape=(jax.ShapeDtypeStruct((self._rtot, ntiles * 128),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((self._rtot, ntiles * 128),
+                                            jnp.float32)),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=400 * self._rtot * ntiles * T,
+                bytes_accessed=(8 * self.sd + 8) * ntiles * T
+                + 8 * self._rtot * ntiles * 128,
+                transcendentals=0,
+            ),
+        )(*operands)
+        hi_c = hi_o.reshape(self._rtot, ntiles, 128)
+        lo_c = lo_o.reshape(self._rtot, ntiles, 128)
+        out = []
+        for (r0, r1, nc) in self._rows:
+            h = hi_c[r0:r1, :, :nc].astype(jnp.float64)
+            l = lo_c[r0:r1, :, :nc].astype(jnp.float64)
+            bw = (jnp.sum(h, axis=1) + jnp.sum(l, axis=1))  # (nexp, nc)
+            out.append(bw.T.reshape(-1))                    # cell-major
+        return out
