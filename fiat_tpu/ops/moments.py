@@ -205,3 +205,68 @@ def unpack_moments(tabulator, fused):
     entry shaped like the element's (ndof, *value_shape))."""
     return [np.asarray(fused[lo:hi]).reshape(shape)
             for lo, hi, shape in tabulator.slices]
+
+
+def interpolate_rows(tabulator, points, coefficients):
+    """The transpose of ``moment_rows``: field values
+    ``u(x_q) = sum_i c_i phi_i(x_q)`` at the points, for coefficients
+    over every basis row of the fused zoo (macro side programs
+    included) -- the reference's interpolation/point-evaluation
+    direction, sum-factorised so no (rows, npts) table is built:
+    fold c through the nodal change of basis first (one nexp vector),
+    then evaluate against the expansion.
+
+    On TPU the expansion evaluation rides the pair path: the Pallas
+    slice recurrence + exact window reconstruction give phi as an
+    (hi, lo) pair, the folded coefficient vector enters as an ff pair,
+    and only the small row reduction runs in (emulated) f64."""
+    from .doublefloat import ff_from_f64, ff_mul
+    sd = points.shape[-1]
+    c = jnp.asarray(coefficients, jnp.float64)
+    plain_rows = tabulator.stacked.shape[0]
+    stacked = jnp.asarray(tabulator.stacked, jnp.float64)
+    v = c[:plain_rows] @ stacked                # (nexp,) folded coeffs
+    rec = _moment_rec(tabulator)
+    if rec is not None and getattr(points, "dtype", None) == jnp.float64:
+        slices, sB = rec._apply(points)
+        phi = _pair_from_slices(slices, sB)     # (nexp, npts) pair
+        vf = ff_from_f64(v, xp=jnp)
+        prod = ff_mul(phi, FF_col(vf))
+        out = (jnp.sum(prod.hi.astype(jnp.float64), axis=0)
+               + jnp.sum(prod.lo.astype(jnp.float64), axis=0))
+    else:
+        base = tabulator._expansion_tables(points)
+        out = v @ base[(0,) * sd]
+    # macro side programs: fold through the grouped tall matrices and
+    # evaluate the masked parent stacks (value-alpha block transpose)
+    cursor = plain_rows
+    progs = {}
+    for p in getattr(tabulator, "macro_programs", None) or ():
+        for idx, lo, hi in p.row_slices:
+            progs[idx] = (p, lo, hi)
+    for (i, _e), (es, deg, flat) in zip(tabulator.special,
+                                        tabulator.special_progs):
+        ci = c[cursor:cursor + flat.shape[0]]
+        cursor += flat.shape[0]
+        grouped = progs.get(i)
+        if grouped is not None and getattr(points, "dtype",
+                                           None) == jnp.float64:
+            p, lo, hi = grouped
+            w = jnp.zeros((p.rows,), jnp.float64).at[lo:hi].set(ci)
+            bw = w @ jnp.asarray(p.tall[:p.rows], jnp.float64)
+            # masked parent evaluation via the program's df32 pair stack
+            pair = p.b_stack_ff(points, 0)
+            vf = ff_from_f64(bw, xp=jnp)
+            prod = ff_mul(pair, FF_col(vf))
+            out = out + (jnp.sum(prod.hi.astype(jnp.float64), axis=0)
+                         + jnp.sum(prod.lo.astype(jnp.float64), axis=0))
+        else:
+            phi_s = es._tabulate(deg, points, order=0)[(0,) * sd]
+            out = out + (ci @ jnp.asarray(flat, jnp.float64)) @ phi_s
+    return out
+
+
+def FF_col(v):
+    """An (n,) FF pair viewed as an (n, 1) column for broadcasting."""
+    from .doublefloat import FF
+    return FF(v.hi.reshape(-1, 1), v.lo.reshape(-1, 1))

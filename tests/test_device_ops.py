@@ -878,3 +878,26 @@ def test_moment_rows_macro_grouping():
         tab = np.asarray(el.tabulate(0, pts)[(0, 0)]).reshape(-1, npts)
         want = (tab @ wf).reshape(m.shape)
         assert np.abs(want - m).max() < 1e-12, type(el).__name__
+
+
+def test_interpolate_rows_transpose():
+    """interpolate_rows (the dual of moment_rows: coefficients ->
+    field values) matches the per-element host contraction, macro
+    elements included (CPU run exercises the f64 fallback; the pair
+    path is validated on TPU, STATUS r5)."""
+    from fiat_tpu.ops import moments as mo
+    els = [fe.Lagrange(T, 4), fe.HsiehCloughTocher(T, 3),
+           fe.CubicHermite(T)]
+    bt = BatchedTabulator(els, order=0)
+    rng = np.random.default_rng(9)
+    npts = 300
+    pts = rng.random((npts, 2)) / 2
+    rows = max(hi for _lo, hi, _s in bt.slices)
+    c = rng.random(rows) - 0.5
+    u = np.asarray(jax.jit(lambda q, cc: mo.interpolate_rows(bt, q, cc))(
+        jnp.asarray(pts), jnp.asarray(c)))
+    want = np.zeros(npts)
+    for el, (lo, hi, _shape) in zip(els, bt.slices):
+        tab = np.asarray(el.tabulate(0, pts)[(0, 0)]).reshape(hi - lo, npts)
+        want += c[lo:hi] @ tab
+    assert np.abs(u - want).max() < 1e-12
