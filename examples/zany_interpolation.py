@@ -17,6 +17,11 @@ evaluation, the way a form compiler consumes the symbolic layer.
 Run: python examples/zany_interpolation.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 
