@@ -71,13 +71,21 @@ class FusedMultiwordMatmul:
             point_tile = 1024
         # even 128-aligned row blocks (the MXU's systolic tile; a
         # non-128-multiple block measured 2.4x slower) with minimal
-        # padding: ceil(rows/row_block) blocks of ceil-even size, NOT
-        # ceil-to-row_block -- e.g. 672 rows at cap 512 used to pad to
-        # 1024 (52% dead MXU work); now 2 blocks of 384
-        nblocks = max(1, -(-rows // row_block))
-        self.row_block = max(128, -(-(-(-rows // nblocks)) // 128) * 128)
+        # padding: search the block count from ceil(rows/cap) up to
+        # all-128 blocks and take the smallest total rpad (fewest
+        # blocks on ties -- each extra block streams B once more).
+        # The old ceil-even rule missed e.g. 384 rows at cap 256:
+        # 2 blocks of 256 = 512 (33% dead MXU work) vs 3 x 128 = 384.
+        nb0 = max(1, -(-rows // row_block))
+        best = None
+        for n in range(nb0, max(nb0, -(-rows // 128)) + 1):
+            rb = max(128, -(-(-(-rows // n)) // 128) * 128)
+            key = (n * rb, n)
+            if best is None or key < best:
+                best = key
+                self.row_block = rb
         self.rows = rows
-        self.rpad = nblocks * self.row_block
+        self.rpad = best[0]
         # fixed 512-point tiles: a VMEM-adaptive tile (long tiles for
         # small zoos) measured NO faster anywhere and slightly slower
         # on the latency-bound configs
