@@ -901,3 +901,70 @@ def test_interpolate_rows_transpose():
         tab = np.asarray(el.tabulate(0, pts)[(0, 0)]).reshape(hi - lo, npts)
         want += c[lo:hi] @ tab
     assert np.abs(u - want).max() < 1e-12
+
+
+def test_pallas_pair_moments_interpret():
+    """Plumbing check of the one-kernel pair moment contraction
+    (interpret mode; EFT-corrupted on XLA:CPU so f32-level tolerance --
+    the pair-accurate validation runs on TPU, STATUS r5)."""
+    from fiat_tpu.core.expansions import ExpansionSet
+    from fiat_tpu.ops.pallas_recurrence import PallasPairMoments
+    es = ExpansionSet(T)
+    m = PallasPairMoments(es, 6, interpret=True, tile=256)
+    rng = np.random.default_rng(13)
+    npts = 700
+    pts = rng.random((npts, 2)) / 2
+    wf = rng.random(npts) - 0.5
+    got = np.asarray(jax.jit(m.moment_rows)(jnp.asarray(pts),
+                                            jnp.asarray(wf)))
+    phi = np.asarray(es._tabulate_on_cell(6, pts, order=0)[(0, 0)])
+    want = phi @ wf
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-5, rel          # EFT-corrupted CPU bound; TPU ~1e-12
+
+
+def test_pallas_masked_pair_moments_interpret():
+    """Plumbing check of the grouped masked (macro) moment kernel:
+    in-kernel binning + per-cell window reduction vs the host masked
+    contraction (interpret mode, f32-level tolerance)."""
+    from fiat_tpu.ops.pallas_recurrence import PallasMaskedPairMoments
+    els = [fe.Lagrange(T, 2), fe.HsiehCloughTocher(T, 3),
+           fe.QuadraticPowellSabin6(T)]
+    bt = BatchedTabulator(els, order=0)
+    progs = bt.macro_programs
+    assert progs
+    rec_deg = max(p.degree for p in progs)
+    t_es = progs[0].parent_es
+    entries = []
+    for p in progs:
+        ref = p.es.ref_el
+        entries.append({"nexp": p.nexp_parent,
+                        "maps": [ref.barycentric_map(entity=(2, c),
+                                                     rescale=True)
+                                 for c in p.cells],
+                        "unique": p.es.continuity is not None})
+    parent_map = progs[0].es.ref_el.get_parent().barycentric_map(
+        rescale=True)
+    kernel = PallasMaskedPairMoments(t_es, rec_deg, entries, parent_map,
+                                     interpret=True, tile=256)
+    rng = np.random.default_rng(17)
+    npts = 600
+    pts = rng.random((npts, 2))
+    pts = pts / (pts.sum(1)[:, None] + 1e-9) * rng.random((npts, 1))
+    wf = rng.random(npts) - 0.5
+    bws = jax.jit(kernel.moment_rows)(jnp.asarray(pts), jnp.asarray(wf))
+    from fiat_tpu.core.expansions import partition_of_unity_masks
+    for p, bw, ratio in zip(progs, bws, (
+            float(np.asarray(p.parent_es.get_scale(p.degree))
+                  / np.asarray(t_es.get_scale(rec_deg)))
+            for p in progs)):
+        masks = partition_of_unity_masks(p.es.ref_el, jnp.asarray(pts),
+                                         unique=p.es.continuity is not None)
+        phi = np.asarray(p.parent_es._tabulate_on_cell(
+            p.degree, pts, order=0)[(0, 0)])
+        want = np.concatenate([
+            (np.asarray(masks[pos]) * phi) @ wf
+            for pos, _c in enumerate(p.cells)])
+        got = np.asarray(bw) * ratio
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-30)
+        assert rel < 1e-5, rel      # EFT-corrupted CPU bound; TPU ~1e-12
