@@ -482,6 +482,10 @@ def moments_config(jax, jnp, name, mine, ref, pts, nref=NREF):
     if via_tables is not None:
         out["via_tables_ms"] = via_tables * 1e3
         out["pair_write_floor_bypass_x"] = via_tables / tpu_time
+        out["via_tables_note"] = ("f64 block tables materialised by the "
+                                  "fused engine + an emulated-f64 "
+                                  "contraction -- the naive consumer "
+                                  "route on TPU")
     if tflag:
         out["timing_flag"] = tflag
     return out
