@@ -658,14 +658,18 @@ class PallasMaskedPairMoments(PallasSliceRecurrence):
             ms = jnp.where(m == 0, np.float32(1.0), ms)
             inv = np.float32(1.0) / ms
             rh, rl = prod.hi * inv, prod.lo * inv
+            Mb = Mk.astype(jnp.bfloat16).T
             acc_s = acc_e = None
             for i in range(self.nslices):
                 sc = np.float32(2.0 ** (8 * (i + 1)))
                 k = jnp.round(rh * sc)
                 s = k / sc
-                part = jnp.dot(s, Mk.T,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                # window values are scaled integers |k| <= 2^8: exactly
+                # representable in bf16, so the single-pass bf16 dot
+                # against the {0,1} masks is EXACT (a HIGHEST-precision
+                # f32 dot costs 6+ MXU passes for the same bits)
+                part = jnp.dot(s.astype(jnp.bfloat16), Mb,
+                               preferred_element_type=jnp.float32)
                 if acc_s is None:
                     acc_s, acc_e = part, jnp.zeros_like(part)
                 else:
