@@ -184,8 +184,9 @@ def slice_split_ff(R, nslices, wdtype="bf16"):
     out = []
     for i in range(nslices):
         sc = np.float32(2.0 ** (chunk * (i + 1)))
+        isc = np.float32(2.0 ** (-chunk * (i + 1)))
         k = jnp.round(rh * sc)
-        s = k / sc
+        s = k * isc                       # exact pow2 (division is multi-op)
         out.append(k.astype(jnp.int8) if wdtype == "int8"
                    else s.astype(jnp.bfloat16))
         rh, rl = two_sum(rh - s, rl)
@@ -491,8 +492,9 @@ class PallasPairMoments(PallasSliceRecurrence):
         chunk = 8
         for i in range(self.nslices):
             sc = np.float32(2.0 ** (chunk * (i + 1)))
+            isc = np.float32(2.0 ** (-chunk * (i + 1)))
             k = jnp.round(rh * sc)
-            s = k / sc                            # exact window value
+            s = k * isc                   # exact pow2 window value
             part = jnp.sum(s, axis=1, keepdims=True)   # EXACT in f32
             if acc_s is None:
                 acc_s, acc_e = part, jnp.zeros_like(part)
@@ -662,8 +664,9 @@ class PallasMaskedPairMoments(PallasSliceRecurrence):
             acc_s = acc_e = None
             for i in range(self.nslices):
                 sc = np.float32(2.0 ** (8 * (i + 1)))
+                isc = np.float32(2.0 ** (-8 * (i + 1)))
                 k = jnp.round(rh * sc)
-                s = k / sc
+                s = k * isc               # exact pow2
                 # window values are scaled integers |k| <= 2^8: exactly
                 # representable in bf16, so the single-pass bf16 dot
                 # against the {0,1} masks is EXACT (a HIGHEST-precision
