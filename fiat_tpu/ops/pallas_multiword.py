@@ -186,7 +186,13 @@ class FusedMultiwordMatmul:
         no 256-column chunking, no in-dot rounding.  Each group's int32
         result converts to f32 (exactly when its magnitude bound fits
         2^24, else via an exact two-float split) and joins the same
-        TwoSum chain at its window quantum 2^{-7(t+2)}."""
+        TwoSum chain at its window quantum 2^{-7(t+2)}.
+
+        (Negative result, r5 -- do not retry: replacing the per-group
+        concatenated dot with (t+1) pair dots accumulated in int32 to
+        avoid the Acat/Bcat VMEM copies measured SLOWER everywhere:
+        tet8 4.05 -> 5.09 ms, c1 one-shot 0.83 -> 1.00 ms.  The MXU
+        call count dominates; Mosaic pipelines the concatenations.)"""
         from .multiword import CHUNK_I8
         s = e = None
         for t, idx in enumerate(self.batches):
