@@ -107,7 +107,7 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
     d = diff_at(length)
     for _ in range(2):
         if d > 0:
-            return d, None
+            break
         longer = min(4096, 2 * length)
         if longer == length:        # already at the cap: a re-run of the
             break                   # identical pair can't resolve anything
@@ -115,7 +115,30 @@ def chain_timer(jax, jnp, fn, arg, reps=3, target_s=0.25):
         d = diff_at(length)
     if d <= 0:
         return 1e-9, "nonpositive_chain_diff"
-    return d, None
+    # MEDIAN of three independent L/2L diffs: the axon tunnel exhibits
+    # multi-second sustained stalls on some days, corrupting a single
+    # pair in EITHER direction (p2 read 9.5 ms for a truth of 0.23;
+    # full_zoo read 5.0 ms for a truth of ~7.1).  The per-pair
+    # min-of-reps absorbs short spikes; the cross-pair median absorbs
+    # sustained ones.  A diff can also never legitimately exceed the
+    # warm single-execution estimate (est still charges the FULL ~30 ms
+    # round-trip / K), so samples above est are known-corrupt.
+    samples = [d]
+    tries = 0
+    while len(samples) < 3 and tries < 6:
+        tries += 1
+        d2 = diff_at(length)
+        if d2 > 0:
+            samples.append(d2)
+    plaus = sorted(x for x in samples if x <= est) or sorted(samples)
+    d = plaus[len(plaus) // 2]
+    spread = (max(plaus) - min(plaus)) / d if d else 0.0
+    flag = None
+    if len(plaus) < len(samples):
+        flag = "dropped_samples_above_single_exec_estimate"
+    elif spread > 0.25:
+        flag = f"timer_jitter_spread_{spread:.2f}"
+    return d, flag
 
 
 def host_timer(fn, reps=1):
